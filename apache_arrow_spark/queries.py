@@ -1,0 +1,506 @@
+"""Query catalog: every operator from SURVEY.md §2 as an executable query
+plus its DuckDB oracle SQL.
+
+Registry contract (driver's ``__spark_entry__`` re-exports this):
+- ``QUERIES[name](spark, sf_dir) -> DataFrame``
+- ``ORACLE[name]`` — equivalent ANSI SQL for DuckDB over the same parquet
+  (absent for non-SQL-expressible ops -> driver does a rows-only check).
+
+Determinism rules used throughout (so value hashes match across engines):
+- money/double aggregation goes through decimal (order-independent), final
+  decimals cast to an explicit (38, s) so both engines agree on scale;
+- derived ratios are one double division of exact sums + round(6);
+- temporal outputs are cast to string/bigint (engine-neutral rendering);
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from apache_arrow_spark.compute import hashkernels
+from apache_arrow_spark.compute.decimalops import exact_avg, exact_sum, to_decimal
+from apache_arrow_spark.predicates import col, lit
+from apache_arrow_spark.session import load_table, load_table_with_pos
+from apache_arrow_spark.table import Table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1 pricing summary (filter + wide agg + sort).
+# Exercises: predicate pushdown into parquet scan, partial aggregation
+# (map-side combine), exact decimal summation. SURVEY §2.2/§2.4 + superset.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(CAST(sum(CAST(l_quantity      AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+      round(CAST(CAST(sum(CAST(l_quantity      AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) / count(l_quantity), 6)      AS avg_qty,
+      round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+      round(CAST(CAST(sum(CAST(l_discount      AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) / count(l_discount), 6)      AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: to_decimal(F.col(c), 18, 4)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02/q03 — the JS predicate layer (js/src/predicate.ts): eq/gteq/lteq/and/or
+# through the engine's Table + predicate DSL.
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_and",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_returnflag = 'R'
+    """,
+)
+def q02_filter_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    pred = col("l_quantity").gteq(30).and_(col("l_returnflag").eq("R"))
+    return t.filter(pred).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").df
+
+
+@register(
+    "q03_filter_or_countby",
+    """
+    SELECT l_returnflag AS values, count(*) AS counts
+    FROM lineitem
+    WHERE l_discount <= 0.02 OR l_quantity >= 49
+    GROUP BY l_returnflag
+    """,
+)
+def q03_filter_or_countby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    pred = col("l_discount").lteq(0.02).or_(col("l_quantity").gteq(49))
+    return t.filter(pred).count_by("l_returnflag").df
+
+
+@register(
+    "q04_select_project",
+    "SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag FROM lineitem",
+)
+def q04_select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    return t.select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag").df
+
+
+@register(
+    "q05_count_filtered",
+    "SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 30",
+)
+def q05_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    return t.filter(col("l_quantity").gteq(30)).count_df().df
+
+
+@register(
+    "q06_countby_returnflag",
+    "SELECT l_returnflag AS values, count(*) AS counts FROM lineitem GROUP BY l_returnflag",
+)
+def q06_countby_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Table(load_table(spark, sf_dir, "lineitem")).count_by("l_returnflag").df
+
+
+@register(
+    "q07_countby_event_type",
+    "SELECT event_type AS values, count(*) AS counts FROM events GROUP BY event_type",
+)
+def q07_countby_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Table(load_table(spark, sf_dir, "events")).count_by("event_type").df
+
+
+# --------------------------------------------------------------------------
+# q08-q10 — hash kernels (SURVEY §2.4): unique / dictionary_encode /
+# value_counts.
+# --------------------------------------------------------------------------
+@register(
+    "q08_unique_orderpriority",
+    "SELECT DISTINCT o_orderpriority AS value FROM orders",
+)
+def q08_unique_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashkernels.unique(load_table(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+@register(
+    "q09_dictionary_encode_returnflag",
+    """
+    WITH pos AS (
+      SELECT l_returnflag AS value, row_number() OVER () - 1 AS rn FROM lineitem
+    ), firsts AS (
+      SELECT value, min(rn) AS f FROM pos GROUP BY value
+    )
+    SELECT value, CAST(row_number() OVER (ORDER BY f) - 1 AS INTEGER) AS "index"
+    FROM firsts
+    """,
+)
+def q09_dictionary_encode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table_with_pos(spark, sf_dir, "lineitem")
+    return hashkernels.dictionary(df, "l_returnflag")
+
+
+@register(
+    "q10_value_counts_lang",
+    "SELECT lang AS value, count(*) AS count FROM documents GROUP BY lang",
+)
+def q10_value_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashkernels.value_counts(load_table(spark, sf_dir, "documents"), "lang")
+
+
+# --------------------------------------------------------------------------
+# q11-q15 — the cast matrix (SURVEY §2.6).
+# --------------------------------------------------------------------------
+@register(
+    "q11_cast_double_to_int",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INTEGER) AS qty_int
+    FROM lineitem
+    """,
+)
+def q11_cast_double_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import cast_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # safe cast: overflow would raise (cast.cc:218); quantities fit int32
+    return li.select(
+        "l_orderkey", "l_linenumber", cast_expr(F.col("l_quantity"), "int32").alias("qty_int")
+    )
+
+
+@register(
+    "q12_cast_timestamp_to_date",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q12_cast_timestamp_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import cast_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(cast_expr(F.col("o_orderdate"), "date32").cast("string").alias("order_day"))
+        .groupBy("order_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q13_cast_ns_to_us",
+    """
+    SELECT event_type, min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q13_cast_ns_to_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import CastOptions, time_shift
+
+    ev = load_table(spark, sf_dir, "events")  # ts is int64 nanos (nanosAsLong)
+    us = time_shift(F.col("ts"), "ns", "us", CastOptions(allow_time_truncate=True))
+    return (
+        ev.select("event_type", us.alias("ts_us"))
+        .groupBy("event_type")
+        .agg(
+            F.min("ts_us").alias("min_us"),
+            F.max("ts_us").alias("max_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q14_cast_int_widen",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region_key, CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM nation GROUP BY 1
+    """,
+)
+def q14_cast_int_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import cast_expr
+
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.select(
+            cast_expr(F.col("n_regionkey"), "int64").alias("region_key"),
+            cast_expr(F.col("n_nationkey"), "int64").alias("nk"),
+        )
+        .groupBy("region_key")
+        .agg(F.sum("nk").alias("key_sum"))
+    )
+
+
+@register(
+    "q15_cast_bool_to_int",
+    """
+    SELECT l_returnflag, CAST(sum(CAST(l_discount >= 0.05 AS INTEGER)) AS BIGINT) AS n_discounted, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q15_cast_bool_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import cast_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = cast_expr(F.col("l_discount") >= 0.05, "int32")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(flag).cast("bigint").alias("n_discounted"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — decimal ops (SURVEY §2.7, util/decimal.h): + - * % negate, rescale.
+# --------------------------------------------------------------------------
+@register(
+    "q16_decimal_ops",
+    """
+    SELECT
+      l_returnflag,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_minus,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) % 10) AS DECIMAL(18,6)) AS DOUBLE) AS sum_mod,
+      CAST(CAST(sum(-CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_neg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q16_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = to_decimal(F.col("l_extendedprice"), 18, 4)
+    disc = to_decimal(F.col("l_discount"), 18, 4)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(38,6)").cast("double").alias("sum_price"),
+        F.sum(price - disc).cast("decimal(38,6)").cast("double").alias("sum_minus"),
+        F.sum(price % F.lit(10)).cast("decimal(38,6)").cast("double").alias("sum_mod"),
+        F.sum(-disc).cast("decimal(38,6)").cast("double").alias("sum_neg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17-q21 — table surface: concat, slice, add/remove column, isnull, sort.
+# --------------------------------------------------------------------------
+@register(
+    "q17_concat_tables",
+    """
+    SELECT l_linestatus AS values, count(*) AS counts FROM (
+      SELECT * FROM lineitem WHERE l_quantity < 25
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_quantity >= 25
+    ) GROUP BY l_linestatus
+    """,
+)
+def q17_concat_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.table import concat_tables
+
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    lo = t.filter(F.col("l_quantity") < 25)
+    hi = t.filter(F.col("l_quantity") >= 25)
+    return concat_tables([lo, hi]).count_by("l_linestatus").df
+
+
+@register(
+    "q18_slice",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100)
+    """,
+)
+def q18_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "orders"))
+    return t.slice(offset=100, length=50, order_by=["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).df
+
+
+@register(
+    "q19_add_remove_column",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    """,
+)
+def q19_add_remove_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    revenue = (
+        to_decimal(F.col("l_extendedprice"), 18, 4)
+        * (F.lit(1) - to_decimal(F.col("l_discount"), 18, 4))
+    ).cast("double")
+    t = t.add_column("revenue", revenue)
+    for c in [
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ]:
+        t = t.remove_column(c)
+    return t.df
+
+
+@register(
+    "q20_isnull",
+    """
+    SELECT nullif(l_returnflag, 'N') IS NULL AS is_null, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q20_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    masked = li.select(F.expr("nullif(l_returnflag, 'N')").alias("masked"))
+    return (
+        Table(masked)
+        .is_null("masked")
+        .df.groupBy("is_null")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q21_sort_topk",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q21_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Plasma blog's distributed sort recipe (sample -> range partition ->
+    # local sort -> merge) IS Spark's orderBy; with limit it becomes TakeOrdered
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22-q24 — Spark-native capability supersets (SURVEY §2.3/§2.5: joins,
+# windows — none in the reference; exposed as engine capability).
+# --------------------------------------------------------------------------
+@register(
+    "q22_join_region_revenue",
+    """
+    SELECT r.r_name AS region,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q22_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    # lineitem⋈orders shuffles on orderkey; customer/nation/region broadcast
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q23_window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk = 1
+    """,
+)
+def q23_window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q24_tumbling_window_events",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+           count(*) AS n,
+           round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) / count(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q24_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = timestamp_from_long(F.col("ts"), "ns", CastOptions(allow_time_truncate=True))
+    return (
+        ev.select(ts.alias("ts"), "event_type", "value")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg(F.col("value")).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""SparkSession construction + testdata loading, tuned for scale.
+
+The knobs here are the 100 TB posture applied to local[N]: AQE on (runtime
+re-plan, skew-join handling, partition coalescing), generous broadcast
+threshold for star-schema dims, parquet filter pushdown, Arrow-accelerated
+pandas interchange, and ns-timestamp ingestion (the reference's timestamp[ns]
+type — Spark reads it as long nanos; compute.cast converts with the same
+truncation guard as the reference cast kernel,
+cpp/src/arrow/compute/kernels/cast.h:41 ``allow_time_truncate``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Runtime-settable SQLConfs every query needs regardless of who built the
+# session (the correctness driver builds its own).
+_RUNTIME_CONFS = {
+    # events.parquet stores timestamp[ns]; without this Spark refuses the file.
+    # Read as long nanos; unit conversion is an explicit engine cast (§2.6).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic temporal semantics for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Star-schema dims (region/nation/customer/supplier/part at bench SF)
+    # should broadcast, never shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs on an externally built session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable in this build — session default applies.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "apache-arrow-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's scale posture.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32, matching the
+    driver).  Shuffle partitions default to 2x cores locally; on a real
+    cluster AQE coalescing makes over-provisioning cheap.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet).  Always routes through
+    ``apply_runtime_confs`` so queries work on driver-built sessions too."""
+    apply_runtime_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_table_with_pos(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table plus ``__pos`` = within-file row index (hidden
+    ``_metadata.row_index``).  Gives a deterministic, fully distributed row
+    ordinal — the basis for first-appearance dictionary encoding (§2.4) and
+    slice semantics, with no driver-side collect and no
+    ``monotonically_increasing_id`` partition-order assumptions."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.select("*", "_metadata.row_index").withColumnRenamed("row_index", "__pos")
