@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is one hash-aggregate on a fingerprint — no full-text shuffle
+  (documents shuffle as 32-char digests, not bodies);
+- MinHash signatures are pure column expressions (shingle -> 64 xor-folded
+  hash "permutations" -> array_min), codegen'd, no UDF;
+- LSH banding turns the quadratic pair problem into an equi-join on
+  (band_id, band_hash) buckets, so candidate generation is a shuffle on
+  small keys; only candidates compute exact Jaccard;
+- SimHash is explode -> per-bit conditional sums -> one 64-bit key per doc
+  (map-side combinable aggregation).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from apache_arrow_spark.functions.text import fingerprint, shingles, tokens
+
+# xor-fold constants: a fixed seeded set of 64-bit masks; h_j(s) = h(s) XOR
+# R[j] is a family of bijections over int64 — the standard cheap stand-in for
+# MinHash permutations.
+_rng = random.Random(0xA44)
+XOR_MASKS = [_rng.getrandbits(63) for _ in range(64)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    Returns the deduplicated rows.  The aggregate runs over (fingerprint,
+    id) pairs only; full rows are recovered by a semi-join on the winning
+    ids — at scale the heavy columns never enter the shuffle.
+    """
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    winners = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, m0..m63) MinHash signature table.
+
+    Scalable single-pass form: explode shingles, hash each shingle ONCE,
+    then ``min(h XOR mask_j)`` for all j in one hash aggregate (map-side
+    combinable, shuffles 64 longs per doc).  A naive per-column expression
+    would recompute the shingle set per hash — 64x the work.
+    Docs with no shingles (len < k) produce no signature row.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s"))
+    hashed = sh.select("id", F.xxhash64("s").alias("h"))
+    mins = [
+        F.min(F.col("h").bitwiseXOR(F.lit(XOR_MASKS[j]))).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy("id").agg(*mins)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: signatures -> band bucket ids -> bucket equi-join (candidate
+    generation is a shuffle on (band, bucket) keys only) -> exact Jaccard
+    verification, joining the candidates (small) back to the shingle sets
+    by id.  Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    pairs = (
+        candidates.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
+    """Exact n-gram Jaccard similarity between two text columns."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    return F.round(
+        F.size(F.array_intersect(sa, sb)) / F.greatest(F.size(F.array_union(sa, sb)), F.lit(1)),
+        6,
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, per-bit signed sums,
+    reassemble.  The groupBy is map-side combinable (sums), so the shuffle
+    carries ``bits`` longs per doc, not the tokens."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(contrib, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: xor == or
+    return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit distance, via the pigeonhole trick:
+    split the 64-bit key into ``blocks`` chunks — any pair within distance
+    max_hamming (< blocks) shares at least one exact chunk, so candidate
+    generation is an equi-join on (block_id, chunk)."""
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.blk", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

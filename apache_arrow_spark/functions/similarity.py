@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline.  Dot products via
+  ``F.zip_with`` + ``F.aggregate`` — codegen'd, no UDF, linear scan that
+  parallelizes perfectly (each partition scores its rows, TakeOrdered
+  merges top-k).
+- sign-LSH (random hyperplanes): the scale path.  A d x p hyperplane
+  matrix (seeded, deterministic) turns each vector into a p-bit bucket id;
+  candidates = same bucket (or Hamming-adjacent probes), then exact rerank.
+  At 100 TB the bucket id is computed at ingest and bucketed/partitioned-by,
+  so a query touches one bucket's partitions, not the corpus.
+- embedding near-dup pairs: same LSH buckets self-joined, cosine verified.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns (sequential left-fold
+    sums — same evaluation order as the DuckDB oracle's list functions)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.  orderBy+limit
+    compiles to TakeOrdered (per-partition heap + driver merge) — no global
+    sort shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (Box-Muller over a seeded PRNG) —
+    reproducible across sessions/clusters without shipping state."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(vec . plane_j)."""
+    v = _as_double(vec)
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        acc = acc.bitwiseXOR(F.shiftleft(bit, j))
+    return acc
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_bits: int = 1,
+    seed: int = 0x5EED,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``n_probe_bits`` Hamming distance of the query's bucket (multi-probe).
+    Candidate filter is a broadcast-friendly IN over bucket ids."""
+    dim = len(query_vec)
+    hp = hyperplanes(dim, planes, seed)
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
+
+    qb = 0
+    for j, plane in enumerate(hp):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s >= 0:
+            qb |= 1 << j
+    probes = {qb}
+    if n_probe_bits >= 1:
+        probes |= {qb ^ (1 << j) for j in range(planes)}
+    if n_probe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i + 1, planes)}
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+    return (
+        bucketed.filter(F.col("__bucket").isin(*[int(p) for p in probes]))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucket
+    self-join + exact verify.  Quadratic only within buckets."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    hp = hyperplanes(dim, planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), lsh_bucket(F.col(vec_col), hp).alias("bkt")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y, (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.id") < F.col("y.id"))
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.round(cosine(_as_double(F.col("x.v")), _as_double(F.col("y.v"))), 6).alias("cos"),
+    )
+    return cand.filter(F.col("cos") >= threshold)

@@ -1,0 +1,158 @@
+"""Arrow IPC stream/file source + sink (SURVEY §2.1/§2.9).
+
+The reference wire formats (format/IPC.md:22-95):
+- *stream* (``.arrows``): Schema message, then Dictionary/RecordBatch
+  messages, length-prefixed flatbuffers (writer.h:89 / reader.h:54).
+- *file* (``.arrow``): stream + magic + footer block index for random
+  access by batch (writer.h:127, reader.cc:563, format/File.fbs:26-40).
+
+Spark-first design: a directory of IPC shards is the distributed dataset
+(same model as parquet part-files).  The sink runs ``mapInArrow`` so every
+executor writes its partition as one shard — Arrow batches never pass
+through Python row objects, and nothing funnels through the driver.  The
+source distributes the *file list* and each task reads whole shards with
+pyarrow (zero-copy mmap), again via ``mapInArrow``.
+
+Single-file mode exists for interop with external tools expecting one
+``.arrows`` file — driver-side by necessity, documented small-data-only.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _shard_pattern(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.arrow"))
+            + _glob.glob(os.path.join(path, "*.arrows"))
+        )
+    else:
+        files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no IPC files under {path}")
+    return files
+
+
+def write_ipc(df: DataFrame, path: str, format: str = "stream") -> int:
+    """Distributed IPC sink: one shard per partition under ``path``/.
+
+    Returns the number of shards written.  ``format``: 'stream' (.arrows,
+    RecordBatchStreamWriter parity) or 'file' (.arrow, RecordBatchFileWriter
+    parity — carries the random-access footer).
+    """
+    assert format in ("stream", "file")
+    os.makedirs(path, exist_ok=True)
+    ext = "arrows" if format == "stream" else "arrow"
+    run_id = uuid.uuid4().hex[:8]
+
+    def _write(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}-{run_id}.{ext}")
+        writer = None
+        rows = 0
+        for batch in batches:
+            if writer is None:
+                sink = pa.OSFile(out, "wb")
+                writer = (
+                    ipc.new_stream(sink, batch.schema)
+                    if format == "stream"
+                    else ipc.new_file(sink, batch.schema)
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        yield pa.RecordBatch.from_pydict(
+            {"path": [out if rows or writer else None], "rows": [rows]}
+        )
+
+    manifest = df.mapInArrow(_write, "path string, rows bigint").collect()
+    return sum(1 for r in manifest if r["path"] is not None)
+
+
+def read_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed IPC source: schema from the first shard's metadata
+    (driver, cheap), shard list parallelized, whole-shard reads in tasks.
+
+    Handles both wire formats and dictionary-encoded columns (dictionaries
+    are decoded to dense — the Spark representation; SURVEY §1.2 DICTIONARY).
+    """
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = _shard_pattern(path)
+
+    with open(files[0], "rb") as fh:
+        try:
+            arrow_schema = ipc.open_file(fh).schema
+        except pa.ArrowInvalid:
+            fh.seek(0)
+            arrow_schema = ipc.open_stream(fh).schema
+
+    # dictionary columns decode to their value type
+    fields = [
+        f.with_type(f.type.value_type) if pa.types.is_dictionary(f.type) else f
+        for f in arrow_schema
+    ]
+    spark_schema = from_arrow_schema(pa.schema(fields), prefer_timestamp_ntz=True)
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+
+    def _read(batches):
+        import pyarrow as pa_
+        import pyarrow.ipc as ipc_
+
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                with pa_.memory_map(p, "rb") as source:
+                    try:
+                        reader = ipc_.open_file(source)
+                        table = reader.read_all()
+                    except pa_.ArrowInvalid:
+                        with pa_.memory_map(p, "rb") as s2:
+                            table = ipc_.open_stream(s2).read_all()
+                for col in table.schema.names:
+                    if pa_.types.is_dictionary(table.schema.field(col).type):
+                        idx = table.schema.get_field_index(col)
+                        table = table.set_column(
+                            idx,
+                            table.schema.field(col).with_type(
+                                table.schema.field(col).type.value_type
+                            ),
+                            table.column(col).cast(
+                                table.schema.field(col).type.value_type
+                            ),
+                        )
+                yield from table.to_batches()
+
+    return paths_df.mapInArrow(_read, spark_schema)
+
+
+def write_ipc_single(df: DataFrame, path: str, format: str = "stream") -> None:
+    """One-file writer for interop (RecordBatchStream/FileWriter on the
+    collected table).  Driver-side — small results only."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = df.toArrow()
+    with pa.OSFile(path, "wb") as sink:
+        writer = (
+            ipc.new_stream(sink, table.schema)
+            if format == "stream"
+            else ipc.new_file(sink, table.schema)
+        )
+        writer.write_table(table)
+        writer.close()

@@ -1,0 +1,86 @@
+"""Parquet source/sink parity (SURVEY §2.1; python/pyarrow/parquet.py).
+
+- ``read_table(spark, source, columns)``   <- parquet.py:865 read_table
+  (column projection reaches the scan as ReadSchema pruning)
+- ``write_table(df, where, ...)``          <- parquet.py:936 write_table
+- ``write_to_dataset(df, root, partition_cols)`` <- parquet.py:982
+  (hive-style key=val tree == ``partitionBy``)
+- ``read_dataset(spark, root, columns)``   <- parquet.py:666 ParquetDataset
+  (partition discovery + key columns attached are Spark built-ins; the
+  reference's manifest walk parquet.py:566 is what the FileIndex does)
+
+Row-group size / compression options map to Spark writer options.  The
+reference's ``flavor='spark'`` name sanitization (parquet.py:197-249) is a
+no-op here — we ARE Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession,
+    source: str,
+    columns: Sequence[str] | None = None,
+    filters=None,
+) -> DataFrame:
+    """Read parquet with optional column projection and predicate.
+
+    ``columns`` prunes at scan (ReadSchema); ``filters`` (a Column) pushes
+    down (PushedFilters) — both visible in ``.explain("formatted")``.
+    """
+    df = spark.read.parquet(source)
+    if filters is not None:
+        df = df.filter(filters)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    where: str,
+    row_group_size: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Write a DataFrame as parquet (one file per partition — the
+    distributed form of write_table; at 100 TB a single file is a bug,
+    not a feature)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if row_group_size is not None:
+        writer = writer.option("parquet.block.size", str(row_group_size))
+    writer.parquet(where)
+
+
+def write_to_dataset(
+    df: DataFrame,
+    root_path: str,
+    partition_cols: Sequence[str],
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned tree (parquet.py:982): key=val directories,
+    partition columns removed from the leaf files."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(root_path)
+    )
+
+
+def read_dataset(
+    spark: SparkSession,
+    root_path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Discover and read a partitioned dataset; partition keys come back as
+    columns (parquet.py:393-662 ParquetDataset/ParquetPartitions)."""
+    df = spark.read.option("basePath", root_path).parquet(root_path)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -504,3 +504,314 @@ def q24_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg(F.col("value")).alias("avg_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q25/q26 — source/sink round-trips (SURVEY §2.1): partitioned parquet
+# dataset, Arrow IPC shard directory.  The query result is an aggregate
+# fingerprint of the round-tripped data, checked against the oracle over the
+# ORIGINAL table — any corruption in the write/read path breaks the match.
+# --------------------------------------------------------------------------
+@register(
+    "q25_parquet_dataset_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25_parquet_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_arrow_spark.io import read_dataset, write_to_dataset
+
+    li = load_table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="aas_q25_")
+    write_to_dataset(li, root, ["l_returnflag"])
+    back = read_dataset(spark, root)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "q26_ipc_roundtrip",
+    """
+    SELECT l_linestatus, count(*) AS n,
+           CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_checksum,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price,
+           CAST(max(l_shipdate) AS VARCHAR) AS max_shipdate
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q26_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_arrow_spark.io import read_ipc, write_ipc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="aas_q26_")
+    write_ipc(li, path, format="stream")
+    back = read_ipc(spark, path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_checksum"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.max("l_shipdate").cast("string").alias("max_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27-q32 — text-analysis operators (training-data pipeline): token stats,
+# quality scoring, language ID, fingerprinting, exact dedup, shingling.
+# All pure column expressions with 1:1 SQL twins.
+# --------------------------------------------------------------------------
+_SQL_TOKENS = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+_SQL_TOKCNT = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "q27_text_token_stats",
+    f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({_SQL_TOKCNT}) AS BIGINT) AS total_tokens,
+           round(CAST(sum({_SQL_TOKCNT}) AS DOUBLE) / count(*), 6) AS avg_tokens,
+           CAST(max({_SQL_TOKCNT}) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q27_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.sum(tc).cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.max(tc).alias("max_tokens"),
+    )
+
+
+_STOPLIST_SQL = "['and', 'das', 'der', 'des', 'die', 'el', 'es', 'est', 'et', 'for', 'in', 'is', 'la', 'las', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'para', 'pas', 'por', 'pour', 'que', 'that', 'the', 'to', 'und', 'von', 'y']"
+
+
+@register(
+    "q28_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_TOKCNT} AS tok,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+             len(list_filter({_SQL_TOKENS}, t -> list_contains({_STOPLIST_SQL}, t))) AS stop_cnt,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
+      FROM documents
+    )
+    SELECT doc_id, CAST(tok AS BIGINT) AS token_cnt, CAST(punct AS BIGINT) AS punct_cnt,
+           round(CAST(stop_cnt AS DOUBLE) / greatest(tok, 1), 6) AS stop_ratio,
+           round(CAST(nospace AS DOUBLE) / greatest(tok, 1), 6) AS mean_word_len
+    FROM t
+    """,
+)
+def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("token_cnt"),
+        X.punct_count(F.col("text")).alias("punct_cnt"),
+        X.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        X.mean_word_length(F.col("text")).alias("mean_word_len"),
+    )
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"len(list_filter({_SQL_TOKENS}, t -> list_contains({ws}, t))) AS s_{lang}"
+    for lang, ws in [
+        ("en", "['the','and','of','to','in','is','that','for']"),
+        ("de", "['der','und','die','das','ist','nicht','von','mit']"),
+        ("fr", "['le','la','et','les','des','est','pas','pour']"),
+        ("es", "['el','los','las','es','y','que','por','para']"),
+    ]
+)
+
+
+@register(
+    "q29_lang_id",
+    f"""
+    WITH s AS (
+      SELECT lang, regexp_matches(text, '[一-鿿]') AS cjk, {_LANG_SCORES_SQL}
+      FROM documents
+    )
+    SELECT lang, CASE
+        WHEN cjk THEN 'zh'
+        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        ELSE 'es' END AS pred,
+      count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", lang_id(F.col("text")).alias("pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q30_fingerprint",
+    f"""
+    SELECT lang, count(*) AS n_docs, count(DISTINCT md5({_SQL_NORM})) AS n_fingerprints
+    FROM documents GROUP BY lang
+    """,
+)
+def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_fingerprints"),
+    )
+
+
+@register(
+    "q31_dedup_exact",
+    f"""
+    SELECT count(*) AS n_after, CAST(sum(mid) AS BIGINT) AS id_checksum FROM (
+      SELECT min(doc_id) AS mid FROM documents GROUP BY md5({_SQL_NORM})
+    )
+    """,
+)
+def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(d, "text", "doc_id")
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_after"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+@register(
+    "q32_shingle_stats",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN length({_SQL_NORM}) < 5 THEN 0
+                  ELSE len(list_distinct(list_transform(
+                         range(1, length({_SQL_NORM}) - 3),
+                         i -> substr({_SQL_NORM}, i, 5)))) END AS n_shingles
+      FROM documents
+    )
+    SELECT lang, CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(max(n_shingles) AS BIGINT) AS max_shingles
+    FROM s GROUP BY lang
+    """,
+)
+def q32_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    n_sh = F.size(shingles(F.col("text"), 5)).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.sum(n_sh).alias("total_shingles"), F.max(n_sh).alias("max_shingles")
+    )
+
+
+# --------------------------------------------------------------------------
+# q33/q34 — MinHash-LSH and SimHash near-dup (rows-only: the LSH recipes are
+# not reasonably SQL-expressible; exact-Jaccard verification of their output
+# is covered in tests/test_dedup.py against a brute-force small-N oracle).
+# --------------------------------------------------------------------------
+@register("q33_minhash_near_duplicates")
+def q33_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, jaccard_threshold=0.5)
+
+
+@register("q34_simhash_near_duplicates")
+def q34_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.dedup import simhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q35-q38 — similarity search over embeddings.
+# --------------------------------------------------------------------------
+@register(
+    "q35_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM embeddings, q
+    )
+    SELECT vec_id, round(c, 6) AS sim FROM s ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+)
+def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(e, [float(x) for x in qv], k=20)
+
+
+@register("q36_ann_lsh_topk")
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.similarity import ann_topk_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk_lsh(e, [float(x) for x in qv], k=20, planes=10, n_probe_bits=2)
+
+
+@register("q37_embedding_near_duplicates")
+def q37_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.similarity import embedding_near_duplicates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.9, planes=8)
+
+
+@register(
+    "q38_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           16 AS n_feat,
+           round(1.0, 4) AS feat_sum
+    FROM documents
+    """,
+)
+def q38_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.multimodal import attach_fake_media, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("features").alias("n_feat"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum"),
+    )

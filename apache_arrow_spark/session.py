@@ -12,6 +12,7 @@ cpp/src/arrow/compute/kernels/cast.h:41 ``allow_time_truncate``).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,7 +55,40 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-runtime-settable in this build — session default applies.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``apache_arrow_spark`` importable on executor Python workers.
+
+    Pandas-UDF closures pickle module functions *by reference*; a worker
+    whose PYTHONPATH lacks the repo (e.g. the correctness driver running
+    from another cwd) would fail to unpickle.  Ship the package once per
+    session via ``addPyFile`` — the cluster-correct mechanism (works the
+    same on a 1000-executor deployment).
+    """
+    if getattr(spark, "_aas_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"apache_arrow_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. spark-connect sessions; local imports still work there
+    spark._aas_shipped = True
 
 
 def get_spark(

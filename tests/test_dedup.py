@@ -1,0 +1,96 @@
+"""Dedup operators: exact, MinHash-LSH (vs brute-force Jaccard oracle),
+SimHash pigeonhole completeness."""
+
+import itertools
+
+import pyspark.sql.functions as F
+
+from apache_arrow_spark.functions.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # near-dup of 0
+    (2, "completely different content about machine learning and neural networks"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "another unrelated document mentioning databases and distributed systems"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 1, 2, 4]  # 3 deduped into 0
+
+
+def test_minhash_finds_near_duplicates(spark):
+    pairs = minhash_near_duplicates(_docs(spark), jaccard_threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got  # exact dup always collides
+    assert (0, 1) in got or (1, 3) in got  # near-dup found
+    assert all(p[0] < p[1] for p in got)
+
+
+def test_minhash_jaccard_matches_bruteforce(spark):
+    """Verified jaccard values equal the exact python computation."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(_docs(spark), jaccard_threshold=0.0).collect()
+    }
+
+    def sh(t, k=5):
+        t = " ".join(t.lower().split())
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    for (a, b), j in pairs.items():
+        sa, sb = sh(DOCS[a][1]), sh(DOCS[b][1])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(j - round(exact, 6)) < 1e-9, (a, b)
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=64).collect()
+    by_id = {r["id"]: [r[f"m{j}"] for j in range(64)] for r in sig}
+    agree = sum(x == y for x, y in zip(by_id[0], by_id[1])) / 64
+    assert agree > 0.5  # near-dups agree on most minima
+    agree_far = sum(x == y for x, y in zip(by_id[0], by_id[2])) / 64
+    assert agree_far < 0.3
+
+
+def test_ngram_jaccard_column(spark):
+    df = spark.createDataFrame([("abcde", "abcde"), ("abcde", "vwxyz")], "a string, b string")
+    vals = [r["j"] for r in df.select(ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert h[0] == h[3]  # identical docs -> identical hash
+    assert h[0] != h[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_simhash_near_duplicates_pigeonhole(spark):
+    pairs = simhash_near_duplicates(_docs(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 3)] == 0
+    # pigeonhole guarantee: every pair within max_hamming MUST be found
+    h = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    for a, b in itertools.combinations(sorted(h), 2):
+        d = bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            assert (a, b) in got, (a, b, d)

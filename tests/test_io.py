@@ -1,0 +1,138 @@
+"""IO parity (SURVEY §2.1): parquet round-trips, partitioned datasets,
+Arrow IPC stream/file shards, feather, ORC, pandas bridge."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.io import (
+    from_arrow,
+    from_pandas,
+    read_dataset,
+    read_feather,
+    read_ipc,
+    read_orc,
+    read_table,
+    to_pandas,
+    write_feather,
+    write_ipc,
+    write_ipc_single,
+    write_orc,
+    write_table,
+    write_to_dataset,
+)
+
+
+@pytest.fixture()
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_parquet_roundtrip(spark, li, tmp_path):
+    dest = str(tmp_path / "li_out")
+    write_table(li, dest)
+    back = read_table(spark, dest)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+
+
+def test_parquet_column_projection(spark, li, tmp_path):
+    dest = str(tmp_path / "li_proj")
+    write_table(li, dest)
+    back = read_table(spark, dest, columns=["l_orderkey", "l_quantity"])
+    assert back.columns == ["l_orderkey", "l_quantity"]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "l_extendedprice" not in plan  # pruning reached the scan
+
+
+def test_write_to_dataset_hive_layout(spark, li, tmp_path):
+    root = str(tmp_path / "ds")
+    write_to_dataset(li, root, ["l_returnflag"])
+    subdirs = {d for d in os.listdir(root) if d.startswith("l_returnflag=")}
+    assert subdirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    back = read_dataset(spark, root)
+    assert back.count() == li.count()
+    # partition pruning on the key
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+@pytest.mark.parametrize("fmt", ["stream", "file"])
+def test_ipc_shard_roundtrip(spark, li, tmp_path, fmt):
+    path = str(tmp_path / f"ipc_{fmt}")
+    n = write_ipc(li.repartition(4), path, format=fmt)
+    assert n == 4
+    back = read_ipc(spark, path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    # value-level spot check
+    a = li.agg(F.sum("l_orderkey")).collect()[0][0]
+    b = back.agg(F.sum("l_orderkey")).collect()[0][0]
+    assert a == b
+
+
+def test_ipc_single_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], "id long, s string")
+    f = str(tmp_path / "one.arrows")
+    write_ipc_single(df, f, format="stream")
+    back = read_ipc(spark, f)
+    assert back.count() == 100
+
+
+def test_ipc_dictionary_decode(spark, tmp_path):
+    # dictionary-encoded IPC input decodes to dense values (SURVEY §1.2)
+    tbl = pa.table({"k": pa.array(["a", "b", "a"]).dictionary_encode(), "v": [1, 2, 3]})
+    import pyarrow.ipc as ipc
+
+    f = str(tmp_path / "dict.arrows")
+    with pa.OSFile(f, "wb") as sink:
+        w = ipc.new_stream(sink, tbl.schema)
+        w.write_table(tbl)
+        w.close()
+    back = read_ipc(spark, f)
+    assert back.schema.simpleString() == "struct<k:string,v:bigint>"
+    assert {r["k"] for r in back.collect()} == {"a", "b"}
+
+
+def test_feather_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    f = str(tmp_path / "t.feather")
+    write_feather(df, f)
+    back = read_feather(spark, f, columns=["id"])
+    assert back.columns == ["id"]
+    assert back.count() == 2
+
+
+def test_orc_roundtrip(spark, li, tmp_path):
+    dest = str(tmp_path / "orc")
+    write_orc(li.limit(100), dest)
+    back = read_orc(spark, dest, columns=["l_orderkey", "l_partkey"])
+    assert back.count() == 100
+    assert back.columns == ["l_orderkey", "l_partkey"]
+
+
+def test_pandas_bridge_index_preservation(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}, index=pd.Index([10, 20, 30], name="rowid"))
+    sdf = from_pandas(spark, pdf, preserve_index=True)
+    back = to_pandas(sdf).sort_values("a")
+    assert back.index.name == "rowid"
+    assert list(back.index) == [10, 20, 30]
+
+
+def test_from_arrow_uint_widening(spark):
+    tbl = pa.table(
+        {
+            "u8": pa.array([0, 255], pa.uint8()),
+            "u64": pa.array([2**63 + 10, 1], pa.uint64()),
+            "s": ["a", "b"],
+        }
+    )
+    sdf = from_arrow(spark, tbl)
+    assert sdf.schema["u8"].dataType.simpleString() == "smallint"
+    assert sdf.schema["u64"].dataType.simpleString() == "decimal(20,0)"
+    assert sdf.schema["u8"].metadata["arrow"]["type"] == "uint8"
+    vals = {int(r["u64"]) for r in sdf.collect()}
+    assert vals == {2**63 + 10, 1}

@@ -1,0 +1,62 @@
+"""Text-analysis operators: token/quality/lang/fingerprint/shingles."""
+
+import pyspark.sql.functions as F
+
+from apache_arrow_spark.functions import text as X
+
+
+def _col(spark, value, expr):
+    df = spark.createDataFrame([(value,)], "text string")
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_token_count(spark):
+    assert _col(spark, "a b  c", X.token_count(F.col("text"))) == 3
+    assert _col(spark, "   ", X.token_count(F.col("text"))) == 0
+    assert _col(spark, "", X.token_count(F.col("text"))) == 0
+
+
+def test_punct_ratio(spark):
+    assert _col(spark, "a,b.c", X.punct_count(F.col("text"))) == 2
+    assert _col(spark, "abcd", X.punct_ratio(F.col("text"))) == 0.0
+
+
+def test_stopword_ratio(spark):
+    v = _col(spark, "the cat and the dog", X.stopword_ratio(F.col("text")))
+    assert abs(v - 3 / 5) < 1e-9
+
+
+def test_mean_word_length(spark):
+    assert _col(spark, "ab abcd", X.mean_word_length(F.col("text"))) == 3.0
+
+
+def test_lang_id(spark):
+    assert _col(spark, "the cat and the dog is here", X.lang_id(F.col("text"))) == "en"
+    assert _col(spark, "der hund und die katze", X.lang_id(F.col("text"))) == "de"
+    assert _col(spark, "le chat et la maison", X.lang_id(F.col("text"))) == "fr"
+    assert _col(spark, "el perro y los gatos", X.lang_id(F.col("text"))) == "es"
+    assert _col(spark, "你好 世界", X.lang_id(F.col("text"))) == "zh"
+    assert _col(spark, "zzz qqq", X.lang_id(F.col("text"))) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _col(spark, "  Hello   World ", X.fingerprint(F.col("text")))
+    b = _col(spark, "hello world", X.fingerprint(F.col("text")))
+    assert a == b and len(a) == 32
+
+
+def test_shingles(spark):
+    got = _col(spark, "abcdef", X.shingles(F.col("text"), 3))
+    assert got == ["abc", "bcd", "cde", "def"]
+    assert _col(spark, "ab", X.shingles(F.col("text"), 3)) == []
+    # distinct
+    got = _col(spark, "aaaa", X.shingles(F.col("text"), 2))
+    assert got == ["aa"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(X.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
