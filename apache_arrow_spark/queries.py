@@ -815,3 +815,67 @@ def q38_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("n_feat"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q39/q40 — Structured Streaming (SURVEY §2.9): the replayed events stream
+# must produce batch-identical results.  q39 actually RUNS a streaming query
+# (availableNow -> memory sink); its oracle is the plain batch SQL — the
+# strongest form of stream/batch equivalence checking.
+# --------------------------------------------------------------------------
+@register(
+    "q39_streaming_tumbling_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q39_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_to_memory_sink,
+        tumbling_window_counts,
+    )
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    stream = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    windowed = tumbling_window_counts(stream, window="1 hour", watermark="2 hours")
+    got = run_to_memory_sink(windowed, spark, output_mode="complete")
+    return got.select(
+        F.col("window_start").cast("string").alias("hour_start"), "event_type", "n"
+    )
+
+
+@register(
+    "q40_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q40_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.streaming import replay_table_stream, run_to_memory_sink, session_windows
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    stream = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    sess = session_windows(stream, gap="10 minutes", key="user_id", watermark="2 hours")
+    got = run_to_memory_sink(sess, spark, output_mode="complete")
+    return got.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.col("n_events"),
+    )

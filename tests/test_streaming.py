@@ -1,0 +1,64 @@
+"""Streaming (SURVEY §2.9): IPC file-drop source, windowed aggregations,
+batch-equivalence of streaming results."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.io import write_ipc
+from apache_arrow_spark.streaming import (
+    read_ipc_stream,
+    replay_table_stream,
+    run_to_memory_sink,
+    session_windows,
+    tumbling_window_counts,
+)
+from apache_arrow_spark.streaming.ops import with_event_time
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    from apache_arrow_spark.session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_ipc_stream_source_matches_batch(spark, sf_dir, tmp_path, events):
+    """Drop lineitem as IPC shards, stream them back, counts must match."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    drop_dir = str(tmp_path / "drop")
+    write_ipc(li.repartition(3), drop_dir, format="stream")
+
+    stream = read_ipc_stream(spark, drop_dir, li.schema)
+    agg = stream.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    got = run_to_memory_sink(agg, spark, output_mode="complete")
+    expect = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    assert {r["l_returnflag"]: r["n"] for r in got.collect()} == expect
+
+
+def test_replay_events_tumbling_window_matches_batch(spark, sf_dir, events):
+    stream = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    windowed = tumbling_window_counts(stream, window="1 hour", watermark="2 hours")
+    got = run_to_memory_sink(windowed, spark, output_mode="complete")
+
+    batch = with_event_time(events)
+    expect = (
+        batch.groupBy(F.date_trunc("hour", "event_time").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    e = {(str(r["window_start"]), r["event_type"]): r["n"] for r in expect.collect()}
+    g = {(str(r["window_start"]), r["event_type"]): r["n"] for r in got.collect()}
+    assert g == e
+
+
+def test_session_windows(spark, sf_dir):
+    stream = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    sess = session_windows(stream, gap="10 minutes")
+    got = run_to_memory_sink(sess, spark, output_mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    # sessions are per-user, non-overlapping, end >= start
+    for r in rows[:20]:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
