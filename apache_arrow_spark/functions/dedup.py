@@ -29,6 +29,15 @@ _rng = random.Random(0xA44)
 XOR_MASKS = [_rng.getrandbits(63) for _ in range(64)]
 
 
+def _compute_parallelism(df: DataFrame) -> int:
+    """Partition count for compute-bound stages: cluster default parallelism
+    (executor-count aware), floor 8."""
+    try:
+        return max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    except Exception:
+        return 32
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
 
@@ -56,7 +65,18 @@ def minhash_signatures(
     would recompute the shingle set per hash — 64x the work.
     Docs with no shingles (len < k) produce no signature row.
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s"))
+    # repartition docs by id BEFORE the explode: (a) spreads the heavy
+    # shingle/hash work across all cores even when the source has few
+    # splits (single-row-group files), (b) co-locates each doc's shingles
+    # so the per-id aggregation completes map-side — the shuffle moves
+    # (id, text) rows, never the 100x larger shingle stream.  The partition
+    # count is explicit: AQE would coalesce a byte-small exchange to one
+    # partition, serializing a compute-bound stage.
+    n_part = _compute_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(
+        n_part, F.col("id")
+    )
+    sh = base.select("id", F.explode(shingles(F.col("t"), k)).alias("s"))
     hashed = sh.select("id", F.xxhash64("s").alias("h"))
     mins = [
         F.min(F.col("h").bitwiseXOR(F.lit(XOR_MASKS[j]))).alias(f"m{j}")
@@ -98,8 +118,12 @@ def minhash_near_duplicates(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
+    # persist the banded keys: the self-join would otherwise re-execute the
+    # whole signature lineage once per side.  16 longs per doc — tiny.
+    banded = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+        .persist()
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -113,8 +137,14 @@ def minhash_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    # shingle sets for exact verification: computed in parallel (explicit
+    # repartition, same rationale as the signature stage) and persisted —
+    # they're joined twice (once per pair side)
+    sh_df = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(_compute_parallelism(df), F.col("id"))
+        .select("id", shingles(F.col("t"), k).alias("sh"))
+        .persist()
     )
     pairs = (
         candidates.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -143,7 +173,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """64-bit SimHash per document: explode tokens, per-bit signed sums,
     reassemble.  The groupBy is map-side combinable (sums), so the shuffle
     carries ``bits`` longs per doc, not the tokens."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(_compute_parallelism(df), F.col("id"))  # see minhash note
+        .select("id", F.explode(tokens(F.col("txt"))).alias("t"))
+    )
     h = F.xxhash64(F.col("t"))
     bit_sums = [
         F.sum(

@@ -1,0 +1,50 @@
+"""Physical-plan inspection helpers — the engine's scale-discipline checks.
+
+Used by tests and development to assert the plan properties that matter at
+100 TB: filters pushed to the scan, projections pruned, small dims
+broadcast, whole-stage codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    if mode == "formatted":
+        return qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    return qe.executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan node(s)."""
+    s = plan_string(df, "simple")
+    return "\n".join(line.strip() for line in s.splitlines() if "PushedFilters" in line)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return fragment in pushed_filters(df)
+
+
+def read_schema(df: DataFrame) -> str:
+    s = plan_string(df, "simple")
+    return "\n".join(line.strip() for line in s.splitlines() if "ReadSchema" in line)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df, "simple")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return plan_string(df, "simple").count("Exchange ")
+
+
+def codegen_stages(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans (the ``*(N)`` node
+    prefixes in the simple plan string)."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))

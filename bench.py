@@ -29,6 +29,12 @@ HEADLINE = [
     "q22_join_region_revenue",
     "q23_window_top_order_per_customer",
     "q24_tumbling_window_events",
+    "q26_ipc_roundtrip",
+    "q28_text_quality",
+    "q31_dedup_exact",
+    "q33_minhash_near_duplicates",
+    "q35_cosine_topk",
+    "q39_streaming_tumbling_counts",
 ]
 
 

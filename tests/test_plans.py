@@ -1,0 +1,73 @@
+"""Scale discipline checks: the physical plans the engine relies on at
+100 TB must actually materialize — filters reach the scan, projections
+prune, dims broadcast, codegen covers the hot path, no driver collects in
+data paths."""
+
+import pyspark.sql.functions as F
+
+from apache_arrow_spark.plans.inspect import (
+    codegen_stages,
+    has_pushed_filter,
+    plan_string,
+    pushed_filters,
+    read_schema,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from apache_arrow_spark.queries import QUERIES
+
+
+def test_filter_pushdown_q01(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+
+
+def test_projection_pruning_q04(spark, sf_dir):
+    df = QUERIES["q04_select_project"](spark, sf_dir)
+    rs = read_schema(df)
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_broadcast_join_q22(spark, sf_dir):
+    df = QUERIES["q22_join_region_revenue"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    # dims broadcast; only the lineitem⋈orders join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_dictionary_encode_broadcasts_dictionary(spark, sf_dir):
+    from apache_arrow_spark.compute.hashkernels import dictionary_encode
+    from apache_arrow_spark.session import load_table_with_pos
+
+    df = load_table_with_pos(spark, sf_dir, "lineitem")
+    enc = dictionary_encode(df, "l_returnflag")
+    assert uses_broadcast_join(enc)
+
+
+def test_countby_single_shuffle(spark, sf_dir):
+    df = QUERIES["q06_countby_returnflag"](spark, sf_dir)
+    assert shuffle_count(df) <= 1  # partial agg map-side, one exchange
+
+
+def test_codegen_covers_kernels(spark, sf_dir):
+    # cast kernel + text ops stay inside whole-stage codegen (no Python)
+    df = QUERIES["q11_cast_double_to_int"](spark, sf_dir)
+    assert codegen_stages(df) >= 1
+    assert "BatchEvalPython" not in plan_string(df, "simple")
+    df = QUERIES["q28_text_quality"](spark, sf_dir)
+    assert "BatchEvalPython" not in plan_string(df, "simple")
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = QUERIES["q21_sort_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_minhash_no_python_in_signature_path(spark, sf_dir):
+    from apache_arrow_spark.functions.dedup import minhash_signatures
+    from apache_arrow_spark.session import load_table
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    assert "BatchEvalPython" not in plan_string(sig, "simple")
+    assert "ArrowEvalPython" not in plan_string(sig, "simple")
