@@ -113,6 +113,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def token_estimate_bpe(text: Column) -> Column:
+    """BPE-flavored token count estimate: alphabetic runs count once,
+    digits individually, punctuation individually (the dominant terms of
+    GPT-style tokenizers), scaled by ~1.3 subword factor."""
+    pieces = F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+    return F.ceil(pieces * F.lit(1.3)).cast("bigint")
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text (the MinHash input
     set).  Pure expression: substring over a generated index sequence."""

@@ -85,8 +85,8 @@ def from_arrow(spark: SparkSession, table) -> DataFrame:
             at = at.value_type
         cast_fields.append(pa.field(f.name, _physical_arrow_type(sf.dataType), f.nullable))
     table = table.cast(pa.schema(cast_fields))
-    pdf = table.to_pandas(types_mapper=pd.ArrowDtype)
-    return spark.createDataFrame(pdf, schema=target)
+    sdf = spark.createDataFrame(table)  # native Arrow ingestion (Spark 4)
+    return sdf.to(target)  # applies exact types + field metadata
 
 
 def _physical_arrow_type(st: T.DataType):

@@ -879,3 +879,142 @@ def q40_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_start")).alias("session_start_us"),
         F.col("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q41-q46 — remaining operator surface: decimal rescale matrix, custom
+# (pandas-UDF) predicates, rollup aggregation, feather/ORC round-trips,
+# BPE-ish token estimation.
+# --------------------------------------------------------------------------
+@register(
+    "q41_decimal_rescale_matrix",
+    """
+    SELECT l_linenumber,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_12_2,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_18_4,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_38_6,
+           CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS DECIMAL(9,0))) AS DOUBLE) AS s_9_0
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def q41_decimal_rescale_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rescale across precisions (util/decimal.h Rescale; FIXTURES A2):
+    # each column is the same data at a different (p, s).
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_linenumber").agg(
+        F.sum(p.cast("decimal(12,2)")).cast("double").alias("s_12_2"),
+        F.sum(p.cast("decimal(18,4)")).cast("double").alias("s_18_4"),
+        F.sum(p.cast("decimal(38,6)")).cast("double").alias("s_38_6"),
+        F.sum(p.cast("decimal(18,4)").cast("decimal(9,0)")).cast("double").alias("s_9_0"),
+    )
+
+
+@register(
+    "q42_custom_predicate",
+    """
+    SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem
+    WHERE CAST(trunc(l_quantity) AS INTEGER) % 7 = 0 AND l_quantity > 0
+    """,
+)
+def q42_custom_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's UDF-as-filter (js/src/predicate.ts:225 custom) — an
+    # Arrow-batched pandas predicate; the one deliberately-Python row path
+    from apache_arrow_spark.predicates import custom
+
+    t = Table(load_table(spark, sf_dir, "lineitem"))
+    pred = custom(
+        lambda b: (b["l_quantity"].astype(int) % 7 == 0) & (b["l_quantity"] > 0),
+        columns=["l_quantity"],
+    )
+    return t.filter(pred).df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "q43_rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q43_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum(F.col("l_extendedprice")).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "q44_feather_roundtrip",
+    """
+    SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q44_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_arrow_spark.io import read_feather, write_feather
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.mktemp(suffix=".feather", prefix="aas_q44_")
+    write_feather(c, path)
+    back = read_feather(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+        exact_sum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@register(
+    "q45_orc_roundtrip",
+    """
+    SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q45_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_arrow_spark.io import read_orc, write_orc
+
+    s = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="aas_q45_")
+    write_orc(s, path)
+    back = read_orc(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s_suppkey").alias("key_sum")
+    )
+
+
+@register(
+    "q46_bpe_token_estimate",
+    """
+    SELECT source,
+           CAST(sum(CAST(ceil(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) * 1.3) AS BIGINT)) AS BIGINT) AS est_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q46_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.functions.text import token_estimate_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(token_estimate_bpe(F.col("text"))).alias("est_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
