@@ -118,6 +118,63 @@ def ann_topk_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 0x1FF,
+    sample_fraction: float | None = None,
+):
+    """IVF coarse quantizer: k-means centroids (MLlib, seeded) + cluster
+    assignment column ``__cluster``.
+
+    Returns (assigned_df, centroids).  At corpus scale, fit on a sample
+    (``sample_fraction``) — the model is centroids only, broadcast-sized.
+    A production deployment runs this at ingest and partitions/buckets the
+    table by ``__cluster`` so probes touch only matching partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.withColumn("__features", array_to_vector(_as_double(F.col(vec_col))))
+    train = feats.sample(fraction=sample_fraction, seed=seed) if sample_fraction else feats
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__features", predictionCol="__cluster").fit(
+        train.select("__features")
+    )
+    assigned = model.transform(feats).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0x1FF,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` clusters whose
+    centroids are closest to the query, exact cosine rerank inside them."""
+    assigned, centroids = ivf_assign(df, n_clusters, vec_col, seed)
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], query_vec)),
+    )
+    probe = dists[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+    return (
+        assigned.filter(F.col("__cluster").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

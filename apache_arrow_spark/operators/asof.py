@@ -1,0 +1,92 @@
+"""As-of (time-travel) join — an operator the reference era lacks and Spark
+has no native form of; composed from a union + ordered window, the standard
+distributed formulation.
+
+For each left row (key, t), attach the right row with the same key and the
+largest right-time <= t (inclusive, matching DuckDB/pandas ``merge_asof``
+semantics with direction='backward').
+
+Scale shape: ONE shuffle (hash by key) + per-partition sort — identical cost
+to a sort-merge join, no range explosion.  Window state is a single
+carry-forward row per key, so skewed keys stream in O(1) memory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    how: str = "inner",
+    tolerance=None,
+) -> DataFrame:
+    """``left`` rows enriched with the latest ``right`` row at-or-before
+    ``left_time`` per ``on`` key.
+
+    ``how``: 'inner' drops unmatched left rows, 'left' keeps them with nulls.
+    ``tolerance``: optional Column/literal — matches older than
+    ``left_time - tolerance`` are discarded (pandas merge_asof tolerance).
+    """
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    # right rows sort before left rows at equal time -> inclusive (<=) match
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__k",
+        "__t",
+        "__side",
+        *[F.col(c) for c in lcols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__rt"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    valid = F.col("__rt").isNotNull()
+    if tolerance is not None:
+        valid = valid & (F.col("__rt") >= F.col("__t") - tolerance)
+    if how == "inner":
+        out = out.filter(valid)
+    elif how == "left":
+        # null-out stale/absent matches but keep the left row
+        out = out.select(
+            "__k",
+            "__t",
+            *lcols,
+            *[F.when(valid, F.col(c)).alias(c) for c in rcols],
+        )
+    else:
+        raise ValueError("how must be 'inner' or 'left'")
+    return out.select(
+        F.col("__k").alias(on), F.col("__t").alias(left_time), *lcols, *rcols
+    )

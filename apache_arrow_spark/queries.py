@@ -1018,3 +1018,52 @@ def q46_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_estimate_bpe(F.col("text"))).alias("est_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — as-of join (operators.asof): an operator Spark lacks natively,
+# checked against DuckDB's native ASOF JOIN.  Events match the latest order
+# at-or-before their timestamp per user.  Output is tie-invariant (ties on
+# (custkey, orderdate) share the matched date).
+# --------------------------------------------------------------------------
+@register(
+    "q47_asof_join",
+    """
+    SELECT CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS matched_day,
+           count(*) AS n_events,
+           CAST(sum(e.user_id) AS BIGINT) AS user_checksum
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
+    from apache_arrow_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        timestamp_from_long(F.col("ts"), "ns", CastOptions(allow_time_truncate=True)).alias("ev_ts"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(ev, o, on="user_id", left_time="ev_ts", right_time="o_orderdate")
+    return joined.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("matched_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("user_checksum"),
+    )
+
+
+@register("q48_ivf_ann_topk")
+def q48_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (k-means coarse quantizer + probe-and-rerank) —
+    approximate by construction, rows-only check; recall vs exact top-k is
+    asserted in tests/test_similarity.py."""
+    from apache_arrow_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(e, [float(x) for x in qv], k=20, n_clusters=16, n_probe=4)

@@ -1,0 +1,52 @@
+"""As-of join semantics vs hand-computed expectations."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.operators import asof_join
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 7, "x1")],
+        "k bigint, t bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (1, 20, 300.0), (3, 1, 999.0)],
+        "k bigint, rt bigint, price double",
+    )
+    return left, right
+
+
+def test_backward_inclusive_match(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    got = {(r["k"], r["t"]): r["price"] for r in out.collect()}
+    # t=10 -> rt=8; t=20 -> rt=20 (inclusive); t=5 -> no match; k=2 -> none
+    assert got == {(1, 10): 100.0, (1, 20): 300.0}
+
+
+def test_left_keeps_unmatched(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt", how="left")
+    got = {(r["k"], r["t"]): r["price"] for r in out.collect()}
+    assert got[(1, 5)] is None and got[(2, 7)] is None
+    assert got[(1, 10)] == 100.0
+    assert len(got) == 4
+
+
+def test_tolerance(spark, sides):
+    left, right = sides
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", tolerance=F.lit(1)
+    )
+    got = {(r["k"], r["t"]): r["price"] for r in out.collect()}
+    # t=10 matched rt=8, staleness 2 > 1 -> dropped; t=20/rt=20 staleness 0
+    assert got == {(1, 20): 300.0}
+
+
+def test_column_collision_raises(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(left.withColumnRenamed("ev", "price"), right, "k", "t", "rt")

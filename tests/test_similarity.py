@@ -69,3 +69,16 @@ def test_embedding_near_duplicates_finds_planted_pair(spark, edf):
     pairs = embedding_near_duplicates(edf, threshold=0.99, planes=6)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got
+
+
+def test_ivf_topk_recall(spark, edf, vecs):
+    from apache_arrow_spark.functions.similarity import ivf_topk
+
+    q = vecs[0]
+    exact = set(_np_topk(vecs, q, 5))
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(edf, [float(x) for x in q], k=5, n_clusters=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) >= 3
+    assert 0 in approx and 1 in approx
