@@ -1067,3 +1067,24 @@ def q48_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ivf_topk(e, [float(x) for x in qv], k=20, n_clusters=16, n_probe=4)
+
+
+@register(
+    "q49_stateful_running_totals",
+    """
+    SELECT user_id AS key, count(*) AS batch_events, count(*) AS total_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q49_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState).  Replayed as one
+    micro-batch, the running totals equal the batch aggregate — the same
+    stream/batch equivalence discipline as q39."""
+    from apache_arrow_spark.streaming import replay_table_stream
+    from apache_arrow_spark.streaming.ops import run_to_memory_sink
+    from apache_arrow_spark.streaming.stateful import running_totals
+
+    stream = replay_table_stream(spark, sf_dir, "events")
+    out = running_totals(stream, key="user_id", value="value")
+    return run_to_memory_sink(out, spark, output_mode="append")
