@@ -19,6 +19,8 @@ Single-file mode exists for interop with external tools expecting one
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import glob as _glob
 import os
 import uuid
@@ -39,20 +41,31 @@ def _shard_pattern(path: str) -> list[str]:
     return files
 
 
-def write_ipc(df: DataFrame, path: str, format: str = "stream") -> int:
+def write_ipc(
+    df: DataFrame,
+    path: str,
+    format: str = "stream",
+    dictionary_encode: Sequence[str] = (),
+) -> int:
     """Distributed IPC sink: one shard per partition under ``path``/.
 
     Returns the number of shards written.  ``format``: 'stream' (.arrows,
     RecordBatchStreamWriter parity) or 'file' (.arrow, RecordBatchFileWriter
-    parity — carries the random-access footer).
+    parity — carries the random-access footer).  ``dictionary_encode``
+    names columns to write dictionary-encoded: the writer then emits
+    DictionaryBatch messages before the RecordBatches — including deltas as
+    new values appear across batches — exactly the reference's wire
+    behavior (format/Message.fbs isDelta; ipc/writer.cc DictionaryMemo).
     """
     assert format in ("stream", "file")
     os.makedirs(path, exist_ok=True)
     ext = "arrows" if format == "stream" else "arrow"
     run_id = uuid.uuid4().hex[:8]
+    dict_cols = list(dictionary_encode)
 
     def _write(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.ipc as ipc
         from pyspark import TaskContext
 
@@ -60,13 +73,22 @@ def write_ipc(df: DataFrame, path: str, format: str = "stream") -> int:
         out = os.path.join(path, f"part-{pid:05d}-{run_id}.{ext}")
         writer = None
         rows = 0
+        opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
         for batch in batches:
+            if dict_cols:
+                arrays = [
+                    pc.dictionary_encode(batch.column(name))
+                    if name in dict_cols
+                    else batch.column(name)
+                    for name in batch.schema.names
+                ]
+                batch = pa.RecordBatch.from_arrays(arrays, names=batch.schema.names)
             if writer is None:
                 sink = pa.OSFile(out, "wb")
                 writer = (
-                    ipc.new_stream(sink, batch.schema)
+                    ipc.new_stream(sink, batch.schema, options=opts)
                     if format == "stream"
-                    else ipc.new_file(sink, batch.schema)
+                    else ipc.new_file(sink, batch.schema, options=opts)
                 )
             writer.write_batch(batch)
             rows += batch.num_rows

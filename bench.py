@@ -63,6 +63,26 @@ def main():
     # warm the JVM + file-listing caches once with the cheapest query
     QUERIES["q06_countby_returnflag"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # BASELINE.md anchor first (clean heap): Arrow-path toPandas of 2^22
+    # rows x (long, double); reference blog: 737 ms
+    # (site/_posts/2017-07-26-spark-arrow.md).
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.pandas_bridge import to_pandas
+
+    blog_df = (
+        spark.range(2**22)
+        .select(F.col("id"), (F.rand(seed=42) * 100).alias("x"))
+        .cache()
+    )
+    blog_df.count()  # materialize input before timing the transfer
+    t0 = time.time()
+    pdf = to_pandas(blog_df)  # engine egress (large-batch Arrow collect)
+    arrow_topandas = round(time.time() - t0, 3)
+    assert len(pdf) == 2**22
+    del pdf
+    blog_df.unpersist()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -78,6 +98,10 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_anchors": {
+                    "arrow_topandas_4194304_rows_sec": arrow_topandas,
+                    "reference_blog_sec": 0.737,
+                },
             }
         )
     )

@@ -136,3 +136,25 @@ def test_from_arrow_uint_widening(spark):
     assert sdf.schema["u8"].metadata["arrow"]["type"] == "uint8"
     vals = {int(r["u64"]) for r in sdf.collect()}
     assert vals == {2**63 + 10, 1}
+
+
+def test_ipc_dictionary_write_roundtrip(spark, li, tmp_path):
+    """Dictionary-encoded IPC write (DictionaryBatch messages + deltas) and
+    dense decode on read."""
+    import pyarrow.ipc as ipc
+    import pyarrow as pa
+    import glob
+
+    path = str(tmp_path / "ipc_dict")
+    write_ipc(li.repartition(2), path, format="stream", dictionary_encode=["l_returnflag"])
+    # wire-level: the shard really is dictionary-encoded
+    shard = sorted(glob.glob(f"{path}/*.arrows"))[0]
+    with pa.memory_map(shard) as src:
+        sch = ipc.open_stream(src).schema
+    assert pa.types.is_dictionary(sch.field("l_returnflag").type)
+    # engine read decodes to dense and preserves all values
+    back = read_ipc(spark, path)
+    assert back.schema["l_returnflag"].dataType.simpleString() == "string"
+    a = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    b = {r["l_returnflag"]: r["count"] for r in back.groupBy("l_returnflag").count().collect()}
+    assert a == b
