@@ -91,7 +91,8 @@ def lang_id(text: Column) -> Column:
     has_cjk = text.rlike(r"[一-鿿]")
     best = F.greatest(*scores.values())
     pred = (
-        F.when(has_cjk, F.lit("zh"))
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(has_cjk, F.lit("zh"))
         .when(best == 0, F.lit("und"))
         .when(scores["en"] == best, F.lit("en"))
         .when(scores["de"] == best, F.lit("de"))

@@ -1088,3 +1088,72 @@ def q49_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_table_stream(spark, sf_dir, "events")
     out = running_totals(stream, key="user_id", value="value")
     return run_to_memory_sink(out, spark, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# q50-q52 — semi-structured + set ops breadth.
+# --------------------------------------------------------------------------
+@register(
+    "q50_json_props",
+    """
+    SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q50_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column (events.props) — get_json_object stays
+    JVM-side; at scale prefer from_json with an explicit schema so Catalyst
+    prunes unused keys."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q51_intersect_except",
+    """
+    SELECT 'both' AS which, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS which, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q51_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("which"), "n"
+    )
+    only_f = f.subtract(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_f").alias("which"), "n"
+    )
+    return both.unionByName(only_f)
+
+
+@register(
+    "q52_multi_distinct",
+    """
+    SELECT count(DISTINCT l_returnflag) AS n_flags,
+           count(DISTINCT l_linestatus) AS n_status,
+           count(DISTINCT (l_returnflag, l_linestatus)) AS n_pairs
+    FROM lineitem
+    """,
+)
+def q52_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.countDistinct("l_linestatus").alias("n_status"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_pairs"),
+    )

@@ -1,0 +1,78 @@
+"""Edge cases a driver run can hit: empty inputs, all-null columns, k > n,
+schema mismatches."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.compute.hashkernels import dictionary, unique, value_counts
+from apache_arrow_spark.functions.dedup import exact_dedup, minhash_near_duplicates, simhash
+from apache_arrow_spark.functions.similarity import cosine_topk
+from apache_arrow_spark.functions.text import lang_id, quality_score, token_count
+from apache_arrow_spark.table import Table, concat_tables
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_empty_table_through_kernels(spark):
+    e = _empty_docs(spark)
+    assert unique(e, "text").count() == 0
+    assert value_counts(e, "text").count() == 0
+    assert exact_dedup(e).count() == 0
+    assert simhash(e).count() == 0
+    assert minhash_near_duplicates(e).count() == 0
+
+
+def test_empty_text_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "ok text here")],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        token_count(F.col("text")).alias("tc"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert [r["tc"] for r in out[:2]] == [0, 0]
+    assert out[2]["tc"] is None and out[2]["lang"] is None
+    assert out[3]["tc"] == 3
+
+
+def test_all_null_column_dictionary(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "x")], "__pos bigint, v string"
+    )
+    d = {r["value"]: r["index"] for r in dictionary(df, "v").collect()}
+    # null is a dictionary entry with first-appearance order, like the
+    # reference's null handling in DictionaryBuilder
+    assert d["x"] == 1 and None in d and d[None] == 0
+
+
+def test_topk_k_exceeds_n(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])], "vec_id bigint, embedding array<float>"
+    )
+    got = cosine_topk(df, [1.0, 0.0], k=10).collect()
+    assert len(got) == 2
+    assert got[0]["vec_id"] == 0
+
+
+def test_concat_schema_mismatch_raises(spark):
+    a = Table(spark.createDataFrame([(1,)], "x int"))
+    b = Table(spark.createDataFrame([(1,)], "y int"))
+    with pytest.raises(Exception):
+        concat_tables([a, b]).count()
+
+
+def test_slice_beyond_rowcount(spark):
+    t = Table(spark.createDataFrame([(i,) for i in range(5)], "id int"))
+    assert t.slice(offset=10, length=5, order_by=["id"]).count() == 0
+
+
+def test_minhash_short_docs_no_crash(spark):
+    # docs shorter than the shingle width produce no signature, no pairs
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "abcdefghij")], "doc_id bigint, text string"
+    )
+    assert minhash_near_duplicates(df, jaccard_threshold=0.1).count() == 0

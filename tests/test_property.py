@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) — the engine's analog of the
+reference's fuzzing layer (SURVEY §5, ipc-fuzzing-test.cc).
+
+Spark-free properties run under hypothesis at full example counts; anything
+touching the JVM uses a handful of deterministic seeds instead (a Spark job
+per example would be minutes, not milliseconds).
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from apache_arrow_spark.types import (
+    arrow_to_spark_type,
+    roundtrip_lossless,
+    spark_to_arrow_type,
+)
+
+# -- strategy over the arrow type families the mapping supports ------------
+
+primitive_types = st.sampled_from(
+    [
+        pa.null(), pa.bool_(),
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+        pa.float16(), pa.float32(), pa.float64(),
+        pa.string(), pa.binary(), pa.date32(), pa.date64(),
+        pa.time32("s"), pa.time32("ms"), pa.time64("us"), pa.time64("ns"),
+    ]
+)
+timestamp_types = st.builds(
+    pa.timestamp,
+    st.sampled_from(["s", "ms", "us", "ns"]),
+    tz=st.sampled_from([None, "UTC", "US/Eastern", "Europe/Paris"]),
+)
+decimal_types = st.builds(
+    pa.decimal128,
+    st.integers(min_value=1, max_value=38),
+    st.integers(min_value=0, max_value=10),
+)
+fixed_binary = st.builds(pa.binary, st.integers(min_value=1, max_value=128))
+
+flat_types = st.one_of(primitive_types, timestamp_types, decimal_types, fixed_binary)
+
+
+def nested(children):
+    return st.one_of(
+        st.builds(pa.list_, children),
+        st.builds(
+            lambda a, b: pa.struct([pa.field("f0", a), pa.field("f1", b)]),
+            children,
+            children,
+        ),
+    )
+
+
+arrow_types = st.recursive(flat_types, nested, max_leaves=4)
+
+
+@given(arrow_types)
+@settings(max_examples=300, deadline=None)
+def test_every_supported_type_maps(at):
+    """arrow -> spark never crashes and always yields a Spark type."""
+    st_, meta = arrow_to_spark_type(at)
+    assert st_ is not None
+
+
+@given(arrow_types)
+@settings(max_examples=300, deadline=None)
+def test_metadata_roundtrip_is_exact(at):
+    """arrow -> spark(+meta) -> arrow is the identity for every type whose
+    scale/unit/width the metadata records (decimal precision>=1, etc.)."""
+    if isinstance(at, pa.Decimal128Type) and at.precision < 1:
+        return
+    assert roundtrip_lossless(at), at
+
+
+@given(st.sampled_from([pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()]))
+@settings(max_examples=20, deadline=None)
+def test_uint_widening_is_strict(at):
+    """Every unsigned type widens (never same-width signed reinterpret)."""
+    st_, meta = arrow_to_spark_type(at)
+    back = spark_to_arrow_type(st_, meta)
+    assert back == at
+    assert meta["type"] == str(at)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=40)), min_size=0, max_size=50
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jaccard_python_model(xs):
+    """Pure-python model of the shingle pipeline: normalization is
+    idempotent and shingle sets are order-insensitive under it."""
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def sh(t, k=5):
+        t = norm(t)
+        return {t[i : i + k] for i in range(max(len(t) - k + 1, 0))}
+
+    for t in xs:
+        if t is None:
+            continue
+        assert norm(norm(t)) == norm(t)
+        assert sh(t) == sh(norm(t))
