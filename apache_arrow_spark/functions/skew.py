@@ -1,0 +1,58 @@
+"""Skew-handling: salted two-stage aggregation.
+
+At 100 TB a groupBy on a power-law key (user id, domain, language) puts one
+key's entire volume through one reducer.  Salting splits each key into
+``n_salts`` shards for the partial aggregate, then combines shards — the
+hot key's work spreads across ``n_salts`` tasks and the final stage only
+sees #keys x n_salts pre-aggregated rows.
+
+(For joins, AQE's skew-join splitting — enabled in session confs — covers
+the equivalent problem; this module is for aggregations, which AQE does not
+re-balance.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+# combinable aggregates: (partial expr builder, final expr builder)
+_COMBINERS = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs``: output_name -> (fn, column) with fn in sum/count/min/max
+    (the decomposable aggregates; avg = sum/count composed by the caller).
+
+    Example::
+
+        salted_agg(li, ["l_returnflag"],
+                   {"n": ("count", "*"), "qty": ("sum", "l_quantity")})
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _COMBINERS:
+            raise ValueError(f"{fn} is not decomposable; use sum/count/min/max")
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    partial_exprs = [
+        _COMBINERS[fn][0](F.lit(1) if col == "*" else F.col(col)).alias(f"__p_{name}")
+        for name, (fn, col) in aggs.items()
+    ]
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+    final_exprs = [
+        _COMBINERS[fn][1](F.col(f"__p_{name}")).alias(name)
+        for name, (fn, _col) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -1157,3 +1157,28 @@ def q52_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_linestatus").alias("n_status"),
         F.countDistinct("l_returnflag", "l_linestatus").alias("n_pairs"),
     )
+
+
+@register(
+    "q53_salted_skew_agg",
+    """
+    SELECT l_suppkey, count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q53_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (functions.skew.salted_agg): shards
+    each key across n_salts partial aggregates, combines exactly.  The
+    result is salt-invariant, so the plain GROUP BY is the oracle."""
+    from apache_arrow_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__qdec", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        li, ["l_suppkey"], {"n": ("count", "*"), "__qsum": ("sum", "__qdec")}, n_salts=16
+    )
+    return out.select(
+        "l_suppkey", "n", F.col("__qsum").cast("decimal(38,6)").cast("double").alias("qty")
+    )

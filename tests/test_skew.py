@@ -1,0 +1,43 @@
+"""Salted two-stage aggregation: results identical to plain groupBy."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.functions.skew import salted_agg
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["n"], r["qty"], r["mx"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", "*"), "qty": ("sum", "l_quantity"), "mx": ("max", "l_extendedprice")},
+        ).collect()
+    }
+    exp = {
+        r["l_returnflag"]: (r["n"], r["qty"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_agg_two_shuffles(spark, sf_dir):
+    from apache_arrow_spark.plans.inspect import shuffle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = salted_agg(li, ["l_returnflag"], {"n": ("count", "*")}, n_salts=8)
+    assert shuffle_count(out) == 2  # (key, salt) stage + key stage
+
+
+def test_non_decomposable_rejected(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"a": ("avg", "l_quantity")})
