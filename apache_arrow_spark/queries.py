@@ -1182,3 +1182,63 @@ def q53_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_suppkey", "n", F.col("__qsum").cast("decimal(38,6)").cast("double").alias("qty")
     )
+
+
+@register(
+    "q54_time_of_day",
+    """
+    SELECT event_type,
+           CAST(min(epoch_us(ts) % 86400000000) AS BIGINT) AS min_tod_us,
+           CAST(max(epoch_us(ts) % 86400000000) AS BIGINT) AS max_tod_us,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q54_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time64[us] extraction (SURVEY §1.2: Spark has no TimeType — int64 +
+    unit metadata is the reference's own physical representation)."""
+    from apache_arrow_spark.compute.cast import CastOptions, time_shift
+
+    ev = load_table(spark, sf_dir, "events")
+    us = time_shift(F.col("ts"), "ns", "us", CastOptions(allow_time_truncate=True))
+    tod = F.pmod(us, F.lit(86_400_000_000))
+    return ev.select("event_type", tod.alias("tod")).groupBy("event_type").agg(
+        F.min("tod").alias("min_tod_us"),
+        F.max("tod").alias("max_tod_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q55_grouped_map_normalize",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag))
+                   / stddev_samp(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS z
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(abs(z) AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_abs_z,
+           count(*) AS n
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def q55_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (§2.10 superset): per-group z-normalization in
+    an Arrow-batched applyInPandas, aggregated with the usual
+    round-then-decimal discipline so UDF float noise can't break hashes."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"]
+        z = (v - v.mean()) / v.std()  # pandas std = sample std (ddof=1)
+        return pd.DataFrame({"l_returnflag": pdf["l_returnflag"], "z": z.round(6)})
+
+    z = li.groupBy("l_returnflag").applyInPandas(normalize, "l_returnflag string, z double")
+    return z.groupBy("l_returnflag").agg(
+        F.sum(F.abs(F.col("z")).cast("decimal(12,6)")).cast("decimal(18,6)").cast("double").alias("sum_abs_z"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -137,11 +137,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_table_with_pos(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a table plus ``__pos`` = within-file row index (hidden
-    ``_metadata.row_index``).  Gives a deterministic, fully distributed row
-    ordinal — the basis for first-appearance dictionary encoding (§2.4) and
-    slice semantics, with no driver-side collect and no
-    ``monotonically_increasing_id`` partition-order assumptions."""
+    """Read a table plus ``__pos`` = (file_path, within-file row index) —
+    a deterministic, fully distributed row ordinal (lexicographic over the
+    struct).  Basis for first-appearance dictionary encoding (§2.4) and
+    slice semantics: no driver-side collect, no
+    ``monotonically_increasing_id`` partition-order assumptions, and robust
+    to multi-file tables (file path disambiguates across files)."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return df.select("*", "_metadata.row_index").withColumnRenamed("row_index", "__pos")
+    import pyspark.sql.functions as F
+
+    return df.select(
+        "*",
+        F.struct(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.row_index").alias("i"),
+        ).alias("__pos"),
+    )
