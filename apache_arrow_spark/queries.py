@@ -1242,3 +1242,44 @@ def q55_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("z")).cast("decimal(12,6)")).cast("decimal(18,6)").cast("double").alias("sum_abs_z"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q56_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q56_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    quantile_cont).  Spark's exact `percentile` sorts per group; for
+    approximate-at-scale use approx_percentile instead (not oracle-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("price_p99"),
+    )
+
+
+@register(
+    "q57_corr_stddev",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(stddev_samp(l_discount), 6) AS disc_sd,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q57_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
