@@ -106,14 +106,10 @@ def minhash_near_duplicates(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
+            # multi-arg xxhash64 over the band's raw longs — no casts, no
+            # string concat; a far smaller codegen'd expression tree
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{j}").cast("string")
-                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
+                *[F.col(f"m{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -127,6 +123,8 @@ def minhash_near_duplicates(
     )
 
     a, b = banded.alias("a"), banded.alias("b")
+    # candidates are persisted: they feed the semi-join that scopes shingle
+    # computation AND both sides of the verify join — tiny (two longs/pair)
     candidates = (
         a.join(
             b,
@@ -136,12 +134,21 @@ def minhash_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
-    # shingle sets for exact verification: computed in parallel (explicit
-    # repartition, same rationale as the signature stage) and persisted —
-    # they're joined twice (once per pair side)
+    # shingle sets for exact verification — computed ONLY for docs that
+    # appear in a candidate pair (left-semi on the candidate id set).  At
+    # corpus scale the candidate set is orders of magnitude smaller than the
+    # corpus, so the expensive shingle materialization never touches
+    # non-candidate documents.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sh_df = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .join(cand_ids, on="id", how="left_semi")
         .repartition(_compute_parallelism(df), F.col("id"))
         .select("id", shingles(F.col("t"), k).alias("sh"))
         .persist()
