@@ -1,0 +1,77 @@
+"""Mergeable sketches for 100 TB cardinality work.
+
+Exact COUNT(DISTINCT) is the classic scale killer: it shuffles every
+distinct key.  A Datasketches HLL sketch is a few KB of mergeable state —
+per-partition sketches combine associatively, so distinct-cardinality
+becomes an ordinary partial aggregation (map-side combine, tiny shuffle),
+and PRE-AGGREGATED sketches (per day, per source file) can be unioned later
+to answer any coarser rollup without touching raw data — the same algebra
+as operators/rollup.py, extended to the non-additive "distinct" metric.
+
+The reference has nothing like this (its only cardinality machinery is the
+exact Unique hash kernel, cpp/src/arrow/compute/kernels/hash.h:36); these
+wrap Spark's built-in Datasketches HLL expressions (JVM-side, codegen'd).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def distinct_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    lgk: int = 14,
+) -> DataFrame:
+    """Per-group HLL sketch of ``key_col``'s distinct set.  lgk=14 → ~16 KB
+    max per sketch, relative error ~0.8%.  Output: *group_cols, sketch
+    (binary) — a materializable, mergeable summary table."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def merge_distinct(
+    sketches: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Union pre-aggregated sketches up to a coarser grouping and estimate.
+    Output: *group_cols, approx_distinct (bigint)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("approx_distinct")
+    )
+
+
+def distinct_within_tolerance(
+    df: DataFrame,
+    key_col: str,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    rel_tol: float = 0.05,
+    lgk: int = 14,
+) -> DataFrame:
+    """Sketch at a fine grouping, merge to a coarse one, and check the
+    estimate against the exact distinct count computed independently.
+
+    Returns *coarse_cols, exact_distinct, within_tol (boolean) — the form a
+    correctness oracle can verify: the exact count must match and the
+    estimate must sit inside ``rel_tol`` of it.  (At sf0.01 cardinalities
+    are far below 2^lgk, where the HLL operates in exact mode, so
+    within_tol is deterministically true — the tolerance is the contract
+    for corpus scale.)
+    """
+    est = merge_distinct(distinct_sketches(df, key_col, fine_cols, lgk), coarse_cols)
+    exact = df.groupBy(*coarse_cols).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    err = F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+    return (
+        exact.join(est, on=coarse_cols)
+        .select(
+            *coarse_cols,
+            "exact_distinct",
+            (err <= F.col("exact_distinct") * F.lit(rel_tol)).alias("within_tol"),
+        )
+    )

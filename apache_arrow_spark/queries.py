@@ -1283,3 +1283,127 @@ def q57_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("disc_sd"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q58-q61 — scale-pattern operators the reference lacks: bucketed range
+# join, hypertable-style hierarchical rollup, mergeable HLL sketches,
+# broadcast band join.  Each demonstrates the physical strategy that keeps
+# the op viable at corpus scale (see module docstrings).
+# --------------------------------------------------------------------------
+@register(
+    "q58_time_tolerance_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 900000000
+    """,
+)
+def q58_time_tolerance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same-user event pairs within 15 min — bucketized range join (one
+    # equi-join shuffle on (user, time_bucket), never a per-user cross
+    # product; operators/range_join.py)
+    from apache_arrow_spark.operators.range_join import time_tolerance_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_us = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return time_tolerance_pairs(
+        ev_us, ts_col="ts_us", id_col="event_id", key_col="user_id",
+        tolerance_us=900_000_000,
+    )
+
+
+@register(
+    "q59_hypertable_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day_start, event_type,
+           count(*) AS n, min(value) AS mn, max(value) AS mx,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
+           round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q59_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily metrics derived from HOURLY mergeable partials (never rescanning
+    # raw events) — the continuous-aggregate algebra of operators/rollup.py;
+    # the oracle computes the same numbers directly from raw rows, proving
+    # the two-level merge is lossless
+    from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
+    from apache_arrow_spark.operators.rollup import (
+        continuous_aggregate,
+        finalize,
+        rollup_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = timestamp_from_long(F.col("ts"), "ns", CastOptions(allow_time_truncate=True))
+    raw = ev.select(ts.alias("ts"), "event_type", "value")
+    hourly = continuous_aggregate(raw, "ts", "hour", ["event_type"], "value")
+    daily = finalize(rollup_partials(hourly, "day", ["event_type"]))
+    return daily.select(
+        # day-granularity buckets render as dates (DuckDB date_trunc('day')
+        # returns DATE; match that)
+        F.col("bucket_start").cast("date").cast("string").alias("day_start"),
+        "event_type", "n", "mn", "mx", "sum_value", "avg_value",
+    )
+
+
+@register(
+    "q60_hll_distinct_rollup",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q60_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct users per event type, answered by UNIONING per-day HLL
+    # sketches (functions/sketches.py) — the mergeable-state path that
+    # replaces the full distinct shuffle at corpus scale; the oracle pins
+    # the exact count and the estimate must sit within 5%
+    from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
+    from apache_arrow_spark.functions.sketches import distinct_within_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = timestamp_from_long(F.col("ts"), "ns", CastOptions(allow_time_truncate=True))
+    fine = ev.select(
+        F.date_trunc("day", ts).alias("day"), "event_type", "user_id"
+    )
+    return distinct_within_tolerance(
+        fine, key_col="user_id", fine_cols=["event_type", "day"],
+        coarse_cols=["event_type"], rel_tol=0.05,
+    )
+
+
+@register(
+    "q61_price_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 900.0, 950.0), ('mid', 950.0, 980.0), ('high', 980.0, 1000.0)
+    )
+    SELECT band, count(*) AS n,
+           CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def q61_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-interval dimension banding: the band table is broadcast and
+    # the range predicate evaluates map-side — the fact table never
+    # shuffles (operators/range_join.band_join)
+    from apache_arrow_spark.operators.range_join import band_join
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 950.0), ("mid", 950.0, 980.0), ("high", 980.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = band_join(part, bands, "p_retailprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("p_retailprice")).alias("sum_price"),
+    )

@@ -35,6 +35,9 @@ HEADLINE = [
     "q33_minhash_near_duplicates",
     "q35_cosine_topk",
     "q39_streaming_tumbling_counts",
+    "q58_time_tolerance_pairs",
+    "q59_hypertable_rollup",
+    "q60_hll_distinct_rollup",
 ]
 
 
