@@ -20,7 +20,13 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from apache_arrow_spark.functions.text import fingerprint, shingles, tokens
+from apache_arrow_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    shingles_of_normalized,
+    tokens,
+)
 
 # xor-fold constants: a fixed seeded set of 64-bit masks; h_j(s) = h(s) XOR
 # R[j] is a family of bijections over int64 — the standard cheap stand-in for
@@ -73,10 +79,13 @@ def minhash_signatures(
     # count is explicit: AQE would coalesce a byte-small exchange to one
     # partition, serializing a compute-bound stage.
     n_part = _compute_parallelism(df)
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(
-        n_part, F.col("id")
-    )
-    sh = base.select("id", F.explode(shingles(F.col("t"), k)).alias("s"))
+    # normalize BEFORE the exchange: the shingle transform then operates on
+    # a plain attribute (cheap per-row read) instead of inlining the
+    # lower/regexp normalization into its guard, bound, and lambda
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+    ).repartition(n_part, F.col("id"))
+    sh = base.select("id", F.explode(shingles_of_normalized(F.col("t"), k)).alias("s"))
     hashed = sh.select("id", F.xxhash64("s").alias("h"))
     mins = [
         F.min(F.col("h").bitwiseXOR(F.lit(XOR_MASKS[j]))).alias(f"m{j}")
@@ -116,11 +125,15 @@ def minhash_near_duplicates(
     ]
     # persist the banded keys: the self-join would otherwise re-execute the
     # whole signature lineage once per side.  16 longs per doc — tiny.
+    # Materialize EAGERLY: both sides of the self-join consume the cache, and
+    # racing lazy materialization from 2 consumers causes double-compute /
+    # cache-lock stalls.
     banded = (
         sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("id", "bb.band", "bb.bucket")
         .persist()
     )
+    banded.count()
 
     a, b = banded.alias("a"), banded.alias("b")
     # candidates are persisted: they feed the semi-join that scopes shingle
@@ -136,6 +149,7 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
+    candidates.count()  # eager for the same reason
     # shingle sets for exact verification — computed ONLY for docs that
     # appear in a candidate pair (left-semi on the candidate id set).  At
     # corpus scale the candidate set is orders of magnitude smaller than the
@@ -147,10 +161,10 @@ def minhash_near_duplicates(
         .distinct()
     )
     sh_df = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
         .join(cand_ids, on="id", how="left_semi")
         .repartition(_compute_parallelism(df), F.col("id"))
-        .select("id", shingles(F.col("t"), k).alias("sh"))
+        .select("id", shingles_of_normalized(F.col("t"), k).alias("sh"))
         .persist()
     )
     pairs = (

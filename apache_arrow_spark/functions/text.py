@@ -125,10 +125,15 @@ def token_estimate_bpe(text: Column) -> Column:
     return F.ceil(pieces * F.lit(1.3)).cast("bigint")
 
 
-def shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-grams of the normalized text (the MinHash input
-    set).  Pure expression: substring over a generated index sequence."""
-    norm = normalize_text(text)
+def shingles_of_normalized(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of an ALREADY-normalized string column.
+
+    Hot-path form: callers that shingle at scale should project
+    ``normalize_text`` into a column first (ideally before an exchange) and
+    shingle the plain attribute — inlining the normalization into this
+    expression tree multiplies its evaluation (guard + sequence bound +
+    lambda all reference it) and bloats the generated code ~7x cold.
+    """
     n = F.length(norm) - F.lit(k - 1)
     # sequence(1, n) with n<1 would generate a DESCENDING range — guard it
     return F.when(n < 1, F.array().cast("array<string>")).otherwise(
@@ -136,3 +141,9 @@ def shingles(text: Column, k: int = 5) -> Column:
             F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, F.lit(k)))
         )
     )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text (the MinHash input
+    set).  Pure expression: substring over a generated index sequence."""
+    return shingles_of_normalized(normalize_text(text), k)

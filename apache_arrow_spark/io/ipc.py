@@ -46,6 +46,7 @@ def write_ipc(
     path: str,
     format: str = "stream",
     dictionary_encode: Sequence[str] = (),
+    num_shards: int | None = None,
 ) -> int:
     """Distributed IPC sink: one shard per partition under ``path``/.
 
@@ -58,6 +59,11 @@ def write_ipc(
     behavior (format/Message.fbs isDelta; ipc/writer.cc DictionaryMemo).
     """
     assert format in ("stream", "file")
+    if num_shards:
+        # shard-count control: a degenerate upstream partitioning (e.g. a
+        # single-row-group parquet file locally) would otherwise serialize
+        # the write AND the eventual read of the shard directory
+        df = df.repartition(num_shards)
     os.makedirs(path, exist_ok=True)
     ext = "arrows" if format == "stream" else "arrow"
     run_id = uuid.uuid4().hex[:8]

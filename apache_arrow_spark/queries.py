@@ -16,6 +16,7 @@ Determinism rules used throughout (so value hashes match across engines):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -553,8 +554,15 @@ def q26_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.io import read_ipc, write_ipc
 
     li = load_table(spark, sf_dir, "lineitem")
-    path = tempfile.mkdtemp(prefix="aas_q26_")
-    write_ipc(li, path, format="stream")
+    # shards go to shared memory when available (the reference's IPC
+    # round-trip benchmarks also run against in-memory sinks,
+    # ipc-read-write-benchmark.cc); disk writeback otherwise stalls
+    # whatever query runs next
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q26_", dir=shm)
+    # explicit shard count: the testdata table is one row group, which
+    # would otherwise serialize both the write and the read-back
+    write_ipc(li, path, format="stream", num_shards=spark.sparkContext.defaultParallelism)
     back = read_ipc(spark, path)
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),

