@@ -167,6 +167,7 @@ def minhash_near_duplicates(
         .select("id", shingles_of_normalized(F.col("t"), k).alias("sh"))
         .persist()
     )
+    sh_df.count()  # eager: consumed by both sides of the verify join
     pairs = (
         candidates.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
