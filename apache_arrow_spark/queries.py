@@ -319,20 +319,23 @@ def q16_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Algebraic rewrites keep results bit-identical but shrink per-row
     # decimal work ~2x: sum(a-b) == sum(a)-sum(b) and sum(-b) == -sum(b)
     # (exact decimal arithmetic is distributive; doubles wouldn't be).
-    # a % 10 is decomposed into integer-space floor(a)%10 plus the decimal
-    # fractional part — valid for any sign because frac = a - floor(a) is
-    # always in [0,1) and Java's % follows the dividend's sign — so the per
-    # -row hot loop does long ops + compact-decimal adds, never BigDecimal
-    # remainder.
-    fl = F.floor(price).cast("bigint")
-    frac = price - fl.cast("decimal(18,4)")
+    # x % 10 is decomposed into integer-space floor(|x|)%10 plus the
+    # decimal fractional part of |x|, with the dividend's sign reapplied
+    # (mod(x,10) == -mod(-x,10) under sign-of-dividend semantics; the
+    # naive floor(x)%10+frac form breaks for negative non-integers whose
+    # floor lands on a multiple of 10).  The per-row hot loop is then long
+    # ops + compact-decimal adds, never BigDecimal remainder.
+    a = F.abs(price)
+    fl = F.floor(a).cast("bigint")
+    frac = a - fl.cast("decimal(18,4)")
+    neg = price < 0
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.sum(price).alias("__sp"),
             F.sum(disc).alias("__sd"),
-            F.sum(fl % 10).alias("__smi"),
-            F.sum(frac).alias("__smf"),
+            F.sum(F.when(neg, -(fl % 10)).otherwise(fl % 10)).alias("__smi"),
+            F.sum(F.when(neg, -frac).otherwise(frac)).alias("__smf"),
         )
         .select(
             "l_returnflag",

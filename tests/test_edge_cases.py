@@ -76,3 +76,23 @@ def test_minhash_short_docs_no_crash(spark):
         [(1, "ab"), (2, "cd"), (3, "abcdefghij")], "doc_id bigint, text string"
     )
     assert minhash_near_duplicates(df, jaccard_threshold=0.1).count() == 0
+
+
+def test_decimal_mod_decomposition_matches_native(spark):
+    """q16's integer-space rewrite of ``x % 10`` (floor(x)%10 + frac) must
+    equal native decimal modulo for every sign combination."""
+    vals = [3.5, 13.5, 10.0, 0.0, 0.5, -3.5, -13.5, -10.0, -0.5, 99999.9999, -99999.9999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    dec = F.col("x").cast("decimal(18,4)")
+    a = F.abs(dec)
+    fl = F.floor(a).cast("bigint")
+    frac = a - fl.cast("decimal(18,4)")
+    neg = dec < 0
+    smi = F.when(neg, -(fl % 10)).otherwise(fl % 10)
+    smf = F.when(neg, -frac).otherwise(frac)
+    out = df.select(
+        (dec % F.lit(10)).cast("decimal(38,6)").alias("native"),
+        (smi.cast("decimal(38,4)") + smf).cast("decimal(38,6)").alias("decomposed"),
+    ).collect()
+    for r in out:
+        assert r["native"] == r["decomposed"], r
