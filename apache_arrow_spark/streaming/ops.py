@@ -9,6 +9,9 @@ scale; the memory-sink runner exists for tests and the correctness harness
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -69,12 +72,21 @@ def run_to_memory_sink(
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table; returns the materialized result as a batch DataFrame."""
     name = f"aas_sink_{uuid.uuid4().hex[:8]}"
+    # explicit checkpoint in shared memory when available: the offset/commit
+    # log writes per micro-batch otherwise hit disk (several fsync-paced
+    # round-trips), which dominates short availableNow runs.  On a real
+    # cluster the checkpoint must be durable shared storage instead — this
+    # runner is the test/benchmark harness, not the production sink.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="aas_ckpt_", dir=shm)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
