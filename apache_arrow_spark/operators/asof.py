@@ -61,17 +61,31 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the matched right row as ONE struct: carrying each column with its
+    # own last(ignorenulls) would backfill a legitimately-NULL attribute from
+    # an older right row, emitting a composite row that never existed (DuckDB
+    # ASOF JOIN / pandas merge_asof keep the matched row's NULLs).
+    rrow = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__t").alias("__rt"), *[F.col(c).alias(c) for c in rcols]
+        ),
+    )
     carried = unioned.select(
         "__k",
         "__t",
         "__side",
         *[F.col(c) for c in lcols],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__rt"),
+        F.last(rrow, ignorenulls=True).over(w).alias("__r"),
     )
-    out = carried.filter(F.col("__side") == 1)
+    matched = carried.filter(F.col("__side") == 1)
+    out = matched.select(
+        "__k",
+        "__t",
+        *[F.col(c) for c in lcols],
+        *[F.col("__r").getField(c).alias(c) for c in rcols],
+        F.col("__r").getField("__rt").alias("__rt"),
+    )
     valid = F.col("__rt").isNotNull()
     if tolerance is not None:
         valid = valid & (F.col("__rt") >= F.col("__t") - tolerance)

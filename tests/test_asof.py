@@ -46,6 +46,22 @@ def test_tolerance(spark, sides):
     assert got == {(1, 20): 300.0}
 
 
+def test_null_attribute_in_matched_row_is_kept(spark):
+    # The matched right row carries a legitimate NULL in one attribute; it
+    # must NOT be backfilled from an older right row (merge_asof semantics:
+    # the match is a whole row, not per-column).
+    left = spark.createDataFrame([(1, 30, "e")], "k bigint, t bigint, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "full"), (1, 20, None, "sparse")],
+        "k bigint, rt bigint, price double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "sparse"
+    assert rows[0]["price"] is None  # not 100.0 from the older row
+
+
 def test_column_collision_raises(spark, sides):
     left, right = sides
     with pytest.raises(ValueError):
