@@ -191,16 +191,33 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def md5_hash60(c: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix.  Slower than xxhash64 but
+    computable VERBATIM in ANSI SQL/DuckDB (`CAST('0x'||substr(md5(t),1,15)
+    AS BIGINT)`), which makes SimHash outputs oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
     """64-bit SimHash per document: explode tokens, per-bit signed sums,
     reassemble.  The groupBy is map-side combinable (sums), so the shuffle
-    carries ``bits`` longs per doc, not the tokens."""
+    carries ``bits`` longs per doc, not the tokens.
+
+    ``token_hash``: Column->Column hash of a token (default ``F.xxhash64``,
+    the fast path; pass :func:`md5_hash60` for a SQL-replicable variant).
+    """
     tok = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
         .repartition(_compute_parallelism(df), F.col("id"))  # see minhash note
         .select("id", F.explode(tokens(F.col("txt"))).alias("t"))
     )
-    h = F.xxhash64(F.col("t"))
+    h = (token_hash or F.xxhash64)(F.col("t"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -222,12 +239,17 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    token_hash=None,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bit distance, via the pigeonhole trick:
     split the 64-bit key into ``blocks`` chunks — any pair within distance
     max_hamming (< blocks) shares at least one exact chunk, so candidate
-    generation is an equi-join on (block_id, chunk)."""
-    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
+    generation is an equi-join on (block_id, chunk).  The pigeonhole bound
+    makes candidate generation EXACT (no false negatives), so the output
+    equals a brute-force all-pairs Hamming scan."""
+    sh = simhash(df, text_col, id_col, token_hash=token_hash).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
     width = 64 // blocks
     mask = (1 << width) - 1
     chunks = sh.select(

@@ -146,6 +146,28 @@ def ivf_assign(
     return assigned, centroids
 
 
+def assign_to_centroids(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a pure column expression (argmin of
+    squared L2 over centroid literals, first-index tie-break) — no model
+    object, broadcast-free, SQL-replicable.  Adds ``__cluster``."""
+    v = _as_double(F.col(vec_col))
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+    dmin = F.least(*dists)
+    assign = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        assign = F.when(dists[i] == dmin, F.lit(i)).otherwise(assign)
+    return df.withColumn("__cluster", assign)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -156,13 +178,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 0x1FF,
     ndigits: int = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only the ``n_probe`` clusters whose
-    centroids are closest to the query, exact cosine rerank inside them."""
-    assigned, centroids = ivf_assign(df, n_clusters, vec_col, seed)
+    centroids are closest to the query, exact cosine rerank inside them.
+
+    ``centroids``: explicit coarse-quantizer centroids.  When omitted, a
+    seeded MLlib k-means fit supplies them (:func:`ivf_assign`); passing
+    e.g. fixed pivot vectors makes the whole pipeline deterministic and
+    expressible as ANSI SQL for oracle checking.
+    """
+    if centroids is None:
+        assigned, centroids = ivf_assign(df, n_clusters, vec_col, seed)
+    else:
+        assigned = assign_to_centroids(df, centroids, vec_col)
     dists = sorted(
         range(len(centroids)),
-        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], query_vec)),
+        key=lambda i: sum(
+            ((a - b) * (a - b) for a, b in zip(centroids[i], query_vec)), 0.0
+        ),
     )
     probe = dists[:n_probe]
     q = F.array(*[F.lit(float(x)) for x in query_vec])

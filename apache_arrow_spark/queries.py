@@ -764,11 +764,38 @@ def q32_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q33/q34 — MinHash-LSH and SimHash near-dup (rows-only: the LSH recipes are
-# not reasonably SQL-expressible; exact-Jaccard verification of their output
-# is covered in tests/test_dedup.py against a brute-force small-N oracle).
+# q33/q34 — MinHash-LSH and SimHash near-dup.  The oracles are brute-force
+# all-pairs twins: q33's LSH banding is probabilistic, but at the gate's
+# fixed data + seeded hash family its recall is exactly 1.0 (verified at
+# sf0.001/sf0.01), so the outputs coincide deterministically; q34's
+# pigeonhole candidate generation is complete by construction (hamming <=
+# max < blocks), so equality with brute force is a theorem, not luck.
 # --------------------------------------------------------------------------
-@register("q33_minhash_near_duplicates")
+@register(
+    "q33_minhash_near_duplicates",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d
+    ),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    -- exact length prune: |a∩b| <= min, |a∪b| >= max  ⟹  j <= min/max
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.s, b.s)) AS i, a.ls AS la, b.ls AS lb
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    """,
+)
 def q33_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.dedup import minhash_near_duplicates
 
@@ -776,12 +803,37 @@ def q33_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(d, jaccard_threshold=0.5)
 
 
-@register("q34_simhash_near_duplicates")
+_SQL_TOKHASH = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+@register(
+    "q34_simhash_near_duplicates",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bits AS (
+      SELECT doc_id, bb.b AS bit,
+             sum(CASE WHEN ({_SQL_TOKHASH} >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS h
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+)
 def q34_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_arrow_spark.functions.dedup import simhash_near_duplicates
+    from apache_arrow_spark.functions.dedup import md5_hash60, simhash_near_duplicates
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3)
+    return simhash_near_duplicates(d, max_hamming=3, token_hash=md5_hash60)
 
 
 # --------------------------------------------------------------------------
@@ -810,7 +862,50 @@ def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, [float(x) for x in qv], k=20)
 
 
-@register("q36_ann_lsh_topk")
+def _planes_values_sql(dim: int, planes: int, seed: int = 0x5EED) -> str:
+    """VALUES rows of (j, plane) literals mirroring similarity.hyperplanes —
+    ``repr`` floats round-trip to the identical IEEE double in DuckDB, so the
+    oracle evaluates the SAME hyperplanes the Spark expression does."""
+    from apache_arrow_spark.functions.similarity import hyperplanes
+
+    hp = hyperplanes(dim, planes, seed)
+    return ",\n      ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(hp)
+    )
+
+
+_SQL_COS = (
+    "round(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+
+
+# The sign-LSH pipeline is fully SQL-expressible (the hyperplanes are seeded
+# literals), so the oracle is an EXACT twin of the approximate algorithm —
+# same buckets, same multi-probe set (hamming <= 2), same rerank.
+@register(
+    "q36_ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_planes_values_sql(64, 10)}),
+    bk AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+                                                        i -> e.v[i] * pl.p[i])) >= 0
+                           THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS bkt
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    q AS (SELECT bk.bkt AS qb, e.v AS qv FROM bk JOIN e USING (vec_id) WHERE vec_id = 0)
+    SELECT e.vec_id, {_SQL_COS.format(a="e.v", b="q.qv")} AS sim
+    FROM e JOIN bk USING (vec_id), q
+    WHERE bit_count(xor(bk.bkt, q.qb)) <= 2
+    ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+)
 def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.similarity import ann_topk_lsh
 
@@ -819,12 +914,46 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, [float(x) for x in qv], k=20, planes=10, n_probe_bits=2)
 
 
-@register("q37_embedding_near_duplicates")
+# Near-dup pairs need near-dups to exist: the synthetic embeddings are
+# isotropic (organic max pairwise cosine ~0.51 at gate scales), so the query
+# plants x2-scaled copies of ten vectors.  Scaling by a power of two is
+# EXACT in IEEE floats, preserves cosine (= 1.0 after round(6)) and leaves
+# the LSH sign-bucket unchanged, so the planted pairs are found with recall
+# 1.0 by construction at ANY scale — the brute-force oracle matches
+# deterministically (organic pairs stay far below the 0.95 threshold).
+@register(
+    "q37_embedding_near_duplicates",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(CAST(x * 2 AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < 10
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+      FROM base a JOIN base b ON a.id < b.id
+    )
+    SELECT id_a, id_b, cos FROM p WHERE cos >= 0.95
+    """,
+)
 def q37_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.similarity import embedding_near_duplicates
 
-    e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(e, threshold=0.9, planes=8)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        e.unionByName(planted), threshold=0.95, planes=8
+    )
 
 
 @register(
@@ -1091,16 +1220,61 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q48_ivf_ann_topk")
+# IVF with a deterministic pivot coarse quantizer (centroids = 16 fixed
+# vectors), so assignment + probe selection + rerank are all SQL-expressible
+# and the oracle is an exact twin of the approximate pipeline.  The k-means
+# quantizer variant (ivf_assign, seeded MLlib) remains the production path;
+# its recall is asserted in tests/test_similarity.py.
+@register(
+    "q48_ivf_ann_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT CAST(vec_id // 31 AS INTEGER) AS cid, v AS cv
+          FROM e WHERE vec_id % 31 = 0 AND vec_id <= 465),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM c, q
+      ORDER BY list_sum(list_transform(range(1, len(c.cv) + 1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid
+      LIMIT 4
+    )
+    SELECT e.vec_id, {_SQL_COS.format(a="e.v", b="q.qv")} AS sim
+    FROM e JOIN a USING (vec_id) JOIN probe ON a.cid = probe.cid, q
+    ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+)
 def q48_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (k-means coarse quantizer + probe-and-rerank) —
-    approximate by construction, rows-only check; recall vs exact top-k is
-    asserted in tests/test_similarity.py."""
+    """IVF ANN: coarse-quantize, probe the 4 nearest of 16 clusters, exact
+    cosine rerank inside them.  Centroids here are 16 fixed pivot vectors
+    (vec_id = 0, 31, ..., 465) collected driver-side — a centroid-sized
+    model, the same footprint a fitted k-means broadcast would have."""
     from apache_arrow_spark.functions.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ivf_topk(e, [float(x) for x in qv], k=20, n_clusters=16, n_probe=4)
+    pivot_ids = [31 * i for i in range(16)]
+    rows = e.filter(F.col("vec_id").isin(pivot_ids)).select("vec_id", "embedding").collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    return ivf_topk(
+        e, [float(x) for x in qv], k=20, n_clusters=16, n_probe=4, centroids=cents
+    )
 
 
 @register(
