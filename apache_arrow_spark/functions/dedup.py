@@ -109,6 +109,10 @@ def minhash_near_duplicates(
     generation is a shuffle on (band, bucket) keys only) -> exact Jaccard
     verification, joining the candidates (small) back to the shingle sets
     by id.  Returns (id_a, id_b, jaccard).
+
+    The returned DataFrame is persisted (eagerly materialized, tiny); the
+    heavyweight intermediates are unpersisted before returning.  Callers
+    holding the result long-term may ``.unpersist()`` it when done.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -175,11 +179,19 @@ def minhash_near_duplicates(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
-    return (
+    result = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (tiny) verified pairs, then drop the intermediate
+    # caches — a long-lived session would otherwise leak block-manager
+    # memory on every call
+    result = result.persist()
+    result.count()
+    for c in (banded, candidates, sh_df):
+        c.unpersist()
+    return result
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:

@@ -93,19 +93,28 @@ def frame_sample_stub(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     the exact shape a real ffmpeg-backed sampler would produce."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                chunk = max(len(payload) // every_n, 1)
-                for i in range(0, min(every_n, len(payload))):
-                    rows.append(
-                        {
-                            "doc_id": r["doc_id"],
-                            "frame_no": i,
-                            "frame": payload[i * chunk : (i + 1) * chunk],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
+            payloads = pdf["payload"].map(bytes).to_numpy()
+            lengths = np.fromiter((len(p) for p in payloads), dtype="int64", count=len(payloads))
+            chunk = np.maximum(lengths // every_n, 1)
+            n_frames = np.minimum(every_n, lengths)
+            # vectorized explode: repeat row attrs per frame, slice by offsets
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_frames)
+            frame_no = (
+                np.concatenate([np.arange(n, dtype="int32") for n in n_frames])
+                if len(n_frames) and n_frames.sum() > 0
+                else np.array([], dtype="int32")
+            )
+            starts = np.repeat(chunk, n_frames) * frame_no
+            ends = starts + np.repeat(chunk, n_frames)
+            frames = [
+                p[s:e]
+                for p, s, e in zip(np.repeat(payloads, n_frames), starts, ends)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_no": frame_no, "frame": frames}
+            )
 
     return media_df.mapInPandas(_frames, "doc_id bigint, frame_no int, frame binary")

@@ -15,6 +15,15 @@ pyarrow (zero-copy mmap), again via ``mapInArrow``.
 
 Single-file mode exists for interop with external tools expecting one
 ``.arrows`` file — driver-side by necessity, documented small-data-only.
+
+Shared-filesystem contract: like parquet part-files, ``path`` must be
+storage every node sees (NFS/HDFS/S3-fuse or local disk on local[N]).
+The sink writes shards from executors and the source lists them with a
+driver-local glob, so a multi-node cluster with node-local paths would
+write shards the driver cannot list and list shards other nodes cannot
+open.  (A Hadoop-FS-API listing would relax the driver-side glob but not
+the executor-side open — shared storage is the real requirement, same as
+every distributed file sink.)
 """
 
 from __future__ import annotations

@@ -50,7 +50,9 @@ def from_pandas(
         meta0 = dict(fields[0].metadata or {})
         meta0[PANDAS_META_KEY] = json.dumps({"index_columns": index_meta})
         fields[0] = T.StructField(fields[0].name, fields[0].dataType, fields[0].nullable, meta0)
-        sdf = spark.createDataFrame(sdf.rdd, T.StructType(fields))
+        # .to() attaches field metadata plan-side (Spark 4) — no RDD
+        # round-trip, the Arrow ingest path stays intact
+        sdf = sdf.to(T.StructType(fields))
     return sdf
 
 

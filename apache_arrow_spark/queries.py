@@ -316,9 +316,12 @@ def q16_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = to_decimal(F.col("l_extendedprice"), 18, 4)
     disc = to_decimal(F.col("l_discount"), 18, 4)
-    # Algebraic rewrites keep results bit-identical but shrink per-row
-    # decimal work ~2x: sum(a-b) == sum(a)-sum(b) and sum(-b) == -sum(b)
-    # (exact decimal arithmetic is distributive; doubles wouldn't be).
+    # Algebraic rewrites shrink per-row decimal work ~2x (exact decimal
+    # arithmetic is distributive; doubles wouldn't be).  Precondition for
+    # sum(a-b) == sum(a)-sum(b): SQL sum skips a row when EITHER operand is
+    # null, so mixed-null rows need correction sums (when(b null, a) /
+    # when(a null, b)) — these accumulate nothing on null-free data, so the
+    # guard costs two per-row null checks, not two extra decimal sums.
     # x % 10 is decomposed into integer-space floor(|x|)%10 plus the
     # decimal fractional part of |x|, with the dividend's sign reapplied
     # (mod(x,10) == -mod(-x,10) under sign-of-dividend semantics; the
@@ -329,18 +332,30 @@ def q16_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = F.floor(a).cast("bigint")
     frac = a - fl.cast("decimal(18,4)")
     neg = price < 0
-    return (
+    zero = F.lit(0).cast("decimal(28,4)")
+    agg = (
         li.groupBy("l_returnflag")
         .agg(
             F.sum(price).alias("__sp"),
             F.sum(disc).alias("__sd"),
+            # mixed-null corrections for the sum(a-b) decomposition
+            F.sum(F.when(disc.isNull(), price)).alias("__pa"),
+            F.sum(F.when(price.isNull(), disc)).alias("__db"),
             F.sum(F.when(neg, -(fl % 10)).otherwise(fl % 10)).alias("__smi"),
             F.sum(F.when(neg, -frac).otherwise(frac)).alias("__smf"),
         )
+    )
+    return (
+        agg
         .select(
             "l_returnflag",
             F.col("__sp").cast("decimal(38,6)").cast("double").alias("sum_price"),
-            (F.col("__sp") - F.col("__sd")).cast("decimal(38,6)").cast("double").alias("sum_minus"),
+            (
+                F.col("__sp")
+                - F.coalesce(F.col("__pa"), zero)
+                - F.col("__sd")
+                + F.coalesce(F.col("__db"), zero)
+            ).cast("decimal(38,6)").cast("double").alias("sum_minus"),
             (F.col("__smi").cast("decimal(38,4)") + F.col("__smf"))
             .cast("decimal(38,6)")
             .cast("double")

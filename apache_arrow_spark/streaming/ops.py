@@ -68,17 +68,25 @@ def run_to_memory_sink(
     stream_df: DataFrame,
     spark: SparkSession,
     output_mode: str = "complete",
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
-    in-memory table; returns the materialized result as a batch DataFrame."""
+    in-memory table; returns the materialized result as a batch DataFrame.
+
+    ``checkpoint_location``: pass a durable (shared-storage) path to keep
+    exactly-once/recovery guarantees.  When omitted, an EPHEMERAL scratch
+    checkpoint is used (/dev/shm when available — the per-micro-batch
+    offset/commit log writes otherwise hit fsync-paced disk, which
+    dominates short availableNow runs) and deleted after termination:
+    right for tests/benchmarks, wrong for a production sink.
+    """
     name = f"aas_sink_{uuid.uuid4().hex[:8]}"
-    # explicit checkpoint in shared memory when available: the offset/commit
-    # log writes per micro-batch otherwise hit disk (several fsync-paced
-    # round-trips), which dominates short availableNow runs.  On a real
-    # cluster the checkpoint must be durable shared storage instead — this
-    # runner is the test/benchmark harness, not the production sink.
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt = tempfile.mkdtemp(prefix="aas_ckpt_", dir=shm)
+    ephemeral = checkpoint_location is None
+    if ephemeral:
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        ckpt = tempfile.mkdtemp(prefix="aas_ckpt_", dir=shm)
+    else:
+        ckpt = checkpoint_location
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -88,5 +96,6 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if ephemeral:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

@@ -96,13 +96,26 @@ def arrow_to_spark_type(at: pa.DataType) -> tuple[T.DataType, dict]:
         meta = dict(meta, dictionary_indices=str(at.index_type))
         return dense, meta
     if pa.types.is_union(at):
-        # no Spark union: tagged-struct convention {tag, f0, f1, ...}
+        # no Spark union: tagged-struct convention {tag, f0, f1, ...};
+        # child names/metas/type-codes recorded so the inverse mapping can
+        # rebuild the exact union type
         fields = [T.StructField("tag", T.ByteType(), False)]
+        child_metas = []
         for i in range(at.num_fields):
             f = at.field(i)
-            st, _ = arrow_to_spark_type(f.type)
-            fields.append(T.StructField(f"f{i}", st, True))
-        return T.StructType(fields), {"type": "union", "mode": at.mode}
+            st, fmeta = arrow_to_spark_type(f.type)
+            fields.append(
+                T.StructField(
+                    f"f{i}", st, True, metadata={ARROW_META_KEY: fmeta} if fmeta else {}
+                )
+            )
+            child_metas.append({"name": f.name, "meta": fmeta})
+        return T.StructType(fields), {
+            "type": "union",
+            "mode": at.mode,
+            "children": child_metas,
+            "type_codes": [int(c) for c in at.type_codes],
+        }
     raise NotImplementedError(f"no Spark mapping for arrow type {at}")
 
 
@@ -142,6 +155,20 @@ def spark_to_arrow_type(st: T.DataType, meta: dict | None = None) -> pa.DataType
             return pa.time32(meta["unit"])
         if orig == "time64":
             return pa.time64(meta["unit"])
+        if orig == "union" and isinstance(st, T.StructType):
+            children = []
+            for i, cm in enumerate(meta.get("children", [])):
+                f = st.fields[i + 1]  # slot 0 is the tag column
+                children.append(
+                    pa.field(
+                        cm.get("name", f.name),
+                        spark_to_arrow_type(f.dataType, cm.get("meta") or None),
+                    )
+                )
+            codes = [int(c) for c in meta.get("type_codes", range(len(children)))]
+            if meta.get("mode") == "dense":
+                return pa.dense_union(children, codes)
+            return pa.sparse_union(children, codes)
     if isinstance(st, T.NullType):
         return pa.null()
     if isinstance(st, T.BooleanType):

@@ -96,3 +96,41 @@ def test_decimal_mod_decomposition_matches_native(spark):
     ).collect()
     for r in out:
         assert r["native"] == r["decomposed"], r
+
+
+def test_q16_sum_minus_null_alignment(spark, tmp_path):
+    """sum(a-b) decomposition must match direct sum(a-b) when a and b are
+    null on DIFFERENT rows (SQL sum skips a row when either operand is
+    null) — the null-free TPC-H fixtures cannot catch this."""
+    from apache_arrow_spark.queries import QUERIES
+
+    rows = [
+        ("A", 100.0, 0.1),
+        ("A", None, 0.2),     # price null, disc present
+        ("A", 50.0, None),    # price present, disc null
+        ("A", -7.5, 0.05),
+        ("B", None, None),
+        ("B", 20.0, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double, l_discount double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: r["sum_minus"]
+        for r in QUERIES["q16_decimal_ops"](spark, str(tmp_path)).collect()
+    }
+    # direct per-row decimal subtraction, nulls skipped (the declared oracle)
+    direct = {
+        r["l_returnflag"]: r["d"]
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("d")
+        )
+        .collect()
+    }
+    assert got == direct

@@ -74,6 +74,15 @@ def test_union_tagged_struct():
     assert meta["type"] == "union"
 
 
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_union_roundtrip_lossless(mode):
+    at = pa.union(
+        [pa.field("a", pa.int32()), pa.field("b", pa.string()), pa.field("c", pa.uint16())],
+        mode=mode,
+    )
+    assert roundtrip_lossless(at), at
+
+
 def test_schema_mapping_carries_field_metadata():
     sch = pa.schema([pa.field("u", pa.uint32()), pa.field("s", pa.string())])
     spark_schema = arrow_to_spark_schema(sch)
