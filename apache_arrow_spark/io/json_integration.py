@@ -1,6 +1,7 @@
-"""Reader for the reference's cross-implementation JSON test format
-(SURVEY §2.1 'JSON integration format'; cpp/src/arrow/ipc/json-internal.cc,
-integration/integration_test.py, sample: integration/data/simple.json).
+"""Reader + writer for the reference's cross-implementation JSON test
+format (SURVEY §2.1 'JSON integration format'; cpp/src/arrow/ipc/
+json-internal.cc, integration/integration_test.py, sample:
+integration/data/simple.json).
 
 Test-harness-only utility (as in the reference — it is NOT df.write.json):
 parses {schema, batches[{count, columns[{VALIDITY, DATA, OFFSET,
@@ -8,6 +9,14 @@ children}]}]} into pyarrow arrays, then a Spark DataFrame through the
 engine's type mapping.  Covers the corpus families the harness generates
 (FIXTURES.md A1-A4): ints/uints, floats, bool, utf8/binary, decimal,
 date/time/timestamp, list, struct.
+
+The writer is the harness's ``ARROW_TO_JSON`` mode
+(cpp/src/arrow/ipc/json-integration-test.cc:193-224): any engine table can
+be emitted as integration JSON and re-read, giving the bidirectional
+golden-corpus round trip every reference implementation must pass
+(integration/integration_test.py:810-921).  Conventions follow
+json-internal.cc: 64-bit ints quoted as strings, binary as upper-hex,
+decimals as unscaled-integer strings, utf8 offsets in utf-8 bytes.
 """
 
 from __future__ import annotations
@@ -110,8 +119,182 @@ def _build_array(col: dict, field: pa.Field) -> pa.Array:
 
     values = [conv(data[i]) if valid(i) else None for i in range(count)]
     if pa.types.is_temporal(at):
-        return pa.array(values, type=pa.int64()).cast(at)
+        phys = pa.int32() if at.bit_width == 32 else pa.int64()
+        return pa.array(values, type=phys).cast(at)
     return pa.array(values, type=at)
+
+
+# ---------------------------------------------------------------------------
+# Writer (ARROW_TO_JSON mode)
+# ---------------------------------------------------------------------------
+
+_TIME_UNITS = {"s": "SECOND", "ms": "MILLISECOND", "us": "MICROSECOND", "ns": "NANOSECOND"}
+
+
+def _type_json(at: pa.DataType) -> dict:
+    if pa.types.is_integer(at):
+        return {
+            "name": "int",
+            "isSigned": pa.types.is_signed_integer(at),
+            "bitWidth": at.bit_width,
+        }
+    if pa.types.is_floating(at):
+        prec = {2: "HALF", 4: "SINGLE", 8: "DOUBLE"}[at.byte_width]
+        return {"name": "floatingpoint", "precision": prec}
+    if pa.types.is_boolean(at):
+        return {"name": "bool"}
+    if pa.types.is_string(at):
+        return {"name": "utf8"}
+    if pa.types.is_fixed_size_binary(at):
+        return {"name": "fixedsizebinary", "byteWidth": at.byte_width}
+    if pa.types.is_binary(at):
+        return {"name": "binary"}
+    if pa.types.is_decimal(at):
+        return {"name": "decimal", "precision": at.precision, "scale": at.scale}
+    if pa.types.is_date32(at):
+        return {"name": "date", "unit": "DAY"}
+    if pa.types.is_date64(at):
+        return {"name": "date", "unit": "MILLISECOND"}
+    if pa.types.is_time32(at) or pa.types.is_time64(at):
+        return {"name": "time", "unit": _TIME_UNITS[at.unit], "bitWidth": at.bit_width}
+    if pa.types.is_timestamp(at):
+        out = {"name": "timestamp", "unit": _TIME_UNITS[at.unit]}
+        if at.tz:
+            out["timezone"] = at.tz
+        return out
+    if pa.types.is_list(at):
+        return {"name": "list"}
+    if pa.types.is_struct(at):
+        return {"name": "struct"}
+    raise NotImplementedError(f"json-integration writer: type {at}")
+
+
+def _field_json(f: pa.Field) -> dict:
+    at = f.type
+    if pa.types.is_list(at):
+        children = [_field_json(pa.field("item", at.value_type))]
+    elif pa.types.is_struct(at):
+        children = [_field_json(at.field(i)) for i in range(at.num_fields)]
+    else:
+        children = []
+    return {
+        "name": f.name,
+        "type": _type_json(at),
+        "nullable": f.nullable,
+        "children": children,
+    }
+
+
+def _column_json(arr: pa.Array, name: str) -> dict:
+    """One column entry: VALIDITY + DATA/OFFSET/children per json-internal.cc
+    conventions (64-bit ints as strings, binary upper-hex, decimal unscaled
+    string).  Null slots carry zero-filler DATA, as the C++ writer emits."""
+    at = arr.type
+    count = len(arr)
+    values = arr.to_pylist()
+    validity = [0 if v is None else 1 for v in values]
+    out: dict = {"name": name, "count": count, "VALIDITY": validity}
+
+    if pa.types.is_list(at):
+        offsets, off = [0], 0
+        for v in values:
+            off += len(v) if v is not None else 0
+            offsets.append(off)
+        flat = [x for v in values if v is not None for x in v]
+        child = pa.array(flat, type=at.value_type)
+        out["OFFSET"] = offsets
+        out["children"] = [_column_json(child, "item")]
+        return out
+    if pa.types.is_struct(at):
+        out["children"] = [
+            _column_json(arr.field(i), at.field(i).name) for i in range(at.num_fields)
+        ]
+        return out
+
+    if pa.types.is_string(at):
+        offsets, off = [0], 0
+        for v in values:
+            off += len(v.encode("utf-8")) if v is not None else 0
+            offsets.append(off)
+        out["OFFSET"] = offsets
+        out["DATA"] = [v if v is not None else "" for v in values]
+        return out
+    if pa.types.is_binary(at) and not pa.types.is_fixed_size_binary(at):
+        offsets, off = [0], 0
+        for v in values:
+            off += len(v) if v is not None else 0
+            offsets.append(off)
+        out["OFFSET"] = offsets
+        out["DATA"] = [v.hex().upper() if v is not None else "" for v in values]
+        return out
+    if pa.types.is_fixed_size_binary(at):
+        filler = "00" * at.byte_width
+        out["DATA"] = [v.hex().upper() if v is not None else filler for v in values]
+        return out
+    if pa.types.is_boolean(at):
+        out["DATA"] = [bool(v) if v is not None else False for v in values]
+        return out
+    if pa.types.is_decimal(at):
+        scale = at.scale
+        out["DATA"] = [
+            str(int(v.scaleb(scale))) if v is not None else "0" for v in values
+        ]
+        return out
+    if pa.types.is_temporal(at) or pa.types.is_integer(at):
+        if pa.types.is_temporal(at):
+            ints = arr.cast(pa.int32() if at.bit_width == 32 else pa.int64())
+        else:
+            ints = arr
+        raw = ints.to_pylist()
+        as_str = at.bit_width == 64  # spec: 64-bit ints quoted for JS readers
+        out["DATA"] = [
+            (str(v) if as_str else int(v)) if v is not None else ("0" if as_str else 0)
+            for v in raw
+        ]
+        return out
+    if pa.types.is_floating(at):
+        out["DATA"] = [float(v) if v is not None else 0.0 for v in values]
+        return out
+    raise NotImplementedError(f"json-integration writer: column type {at}")
+
+
+def write_json_integration(data, path: str) -> None:
+    """ARROW_TO_JSON: emit a pyarrow Table / RecordBatch / Spark DataFrame
+    as integration-format JSON readable by ``read_json_integration`` (and by
+    the reference harness)."""
+    if isinstance(data, DataFrame):
+        data = data.toArrow()
+    if isinstance(data, pa.RecordBatch):
+        data = pa.Table.from_batches([data])
+    doc = {
+        "schema": {"fields": [_field_json(f) for f in data.schema]},
+        "batches": [
+            {
+                "count": batch.num_rows,
+                "columns": [
+                    _column_json(batch.column(j), data.schema[j].name)
+                    for j in range(batch.num_columns)
+                ],
+            }
+            for batch in data.to_batches()
+        ],
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+
+
+def read_json_integration_arrow(path: str) -> pa.Table:
+    """JSON-integration file -> pyarrow Table (no Spark session needed);
+    the common core of read/VALIDATE and the writer fixpoint test."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    fields = [_field(f) for f in doc["schema"]["fields"]]
+    schema = pa.schema(fields)
+    batches = []
+    for b in doc["batches"]:
+        arrays = [_build_array(b["columns"][j], fields[j]) for j in range(len(fields))]
+        batches.append(pa.RecordBatch.from_arrays(arrays, schema=schema))
+    return pa.Table.from_batches(batches) if batches else schema.empty_table()
 
 
 def read_json_integration(spark: SparkSession, path: str) -> DataFrame:
@@ -119,18 +302,7 @@ def read_json_integration(spark: SparkSession, path: str) -> DataFrame:
     through the engine's arrow->spark type mapping (uint widening etc.)."""
     from apache_arrow_spark.io.pandas_bridge import from_arrow
 
-    with open(path) as fh:
-        doc = json.load(fh)
-    fields = [_field(f) for f in doc["schema"]["fields"]]
-    schema = pa.schema(fields)
-    batches = []
-    for b in doc["batches"]:
-        arrays = [
-            _build_array(b["columns"][j], fields[j]) for j in range(len(fields))
-        ]
-        batches.append(pa.RecordBatch.from_arrays(arrays, schema=schema))
-    table = pa.Table.from_batches(batches) if batches else schema.empty_table()
-    return from_arrow(spark, table)
+    return from_arrow(spark, read_json_integration_arrow(path))
 
 
 def validate_json_integration(spark: SparkSession, path: str) -> dict:

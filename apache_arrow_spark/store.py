@@ -13,16 +13,59 @@ Semantics preserved:
   a batch engine raises instead);
 - ``evict`` drops the hot copy but a spilled object remains fetchable
   (Plasma's delete-on-eviction applies only to the memory tier here);
-- LRU bookkeeping: ``list`` reports access order (eviction_policy.h:37).
+- LRU bookkeeping: ``list`` reports access order (eviction_policy.h:37);
+- pub/sub: ``subscribe`` yields a notification stream of seal/delete events
+  (python/pyarrow/plasma.pyx:615-620 ``subscribe``/``get_notification_socket``;
+  cpp/src/plasma/store.cc:577 ``push_notification``), and ``wait``/``fetch``
+  mirror the client's readiness/pull calls (client.h Wait/Fetch).
 """
 
 from __future__ import annotations
 
 import os
+import queue
 import time
+from dataclasses import dataclass
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Notification:
+    """One pub/sub event — the decoded analog of Plasma's notification
+    flatbuffer (ObjectInfo: object_id + sizes, data_size == -1 marks a
+    deletion, store.cc:577)."""
+
+    object_id: str
+    data_size: int  # -1 on delete/evict, else row count (batch-engine size unit)
+    deleted: bool
+
+
+class Subscription:
+    """A subscriber's notification stream (the analog of the notification
+    socket returned by plasma.pyx ``get_notification_socket``)."""
+
+    def __init__(self) -> None:
+        self._q: queue.Queue[Notification] = queue.Queue()
+
+    def get_notification(self, timeout: float | None = None) -> Notification:
+        """Blocking read of the next seal/delete event; raises
+        ``TimeoutError`` when nothing arrives in time (the socket-read
+        analog of plasma.pyx ``get_next_notification``)."""
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError("no plasma notification within timeout") from None
+
+    def drain(self) -> list[Notification]:
+        """All queued events, non-blocking."""
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
 
 
 class ObjectStore:
@@ -31,11 +74,18 @@ class ObjectStore:
         self.spill_dir = spill_dir
         self._hot: dict[str, DataFrame] = {}
         self._last_access: dict[str, float] = {}
+        self._subscribers: list[Subscription] = []
 
     # -- Plasma client surface (client.h: Create/Seal/Get/Contains/Evict) --
     def put(self, object_id: str, df: DataFrame, spill: bool = False) -> DataFrame:
         """create + seal: pin the dataset hot (MEMORY_AND_DISK) and
-        optionally write the sealed parquet copy."""
+        optionally write the sealed parquet copy.
+
+        Sealing is eager (``count()`` materializes the cache) — in Plasma an
+        object's bytes exist in shared memory the moment it is sealed
+        (store.cc SealObject), so subscribers notified here can ``get``
+        without recomputation.
+        """
         if object_id in self._hot:
             raise KeyError(f"object {object_id!r} already sealed (immutable)")
         pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -45,6 +95,8 @@ class ObjectStore:
             if not self.spill_dir:
                 raise ValueError("spill requested but store has no spill_dir")
             pinned.write.mode("errorifexists").parquet(self._path(object_id))
+        n_rows = pinned.count()  # materialize = seal
+        self._notify(Notification(object_id, n_rows, deleted=False))
         return pinned
 
     def get(self, object_id: str) -> DataFrame:
@@ -70,6 +122,7 @@ class ObjectStore:
         df = self._hot.pop(object_id, None)
         if df is not None:
             df.unpersist()
+            self._notify(Notification(object_id, -1, deleted=True))
             return True
         return False
 
@@ -87,6 +140,57 @@ class ObjectStore:
     def list(self) -> list[str]:
         """Hot object ids in LRU order (oldest first)."""
         return sorted(self._hot, key=lambda k: self._last_access.get(k, 0.0))
+
+    # -- pub/sub + readiness (plasma.pyx subscribe/wait/fetch analogs) -----
+    def subscribe(self) -> Subscription:
+        """Register a notification stream: every subsequent seal and evict
+        event is pushed to the returned Subscription (plasma.pyx:615
+        ``subscribe``)."""
+        sub = Subscription()
+        self._subscribers.append(sub)
+        return sub
+
+    def unsubscribe(self, sub: Subscription) -> None:
+        self._subscribers.remove(sub)
+
+    def wait(
+        self, object_ids: list[str], timeout: float = 10.0, num_returns: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Block until ``num_returns`` of ``object_ids`` are available (hot
+        or spilled) or the timeout lapses; returns (ready, not_ready) in the
+        order given — the client Wait call (client.h:Wait)."""
+        want = len(object_ids) if num_returns is None else num_returns
+        deadline = time.time() + timeout
+        while True:
+            ready = [oid for oid in object_ids if self.contains(oid)]
+            if len(ready) >= want or time.time() >= deadline:
+                not_ready = [oid for oid in object_ids if oid not in ready]
+                return ready, not_ready
+            time.sleep(0.01)
+
+    def fetch(self, object_ids: list[str]) -> dict[str, bool]:
+        """Pull spilled objects into the hot tier (the multi-node Fetch that
+        copies remote objects into the local store); returns id->available.
+        Absent ids are reported False, not raised — Fetch is best-effort."""
+        out = {}
+        for oid in object_ids:
+            if oid in self._hot:
+                out[oid] = True
+                continue
+            path = self._path(oid)
+            if path and os.path.exists(path):
+                self._hot[oid] = self.spark.read.parquet(path).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                self._last_access[oid] = time.time()
+                out[oid] = True
+            else:
+                out[oid] = False
+        return out
+
+    def _notify(self, note: Notification) -> None:
+        for sub in self._subscribers:
+            sub._q.put(note)
 
     def broadcast_small(self, object_id: str):
         """Driver-side broadcast of a small sealed object — the Plasma

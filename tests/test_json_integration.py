@@ -7,7 +7,9 @@ import pytest
 
 from apache_arrow_spark.io.json_integration import (
     read_json_integration,
+    read_json_integration_arrow,
     validate_json_integration,
+    write_json_integration,
 )
 
 SIMPLE = "/root/reference/integration/data/simple.json"
@@ -92,3 +94,74 @@ def test_roundtrip_generated(spark, tmp_path):
     assert rows[0]["l"] == [1, 2]
     got = {r["u32"] for r in rows}
     assert 4000000000 in got
+
+
+# ---------------------------------------------------------------------------
+# Writer (ARROW_TO_JSON) fixpoint: read golden -> write -> read -> write;
+# the two reads must be equal tables and the two writes identical bytes
+# (json-integration-test.cc:193-224 bidirectional harness).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(SIMPLE), reason="reference goldens absent")
+@pytest.mark.parametrize("golden", [SIMPLE, STRUCT], ids=["simple", "struct"])
+def test_writer_fixpoint_goldens(tmp_path, golden):
+    t1 = read_json_integration_arrow(golden)
+    p1 = str(tmp_path / "w1.json")
+    write_json_integration(t1, p1)
+    t2 = read_json_integration_arrow(p1)
+    assert t2.schema == t1.schema
+    assert t2.combine_chunks().equals(t1.combine_chunks())
+    p2 = str(tmp_path / "w2.json")
+    write_json_integration(t2, p2)
+    with open(p1, "rb") as a, open(p2, "rb") as b:
+        assert a.read() == b.read()  # byte fixpoint of the canonical form
+
+
+def test_writer_wide_types(tmp_path):
+    """Writer covers the harness's full type families: 64-bit ints as
+    strings, decimals as unscaled strings, binary as upper-hex, temporal."""
+    import datetime
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "i64": pa.array([2**40, None, -(2**40)], pa.int64()),
+            "u64": pa.array([2**63, 1, None], pa.uint64()),
+            "dec": pa.array([Decimal("12.34"), None, Decimal("-0.01")], pa.decimal128(10, 2)),
+            "bin": pa.array([b"\x00\xff", None, b"ok"], pa.binary()),
+            "fsb": pa.array([b"abcd", None, b"wxyz"], pa.binary(4)),
+            "d32": pa.array([datetime.date(2020, 1, 1), None, datetime.date(1969, 12, 31)]),
+            "ts": pa.array(
+                [datetime.datetime(2021, 5, 4, 3, 2, 1), None, datetime.datetime(1970, 1, 1)],
+                pa.timestamp("us"),
+            ),
+            "t64": pa.array([1, None, 86399999999], pa.time64("us")),
+        }
+    )
+    p = str(tmp_path / "wide.json")
+    write_json_integration(t, p)
+    back = read_json_integration_arrow(p)
+    assert back.schema == t.schema
+    assert back.combine_chunks().equals(t.combine_chunks())
+    # spec spot-checks on the raw JSON
+    import json as _json
+
+    with open(p) as fh:
+        doc = _json.load(fh)
+    cols = {c["name"]: c for c in doc["batches"][0]["columns"]}
+    assert cols["i64"]["DATA"][0] == str(2**40)  # 64-bit quoted
+    assert cols["dec"]["DATA"][0] == "1234"  # unscaled integer string
+    assert cols["bin"]["DATA"][0] == "00FF"  # upper-hex
+    assert cols["u64"]["DATA"][0] == str(2**63)
+
+
+def test_writer_from_spark_dataframe(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k int, v string")
+    p = str(tmp_path / "sdf.json")
+    write_json_integration(df, p)
+    back = read_json_integration(spark, p)
+    assert back.schema == df.schema
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]

@@ -58,3 +58,46 @@ def test_broadcast_small(store, spark):
     b = store.broadcast_small("dim")
     assert len(b.value) == 5
     b.unpersist()
+
+
+def test_subscribe_notify_on_seal(store, spark):
+    sub = store.subscribe()
+    store.put("a", _df(spark, 7))
+    note = sub.get_notification(timeout=5)
+    assert note.object_id == "a"
+    assert note.data_size == 7
+    assert not note.deleted
+
+
+def test_subscribe_notify_on_evict(store, spark):
+    store.put("a", _df(spark))
+    sub = store.subscribe()  # after seal: only the delete event arrives
+    store.evict("a")
+    notes = sub.drain()
+    assert [(n.object_id, n.deleted, n.data_size) for n in notes] == [("a", True, -1)]
+
+
+def test_subscription_timeout_and_unsubscribe(store, spark):
+    sub = store.subscribe()
+    with pytest.raises(TimeoutError):
+        sub.get_notification(timeout=0.05)
+    store.unsubscribe(sub)
+    store.put("a", _df(spark, 3))
+    assert sub.drain() == []  # unsubscribed streams receive nothing
+
+
+def test_wait_and_fetch(store, spark):
+    store.put("a", _df(spark, 4), spill=True)
+    store.put("b", _df(spark, 5))
+    ready, not_ready = store.wait(["a", "b", "zzz"], timeout=0.2)
+    assert set(ready) == {"a", "b"} and not_ready == ["zzz"]
+    # num_returns: satisfied as soon as 1 object is available
+    ready, _ = store.wait(["a", "zzz"], timeout=0.2, num_returns=1)
+    assert ready == ["a"]
+    # fetch pulls the spilled copy back into the hot tier after evict
+    store.evict("a")
+    assert "a" not in store.list()
+    avail = store.fetch(["a", "zzz"])
+    assert avail == {"a": True, "zzz": False}
+    assert "a" in store.list()
+    assert store.get("a").count() == 4
