@@ -7,6 +7,12 @@ from apache_arrow_spark.io.parquet import (
     write_to_dataset,
 )
 from apache_arrow_spark.io.ipc import read_ipc, write_ipc, write_ipc_single
+from apache_arrow_spark.io.compression import (
+    compress,
+    compress_column,
+    decompress,
+    decompress_column,
+)
 from apache_arrow_spark.io.feather import read_feather, write_feather
 from apache_arrow_spark.io.orc import read_orc, write_orc
 from apache_arrow_spark.io.pandas_bridge import from_arrow, from_pandas, to_pandas
@@ -17,4 +23,5 @@ __all__ = [
     "read_feather", "write_feather",
     "read_orc", "write_orc",
     "from_pandas", "to_pandas", "from_arrow",
+    "compress", "decompress", "compress_column", "decompress_column",
 ]

@@ -1683,6 +1683,57 @@ def q62_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_roundtrip, "doc_id bigint, lang string, n_chars bigint")
 
 
+@register(
+    "q63_tensor_slices",
+    """
+    SELECT CAST(range AS BIGINT) AS row_id,
+           CAST(64 * range + 28 AS DOUBLE) AS row_sum
+    FROM range(0, 100)
+    """,
+)
+def q63_tensor_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensor -> DataFrame mapping (tensor.py; reference array.pxi:492,
+    ipc/writer.h:246): a deterministic 100x8 arange tensor becomes one row
+    per outermost slice, then a JVM-side F.aggregate computes each slice's
+    sum — the analytic closed form (sum of 8i..8i+7 = 64i+28) is the
+    oracle.  Proves slice decomposition, element order, and that tensor
+    rows flow through ordinary Catalyst expressions."""
+    import numpy as np
+
+    from apache_arrow_spark.tensor import ROW_COL, from_numpy
+
+    arr = np.arange(800, dtype="float64").reshape(100, 8)
+    df = from_numpy(spark, arr)
+    return df.select(
+        F.col(ROW_COL).alias("row_id"),
+        F.aggregate("tensor", F.lit(0.0), lambda a, x: a + x).alias("row_sum"),
+    )
+
+
+@register(
+    "q64_compression_roundtrip",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, lang
+    FROM documents
+    """,
+)
+def q64_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec surface (io/compression.py; reference io.pxi:890,953):
+    document bodies are zstd-compressed into self-describing structs on
+    executors, decompressed back, and the recovered byte length emitted —
+    any codec corruption diverges from the oracle's octet_length."""
+    from apache_arrow_spark.io.compression import compress_column, decompress_column
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("body"), "lang"
+    )
+    packed = compress_column(docs, "body", codec="zstd")
+    back = decompress_column(packed, "body")
+    return back.select(
+        "doc_id", F.octet_length("body").cast("long").alias("n_bytes"), "lang"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
@@ -1693,6 +1744,8 @@ def q62_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _DEFERRED = [
     "q02_filter_and",
+    "q03_filter_or_countby",
+    "q06_countby_returnflag",
     "q04_select_project",
     "q05_count_filtered",
     "q07_countby_event_type",

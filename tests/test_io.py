@@ -106,6 +106,24 @@ def test_feather_roundtrip(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_feather_v1_wire_format(spark, tmp_path):
+    """version=1 emits the original feather format (feather.fbs FEA1
+    magic), readable both by us and by plain pyarrow."""
+    import pyarrow.feather as feather
+
+    df = spark.createDataFrame([(1, "x", 1.5), (2, None, -2.5)], "id long, s string, v double")
+    f = str(tmp_path / "t_v1.feather")
+    write_feather(df, f, version=1)
+    with open(f, "rb") as fh:
+        assert fh.read(4) == b"FEA1"  # v1 magic; v2/IPC files start ARROW1
+    back = read_feather(spark, f)
+    assert back.count() == 2
+    assert {r["id"] for r in back.collect()} == {1, 2}
+    assert feather.read_table(f).num_rows == 2  # external-reader parity
+    with pytest.raises(ValueError):
+        write_feather(df, f, version=1, compression="zstd")
+
+
 def test_orc_roundtrip(spark, li, tmp_path):
     dest = str(tmp_path / "orc")
     write_orc(li.limit(100), dest)
