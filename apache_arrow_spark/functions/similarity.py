@@ -79,6 +79,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def lsh_probes(query_vec: list[float], hp: list[list[float]], n_probe_bits: int = 1) -> set[int]:
+    """Multi-probe bucket set for a query: its own bucket plus all buckets
+    within ``n_probe_bits`` Hamming distance."""
+    planes = len(hp)
+    qb = 0
+    for j, plane in enumerate(hp):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s >= 0:
+            qb |= 1 << j
+    probes = {qb}
+    if n_probe_bits >= 1:
+        probes |= {qb ^ (1 << j) for j in range(planes)}
+    if n_probe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i + 1, planes)}
+    return probes
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -96,17 +113,7 @@ def ann_topk_lsh(
     dim = len(query_vec)
     hp = hyperplanes(dim, planes, seed)
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
-
-    qb = 0
-    for j, plane in enumerate(hp):
-        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        if s >= 0:
-            qb |= 1 << j
-    probes = {qb}
-    if n_probe_bits >= 1:
-        probes |= {qb ^ (1 << j) for j in range(planes)}
-    if n_probe_bits >= 2:
-        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i + 1, planes)}
+    probes = lsh_probes(query_vec, hp, n_probe_bits)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
@@ -203,6 +210,122 @@ def ivf_topk(
     sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
     return (
         assigned.filter(F.col("__cluster").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time index materialization: the 100 TB posture made literal.
+# The filter-based probes above still scan every row of the corpus to
+# evaluate `__bucket IN (...)`; these materialize the bucket/cluster id at
+# ingest so a probe PRUNES storage units instead (bucket pruning for the
+# LSH table, partition pruning for the IVF directory tree) — the scan
+# itself shrinks, which is what survives a 1000-executor 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+
+def materialize_lsh_index(
+    df: DataFrame,
+    table_name: str,
+    planes: int = 12,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> None:
+    """Write the corpus as a bucketed table keyed on the sign-LSH bucket
+    id.  `bucketBy(__bucket)` hashes the id into ``n_buckets`` files per
+    partition; an equality/IN probe on `__bucket` then prunes buckets at
+    plan time (`SelectedBucketsCount` in the scan)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    hp = hyperplanes(dim, planes, seed)
+    (
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp))
+        .write.bucketBy(n_buckets, "__bucket")
+        .sortBy("__bucket")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    table_name: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_bits: int = 1,
+    seed: int = 0x5EED,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ANN top-k over a `materialize_lsh_index` table: same semantics as
+    `ann_topk_lsh`, but the probe filter hits the stored `__bucket` column
+    so Spark prunes non-matching bucket files instead of scanning them
+    (`SelectedBucketsCount` in the scan).
+
+    Disables `autoBucketedScan` for the session: that heuristic turns off
+    bucketed reading for scan-only plans, which also turns off bucket
+    pruning — for probe workloads pruning is the whole point."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    dim = len(query_vec)
+    hp = hyperplanes(dim, planes, seed)
+    probes = lsh_probes(query_vec, hp, n_probe_bits)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+    return (
+        spark.table(table_name)
+        .filter(F.col("__bucket").isin(*[int(p) for p in probes]))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def materialize_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned by IVF cluster (`partitionBy` directory
+    tree).  A probe reading ``n_probe`` clusters lists only those
+    directories — partition pruning, visible as `PartitionFilters` in the
+    scan and fewer files read."""
+    assign_to_centroids(df, centroids, vec_col).write.partitionBy("__cluster").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF top-k over a `materialize_ivf_index` directory: probe clusters
+    become partition-pruning filters — non-probed clusters' files are
+    never opened."""
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            ((a - b) * (a - b) for a, b in zip(centroids[i], query_vec)), 0.0
+        ),
+    )
+    probe = [int(i) for i in dists[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("__cluster").isin(probe))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)

@@ -42,6 +42,25 @@ def shuffle_count(df: DataFrame) -> int:
     return plan_string(df, "simple").count("Exchange ")
 
 
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Execution metrics of each leaf scan node (run the query first!):
+    numFiles / numPartitions / filesSize etc.  The ground truth for
+    partition- and bucket-pruning claims — plan text says what *would* be
+    filtered; these say what the scan actually touched."""
+    ep = df._jdf.queryExecution().executedPlan()
+    leaves = ep.collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        out.append({"node": node.nodeName(), "metrics": metrics})
+    return out
+
+
 def codegen_stages(df: DataFrame) -> int:
     """Number of distinct whole-stage-codegen spans (the ``*(N)`` node
     prefixes in the simple plan string)."""

@@ -82,3 +82,73 @@ def test_ivf_topk_recall(spark, edf, vecs):
     }
     assert len(exact & approx) >= 3
     assert 0 in approx and 1 in approx
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time materialized indexes: probes must PRUNE storage, not filter
+# rows (SCALE.md's claim, proven at the plan level like test_bucketing).
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_index_bucket_pruning(spark, edf, vecs):
+    import uuid
+
+    from apache_arrow_spark.functions.similarity import (
+        ann_topk_lsh_indexed,
+        materialize_lsh_index,
+    )
+    from apache_arrow_spark.plans.inspect import plan_string
+
+    name = f"lsh_idx_{uuid.uuid4().hex[:6]}"
+    try:
+        materialize_lsh_index(edf, name, planes=8, n_buckets=16)
+        q = [float(x) for x in vecs[0]]
+        probe = ann_topk_lsh_indexed(spark, name, q, k=5, planes=8, n_probe_bits=2)
+        plan = plan_string(probe, "formatted")
+        # plan-time bucket pruning: the scan selects a strict subset of files
+        assert "SelectedBucketsCount" in plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2))
+        # same answer as the unindexed probe path
+        got = [r["vec_id"] for r in probe.collect()]
+        ref = [
+            r["vec_id"]
+            for r in ann_topk_lsh(edf, q, k=5, planes=8, n_probe_bits=2).collect()
+        ]
+        assert got == ref
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ivf_index_partition_pruning(spark, edf, vecs, tmp_path_factory):
+    from apache_arrow_spark.functions.similarity import (
+        assign_to_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        materialize_ivf_index,
+    )
+    from apache_arrow_spark.plans.inspect import plan_string
+
+    # deterministic pivots as centroids (the SQL-replicable configuration)
+    centroids = [[float(x) for x in vecs[i]] for i in (3, 50, 100, 150)]
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    materialize_ivf_index(edf, path, centroids)
+    q = [float(x) for x in vecs[0]]
+    probe = ivf_topk_indexed(spark, path, q, centroids, k=5, n_probe=2)
+    plan = plan_string(probe, "formatted")
+    assert "PartitionFilters" in plan and "__cluster" in plan
+    # non-probed clusters' directories are never opened: execution metrics
+    # show the scan touched exactly n_probe of the 4 cluster partitions
+    from apache_arrow_spark.plans.inspect import scan_metrics
+
+    probe.collect()
+    scans = [s for s in scan_metrics(probe) if "parquet" in s["node"].lower()]
+    assert scans and scans[0]["metrics"]["numPartitions"] == 2  # n_probe of 4
+    got = [r["vec_id"] for r in probe.collect()]
+    ref = [
+        r["vec_id"]
+        for r in ivf_topk(edf, q, k=5, n_probe=2, centroids=centroids).collect()
+    ]
+    assert got == ref
