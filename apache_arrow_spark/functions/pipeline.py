@@ -1,0 +1,284 @@
+"""Training-data pipeline assembly operators: deterministic sampling,
+stratified sampling, group-aware splits, dataset mixing, sequence packing,
+sharded shuffling, vocabulary building.
+
+These are the dataset-ASSEMBLY steps a 100 TB pretraining pipeline runs
+after cleaning/dedup (functions.dedup, functions.text): decide what goes
+in (sampling/mixing), how it is held out (group splits), and how it is
+laid out for the trainer (packing/sharding).  None exist in the reference
+(an in-memory columnar engine); they are the Spark-native capability its
+pipeline consumers would otherwise hand-roll.
+
+Scale design:
+- Every sampling/split decision is a PURE, SEEDED hash expression
+  (md5 -> 60-bit integer) on a key column: no RNG state, no driver
+  coordination, reproducible under retries/speculation, stable when the
+  corpus is re-partitioned or re-run — the properties `rand()` lacks.
+  The same decision rule can run in any engine (the oracle runs it in
+  DuckDB) — important when ingest and training pipelines differ.
+- ``pack_sequences`` needs a GLOBAL running sum in id order; a naive
+  window over ``ORDER BY id`` with no partition key is a single-task
+  bottleneck.  It is computed as a distributed prefix-sum instead:
+  range-partition by id, partition-local window cumsum, then add each
+  partition's broadcast prefix offset (one row per partition ever leaves
+  the executors).
+- ``deterministic_shuffle`` orders within shards (window PARTITIONed by
+  shard), never globally.
+- ``vocabulary`` is explode -> map-side-combinable count -> TakeOrdered
+  top-n; the token stream never collects anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from apache_arrow_spark.functions.text import token_count, tokens
+
+# 15 hex digits = 60 bits: fits a signed int64 in both Spark (conv->bigint)
+# and DuckDB ('0x..'::BIGINT), so the decision rule is engine-portable.
+HASH_MOD = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "", mod: int = HASH_MOD) -> Column:
+    """Deterministic uniform bucket in [0, mod) from a key column.
+
+    ``md5(salt || cast(key as string))`` -> first 15 hex digits -> int64
+    -> modulo.  Engine-portable (DuckDB twin:
+    ``('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 15))::BIGINT % mod``).
+    Changing ``salt`` draws an independent sample — e.g. a sampling
+    decision and a split decision on the same key don't correlate.
+    """
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % mod).alias(
+        "bucket"
+    )
+
+
+def sql_hash_bucket(key_sql: str, salt: str = "", mod: int = HASH_MOD) -> str:
+    """The DuckDB twin of :func:`hash_bucket` (used by query oracles)."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {mod})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``.
+
+    A row survives iff its hash bucket < fraction * HASH_MOD — a pure
+    filter (pushes past projections, no shuffle, reproducible across
+    runs/retries/engines, unlike ``df.sample``'s partition-seeded RNG
+    which changes under repartitioning).
+    """
+    thr = int(round(fraction * HASH_MOD))
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    keep ``default``.  One pass, one filter expression — the per-stratum
+    thresholds fold into a CASE, so Catalyst still pushes it to the scan.
+    """
+    thr = F.lit(int(round(default * HASH_MOD)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(round(frac * HASH_MOD)))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leak-proof train/valid/test assignment: every row of a group (user,
+    document cluster, ...) lands in the SAME split, because the decision
+    hashes the group key, not the row.
+
+    ``weights`` maps split name -> probability mass (default
+    80/10/10 train/valid/test); assignment thresholds follow the
+    lexicographic order of split names for determinism.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    b = hash_bucket(F.col(group_col), salt)
+    expr = None
+    acc = 0.0
+    # deterministic threshold layout: lexicographic split-name order
+    for name, w in sorted(weights.items()):
+        acc += w / total
+        cut = int(round(acc * HASH_MOD))
+        expr = (
+            F.when(b < F.lit(cut), F.lit(name))
+            if expr is None
+            else expr.when(b < F.lit(cut), F.lit(name))
+        )
+    last = sorted(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def mix_datasets(
+    parts: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixture: sample each source at ``weight`` (its
+    keep-rate in [0, 1]) and union, tagging rows with ``mix_name`` and
+    ``mix_weight`` so the trainer can apply example weighting downstream.
+
+    Sampling is per-source :func:`hash_sample` (salted by source name so
+    sources draw independent coins); the union is a zero-shuffle
+    concatenation — at 100 TB this plan is "scan each source with a
+    pushed filter, append", with no exchange anywhere.
+    """
+    out = None
+    for name, (src, weight) in sorted(parts.items()):
+        sampled = hash_sample(src, weight, key_col, salt=salt + name).select(
+            "*",
+            F.lit(name).alias("mix_name"),
+            F.lit(float(weight)).alias("mix_weight"),
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+    if out is None:
+        raise ValueError("mix_datasets: no sources given")
+    return out
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out_col: str, n_part: int = 0
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
+    order.
+
+    Range-partition by the order key, window-cumsum WITHIN each partition,
+    then add the partition's global offset (computed from per-partition
+    totals — one tiny row per partition crosses to the driver, the same
+    driver-materialization budget as a shard manifest).  A plain
+    ``ORDER BY`` window with no partition key would serialize the whole
+    table through one task.
+    """
+    spark = df.sparkSession
+    n_part = n_part or max(spark.sparkContext.defaultParallelism, 8)
+    part = df.repartitionByRange(n_part, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    # per-partition totals: n_part rows, two longs each
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in part.groupBy("__pid").agg(F.sum(val_col).alias("__t")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(val_col).over(w), F.lit(0).cast("bigint"))
+    off = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    out = part.withColumn(out_col, (local + off[F.col("__pid")]).cast("bigint")).drop(
+        "__pid"
+    )
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay all documents out as one
+    token stream in ``id_col`` order and cut it into fixed ``budget``-token
+    bins — the standard pretraining packing layout (documents may span a
+    bin boundary; ``bin_offset`` says where a doc starts inside its bin).
+
+    Returns (id, tokens, bin_id, bin_offset) where ``bin_id =
+    floor(exclusive_cumsum / budget)``.  The global cumsum is a
+    distributed prefix sum (see :func:`_exclusive_prefix_sum`) — no
+    single-task window, no collect of data rows.
+    """
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("tokens"),
+    )
+    pre = _exclusive_prefix_sum(toks, id_col, "tokens", "__pre")
+    return pre.select(
+        id_col,
+        "tokens",
+        F.floor(F.col("__pre") / budget).cast("bigint").alias("bin_id"),
+        (F.col("__pre") % budget).cast("bigint").alias("bin_offset"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global shuffle into ``num_shards`` training shards.
+
+    Shard = hash bucket of the key; position within the shard = rank by
+    (hash, key) — so the full (shard, pos) layout is a pure function of
+    the data, reproducible across runs and engines.  The window
+    PARTITIONs by shard: num_shards parallel sorts of ~N/num_shards rows,
+    never a global sort.
+    """
+    if num_shards <= 0:
+        raise ValueError("deterministic_shuffle: num_shards must be positive")
+    b = hash_bucket(F.col(key_col), salt)
+    with_shard = df.withColumn("__h", b).withColumn(
+        "shard", (F.col("__h") % num_shards).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return with_shard.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("__h")
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: top-n tokens by collection frequency with
+    document frequency — the input to tokenizer/BPE training and to
+    stopword/quality heuristics.
+
+    explode -> one hash aggregate (map-side combinable: both counts are
+    sums/approx-distinct-free) -> TakeOrdered top-n.  Ties break on the
+    token string so the result is total-ordered and engine-portable.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
+        .select("__id", F.explode(tokens(F.col("__t"))).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col("__id")).alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)

@@ -1,0 +1,128 @@
+"""Tests for functions.pipeline — training-data assembly operators.
+
+Each operator's contract is checked against a brute-force pandas
+recomputation of the same deterministic rule, plus the structural
+properties that make the operator usable at scale (group consistency,
+dense shard positions, partitioning-invariance).
+"""
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from apache_arrow_spark.functions.pipeline import (
+    HASH_MOD,
+    deterministic_shuffle,
+    group_split,
+    hash_bucket,
+    hash_sample,
+    mix_datasets,
+    pack_sequences,
+    stratified_sample,
+    vocabulary,
+)
+
+
+def _py_bucket(key, salt="", mod=HASH_MOD):
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:15], 16) % mod
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_bucket_matches_python(spark):
+    df = spark.range(200).select(F.col("id").cast("string").alias("k"))
+    rows = df.select("k", hash_bucket(F.col("k"), "s").alias("b")).collect()
+    for r in rows:
+        assert r["b"] == _py_bucket(r["k"], "s")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df, 0.3, "k").collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(13), 0.3, "k").collect()}
+    assert a == b  # unlike df.sample, survives repartitioning
+    assert abs(len(a) / 5000 - 0.3) < 0.03
+
+
+def test_stratified_sample_rates(spark):
+    pdf = pd.DataFrame(
+        {"k": range(6000), "s": ["a", "b", "c"] * 2000}
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.5}, "k", default=0.0)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2000  # keep-all stratum keeps everything
+    assert abs(counts["b"] / 2000 - 0.5) < 0.05
+    assert "c" not in counts  # default=0 drops the stratum entirely
+
+
+def test_group_split_no_leakage(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 97).alias("g"), F.col("id").alias("x")
+    )
+    out = group_split(df, "g")
+    # every group maps to exactly one split
+    per_group = out.groupBy("g").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_group)
+    # all three splits materialize over 97 groups at 80/10/10
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "valid", "test"}
+
+
+def test_mix_datasets_tags_and_rates(spark):
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    out = mix_datasets({"a": (df, 1.0), "b": (df, 0.25)}, "k")
+    counts = {
+        r["mix_name"]: r["n"]
+        for r in out.groupBy("mix_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 4000
+    assert abs(counts["b"] / 4000 - 0.25) < 0.05
+    w = {r["mix_name"]: r["mix_weight"] for r in out.select("mix_name", "mix_weight").distinct().collect()}
+    assert w == {"a": 1.0, "b": 0.25}
+
+
+def test_pack_sequences_matches_pandas_prefix_sum(docs):
+    out = pack_sequences(docs, 512).toPandas().sort_values("doc_id").reset_index(drop=True)
+    toks = out[["doc_id", "tokens"]].copy()
+    pre = toks["tokens"].cumsum().shift(1, fill_value=0)
+    assert (out["bin_id"] == pre // 512).all()
+    assert (out["bin_offset"] == pre % 512).all()
+
+
+def test_pack_sequences_rejects_bad_budget(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
+def test_deterministic_shuffle_dense_positions_and_stable(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    out = deterministic_shuffle(df, "k", 4).toPandas()
+    assert set(out["shard"].unique()) <= set(range(4))
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))  # dense 0..n-1
+    again = deterministic_shuffle(df.repartition(7), "k", 4).toPandas()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = again.sort_values("k").reset_index(drop=True)
+    assert a.equals(b)  # layout is a pure function of the data
+
+
+def test_vocabulary_matches_bruteforce(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat sat", "the dog ran the mile", "cat and dog"],
+        }
+    )
+    out = vocabulary(spark.createDataFrame(pdf), top_n=3).collect()
+    assert [(r["token"], r["tf"], r["df"]) for r in out] == [
+        ("the", 3, 2),
+        ("cat", 2, 2),
+        ("dog", 2, 2),
+    ]
