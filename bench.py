@@ -71,36 +71,6 @@ def main():
         lambda it: it, "id bigint"
     ).write.format("noop").mode("overwrite").save()
 
-    # BASELINE.md anchor first (clean heap): Arrow-path toPandas of 2^22
-    # rows x (long, double); reference blog: 737 ms
-    # (site/_posts/2017-07-26-spark-arrow.md).
-    import pyspark.sql.functions as F
-
-    from apache_arrow_spark.io.pandas_bridge import to_pandas
-
-    blog_df = (
-        spark.range(2**22)
-        .select(F.col("id"), (F.rand(seed=42) * 100).alias("x"))
-        .cache()
-    )
-    blog_df.count()  # materialize input before timing the transfer
-    runs = []
-    for _ in range(3):  # steady-state transfer time (blog reports likewise)
-        t0 = time.time()
-        pdf = to_pandas(blog_df)  # engine egress (large-batch Arrow collect)
-        runs.append(round(time.time() - t0, 3))
-        assert len(pdf) == 2**22
-        del pdf
-    arrow_topandas = min(runs)
-    blog_df.unpersist()
-    # settle the heap before per-query timing: the 3x 4M-row collect above
-    # otherwise leaves GC debt that lands on whichever query runs first
-    import gc
-
-    gc.collect()
-    spark._jvm.System.gc()
-    QUERIES["q06_countby_returnflag"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     import glob as _glob
     import shutil as _shutil
 
@@ -128,6 +98,36 @@ def main():
         timings[name] = min(reps)
 
     total = round(sum(timings.values()), 3)
+
+    # BASELINE.md anchor LAST: Arrow-path toPandas of 2^22 rows x
+    # (long, double); reference blog: 737 ms
+    # (site/_posts/2017-07-26-spark-arrow.md).  The 3x 67 MB driver
+    # collects grow the JVM old-gen + netty direct-buffer arenas in ways
+    # System.gc() does not undo on this box — running them before the
+    # query loop measurably degraded every allocation-heavy query after
+    # (q33 2-3x slower).  Min-of-3 reaches transfer steady state without
+    # needing a pristine heap, so the anchor tolerates going last; the
+    # query loop does not tolerate going after the anchor.
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.pandas_bridge import to_pandas
+
+    blog_df = (
+        spark.range(2**22)
+        .select(F.col("id"), (F.rand(seed=42) * 100).alias("x"))
+        .cache()
+    )
+    blog_df.count()  # materialize input before timing the transfer
+    runs = []
+    for _ in range(3):  # steady-state transfer time (blog reports likewise)
+        t0 = time.time()
+        pdf = to_pandas(blog_df)  # engine egress (large-batch Arrow collect)
+        runs.append(round(time.time() - t0, 3))
+        assert len(pdf) == 2**22
+        del pdf
+    arrow_topandas = min(runs)
+    blog_df.unpersist()
+
     print(
         json.dumps(
             {
