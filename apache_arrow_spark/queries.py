@@ -1905,6 +1905,230 @@ def q70_dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q71-q75 — corpus filtering (functions/filters.py): Gopher-style repetition
+# statistics, paragraph-level boilerplate flags, benchmark decontamination,
+# PII redaction.  The synthetic corpus has no newlines/PII, so the wrappers
+# deterministically synthesize the structure each filter targets (10-token
+# chunk "lines", planted repetition on every 10th doc, appended contact
+# strings) — the SAME construction runs in the oracle, so every value is
+# hash-checked, never vacuous.
+# --------------------------------------------------------------------------
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# 10-token chunk lines, DuckDB side (list comprehension over chunk index)
+_SQL_CHUNKS = (
+    "[array_to_string(tk[(i*10+1):(i*10+10)], ' ') "
+    "for i in generate_series(0, CAST(ceil(len(tk)/10.0) AS INT) - 1)]"
+)
+
+
+@register(
+    "q71_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+               WHERE length(trim(text)) > 0),
+    ch AS (SELECT doc_id, {_SQL_CHUNKS} AS lines FROM t),
+    pl AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN list_concat(lines, [lines[1], lines[1]])
+                       ELSE lines END AS lines
+           FROM ch),
+    m AS (SELECT doc_id, lines, list_distinct(lines) AS uq,
+                 list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS tc,
+                 list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum') AS uc
+          FROM pl)
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           round((len(lines) - len(uq)) / greatest(len(lines), 1), 6) AS dup_line_fraction,
+           round((tc - uc) / greatest(tc, 1), 6) AS dup_line_char_fraction
+    FROM m
+    """,
+)
+def q71_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter signals: duplicate-line fraction and
+    duplicate-line character fraction, over 10-token chunk lines (every
+    10th doc gets its first chunk planted twice more, so the signal is
+    non-zero and the threshold rule is exercised).  Pure per-row array
+    expressions — no explode, no shuffle: scan-speed at 100 TB."""
+    from apache_arrow_spark.functions.filters import (
+        line_stats_from_lines,
+        token_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.length(F.btrim("text")) > 0).select(
+        "doc_id", token_chunks(F.col("text"), 10).alias("lines")
+    )
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("lines"),
+                F.array(F.col("lines")[0], F.col("lines")[0]),
+            ),
+        )
+        .otherwise(F.col("lines"))
+        .alias("lines"),
+    )
+    stats = line_stats_from_lines(F.col("lines"))
+    return planted.select(
+        "doc_id", *[c.alias(k) for k, c in stats.items()]
+    )
+
+
+@register(
+    "q72_top_ngram_fraction",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk, length(text) AS chars
+               FROM documents WHERE length(trim(text)) > 0),
+    g AS (SELECT doc_id, chars, array_to_string(tk[i:i+1], ' ') AS g
+          FROM t, unnest(generate_series(1, len(tk) - 1)) s(i)),
+    c AS (SELECT doc_id, chars, g, count(*) AS c FROM g GROUP BY ALL),
+    r AS (SELECT doc_id, chars, g, c,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, g DESC) AS rn
+          FROM c)
+    SELECT doc_id, CAST(c AS BIGINT) AS top_gram_count,
+           round(c * length(g) / greatest(chars, 1), 6) AS ngram_char_fraction
+    FROM r WHERE rn = 1
+    """,
+)
+def q72_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of document characters covered by its most frequent word
+    2-gram — the Gopher repetition signal that catches "buy now buy now"
+    spam.  Explode -> map-side-combinable (doc, gram) count -> per-doc
+    struct-max argmax (one gram per doc survives) -> join char totals;
+    both shuffles key on doc_id."""
+    from apache_arrow_spark.functions.filters import top_ngram_char_fraction
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.btrim("text")) > 0
+    )
+    return top_ngram_char_fraction(d, n=2)
+
+
+@register(
+    "q73_shared_paragraphs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+               WHERE length(trim(text)) > 0),
+    ch AS (SELECT doc_id, unnest({_SQL_CHUNKS}) AS p FROM t),
+    d AS (SELECT DISTINCT doc_id, p FROM ch),
+    s AS (SELECT p FROM d GROUP BY p HAVING count(*) > 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+           CAST(count(*) FILTER (WHERE p IN (SELECT p FROM s)) AS BIGINT)
+               AS n_shared_paragraphs
+    FROM d GROUP BY doc_id
+    """,
+)
+def q73_shared_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection at paragraph (10-token chunk)
+    granularity: for each doc, how many of its chunks appear in at least
+    one other document.  Chunks shuffle as xxhash64 digests (8 bytes),
+    never text; both aggregates are map-side combinable."""
+    from apache_arrow_spark.functions.filters import (
+        paragraph_dedup_flags,
+        token_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.btrim("text")) > 0
+    )
+    return paragraph_dedup_flags(
+        d, paragraphs_of=lambda t: token_chunks(t, 10)
+    )
+
+
+@register(
+    "q74_decontaminate",
+    f"""
+    WITH b AS (SELECT text FROM documents
+               WHERE {sql_hash_bucket("doc_id", "bench")} < 100000
+                 AND length(trim(text)) > 0),
+    tb AS (SELECT {_SQL_TOKS.replace("text", "text")} AS tk FROM b),
+    gb AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+           FROM tb, unnest(generate_series(1, len(tk) - 12)) s(i)),
+    c AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+          WHERE {sql_hash_bucket("doc_id", "bench")} >= 100000
+            AND length(trim(text)) > 0),
+    gc AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           FROM c, unnest(generate_series(1, len(tk) - 12)) s(i))
+    SELECT DISTINCT doc_id FROM gc WHERE g IN (SELECT g FROM gb)
+    """,
+)
+def q74_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Gopher 13-gram rule): flag every
+    corpus document sharing a 13-gram with the held-out "benchmark" (a
+    deterministic 10% md5 sample standing in for an eval set).  Corpus
+    n-grams shuffle as xxhash64 digests; the benchmark digest set is tiny
+    and broadcast, so the check costs one corpus scan, zero shuffle."""
+    from apache_arrow_spark.functions.filters import decontaminate
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.btrim("text")) > 0
+    )
+    bench = d.filter(hash_bucket(F.col("doc_id"), "bench") < 100000)
+    corpus = d.filter(hash_bucket(F.col("doc_id"), "bench") >= 100000)
+    return decontaminate(corpus, bench, n=13)
+
+
+@register(
+    "q75_pii_redaction",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' tel +1 (555) 010-1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                 '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4s / phone-like runs with
+    typed tags.  The corpus is synthetic word soup, so a deterministic
+    contact string derived from doc_id is appended first (same rule in the
+    oracle); output carries the md5 of the redacted text, so the oracle
+    hash-checks every replaced byte.  One codegen'd regexp chain — scan
+    speed, no Python, no shuffle."""
+    from apache_arrow_spark.functions.filters import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel +1 (555) 010-1"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
 # rows.  Rotate 11 round-1-green trivial-wrapper queries (each still fully
