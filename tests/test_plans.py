@@ -71,3 +71,47 @@ def test_minhash_no_python_in_signature_path(spark, sf_dir):
     sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
     assert "BatchEvalPython" not in plan_string(sig, "simple")
     assert "ArrowEvalPython" not in plan_string(sig, "simple")
+
+
+def test_q71_repetition_stats_no_shuffle(spark, sf_dir):
+    # per-row array expressions only: the whole query is scan + project
+    df = QUERIES["q71_repetition_stats"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+
+def test_q75_pii_redaction_no_shuffle_no_python(spark, sf_dir):
+    df = QUERIES["q75_pii_redaction"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan_string(df, "simple")
+    assert "ArrowEvalPython" not in plan_string(df, "simple")
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark digest set must broadcast: contamination check is one
+    # corpus scan, no shuffle of corpus n-grams
+    df = QUERIES["q74_decontaminate"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_pipeline_sampling_is_a_pure_filter(spark, sf_dir):
+    # hash_sample/stratified_sample must stay scan+filter (no exchange):
+    # the sampling decision is a row-local expression
+    from apache_arrow_spark.functions.pipeline import stratified_sample
+    from apache_arrow_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.5}, "doc_id", default=0.1)
+    assert shuffle_count(out) == 0
+
+
+def test_mix_datasets_zero_shuffle_union(spark, sf_dir):
+    from apache_arrow_spark.functions.pipeline import mix_datasets
+    from apache_arrow_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mix_datasets(
+        {"a": (d.filter(F.col("source") == "src0"), 1.0),
+         "b": (d.filter(F.col("source") == "src1"), 0.5)},
+        "doc_id",
+    )
+    assert shuffle_count(out) == 0
