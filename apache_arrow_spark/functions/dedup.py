@@ -153,7 +153,7 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
-    candidates.count()  # eager for the same reason
+    n_pairs = candidates.count()  # eager for the same reason
     # shingle sets for exact verification — computed ONLY for docs that
     # appear in a candidate pair (left-semi on the candidate id set).  At
     # corpus scale the candidate set is orders of magnitude smaller than the
@@ -164,10 +164,16 @@ def minhash_near_duplicates(
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # size the verify stage by the MEASURED candidate cardinality (known,
+    # since candidates just materialized), not the corpus: ~512 docs per
+    # partition, capped at cluster parallelism.  A corpus-width repartition
+    # here would spread a few hundred candidate docs over empty tasks whose
+    # scheduling dominates; a huge candidate set still fans out fully.
+    verify_part = max(1, min(_compute_parallelism(df), (2 * n_pairs) // 512 + 1))
     sh_df = (
         df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
         .join(cand_ids, on="id", how="left_semi")
-        .repartition(_compute_parallelism(df), F.col("id"))
+        .repartition(verify_part, F.col("id"))
         .select("id", shingles_of_normalized(F.col("t"), k).alias("sh"))
         .persist()
     )
