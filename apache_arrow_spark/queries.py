@@ -2129,6 +2129,85 @@ def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q76-q77 — streaming ingestion operators run under Trigger.AvailableNow so
+# a batch SQL oracle can hash-check a REAL streaming execution (same
+# pattern as q39/q40): dedup-on-ingest and the stream-stream funnel join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q76_streaming_dedup",
+    f"""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q76_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: the events stream is unioned with a planted
+    10% re-delivery sample (deterministic md5 rule), then
+    dropDuplicatesWithinWatermark(event_id) restores exactly-once — the
+    oracle is simply the original table.  Output carries only columns
+    functionally dependent on the key, so which physical duplicate wins
+    cannot affect the hash.  State: one entry per key within the
+    watermark horizon — bounded at any scale."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    base = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    redelivered = with_event_time(
+        replay_table_stream(spark, sf_dir, "events")
+    ).filter(hash_bucket(F.col("event_id"), "dup") < 100000)
+    deduped = streaming_dedup(base.unionByName(redelivered), ["event_id"])
+    got = run_to_memory_sink(deduped, spark, output_mode="append")
+    return got.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "q77_stream_funnel_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(epoch_us(a.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(b.ts) AS BIGINT) AS purchase_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q77_stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream funnel/attribution join: purchases matched to clicks
+    by the same user within 30 minutes, both sides watermarked so join
+    state expires (proportional to the bound, not stream history).  Runs
+    as a genuine streaming join under availableNow; the oracle is the
+    batch inequality join."""
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_to_memory_sink,
+        time_bounded_join,
+    )
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    clicks = with_event_time(replay_table_stream(spark, sf_dir, "events")).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = with_event_time(
+        replay_table_stream(spark, sf_dir, "events")
+    ).filter(F.col("event_type") == "purchase")
+    joined = time_bounded_join(clicks, purchases, "user_id", upper="30 minutes")
+    got = run_to_memory_sink(joined, spark, output_mode="append")
+    return got.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.unix_micros(F.col("l_event_time")).alias("click_us"),
+        F.unix_micros(F.col("r_event_time")).alias("purchase_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
 # rows.  Rotate 11 round-1-green trivial-wrapper queries (each still fully

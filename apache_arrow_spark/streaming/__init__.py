@@ -7,6 +7,8 @@ from apache_arrow_spark.streaming.sources import (
 from apache_arrow_spark.streaming.ops import (
     run_to_memory_sink,
     session_windows,
+    streaming_dedup,
+    time_bounded_join,
     tumbling_window_counts,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "replay_table_stream",
     "tumbling_window_counts",
     "session_windows",
+    "streaming_dedup",
+    "time_bounded_join",
     "run_to_memory_sink",
 ]

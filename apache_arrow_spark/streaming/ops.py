@@ -64,6 +64,53 @@ def session_windows(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Ingestion-time exactly-once-per-key dedup: emit the first arrival of
+    each key, drop re-deliveries seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps ONE state entry per key and
+    expires it at the watermark — bounded state at any scale, the property
+    a plain ``dropDuplicates`` on an unbounded stream lacks.  Downstream
+    consumers should read only ``keys`` and columns functionally dependent
+    on them: which physical duplicate wins is arrival-order-dependent.
+    """
+    return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def time_bounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Stream-stream inner join: match right rows to left rows with the
+    same ``key`` where ``right.time ∈ [left.time, left.time + upper]`` —
+    the funnel/attribution join (click -> purchase within N minutes).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark derives a state-cleanup horizon for each
+    side — state stays proportional to ``upper`` + watermark, not to the
+    stream's history.  Output columns are prefixed ``l_``/``r_``.
+    """
+    l = left.withWatermark(time_col, watermark)
+    r = right.withWatermark(time_col, watermark)
+    lp = l.select([F.col(c).alias(f"l_{c}") for c in l.columns])
+    rp = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{time_col}") >= F.col(f"l_{time_col}"))
+        & (F.col(f"r_{time_col}") <= F.col(f"l_{time_col}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lp.join(rp, cond)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -108,3 +108,57 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
 
     key_counts = Counter(r["key"] for r in rows)
     assert max(key_counts.values()) == 2
+
+
+def test_streaming_dedup_restores_exactly_once(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    base = with_event_time(replay_table_stream(spark, sf_dir, "events"))
+    doubled = base.unionByName(base)  # every event delivered twice
+    got = run_to_memory_sink(
+        streaming_dedup(doubled, ["event_id"]), spark, output_mode="append"
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_time_bounded_join_matches_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_to_memory_sink,
+        time_bounded_join,
+    )
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    clicks = with_event_time(replay_table_stream(spark, sf_dir, "events")).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = with_event_time(replay_table_stream(spark, sf_dir, "events")).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = run_to_memory_sink(
+        time_bounded_join(clicks, purchases, "user_id", upper="30 minutes"),
+        spark,
+        output_mode="append",
+    ).select("l_event_id", "r_event_id")
+    b = with_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_type") == "click")
+    ).select(F.col("event_id").alias("l_event_id"), F.col("user_id").alias("u"), F.col("event_time").alias("lt"))
+    p = with_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("event_type") == "purchase")
+    ).select(F.col("event_id").alias("r_event_id"), F.col("user_id").alias("u"), F.col("event_time").alias("rt"))
+    expect = b.join(p, "u").filter(
+        (F.col("rt") >= F.col("lt"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 30 minutes"))
+    ).select("l_event_id", "r_event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
