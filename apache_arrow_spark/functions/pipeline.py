@@ -259,6 +259,105 @@ def deterministic_shuffle(
     ).drop("__h")
 
 
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 20,
+    jaccard_threshold: float = 0.5,
+    decontaminate_n: int = 13,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.5,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """End-to-end corpus curation: the full pretraining data funnel as one
+    composition of this engine's operators —
+
+        raw -> quality filter -> exact dedup -> MinHash near-dup drop ->
+        benchmark decontamination -> stratified sampling -> group split
+
+    Returns an ORDERED dict of stage name -> DataFrame (each stage is the
+    corpus surviving to that point; ``split`` carries the final corpus
+    plus its ``split`` column).  Everything is lazily composed — callers
+    pick which stages to materialize.
+
+    Near-dup policy: for every verified pair (id_a < id_b, jaccard >=
+    threshold), the LARGER id drops — deterministic and engine-portable.
+    At the default 0.5 threshold, real corpora pair either well above it
+    (templates/near-copies) or well below, so LSH recall at the boundary
+    is not load-bearing; raise bands if your corpus concentrates there.
+    """
+    from apache_arrow_spark.functions.dedup import (
+        exact_dedup,
+        minhash_near_duplicates,
+    )
+    from apache_arrow_spark.functions.filters import decontaminate
+
+    stages: dict[str, DataFrame] = {"raw": docs}
+    quality = docs.filter(token_count(F.col(text_col)) >= min_tokens)
+    stages["quality"] = quality
+    exact = exact_dedup(quality, text_col, key_col)
+    stages["exact_dedup"] = exact
+    pairs = minhash_near_duplicates(
+        exact, text_col, key_col, jaccard_threshold=jaccard_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(key_col)).distinct()
+    near = exact.join(drop, key_col, "left_anti")
+    stages["near_dedup"] = near
+    decon = decontaminate(
+        near,
+        benchmark,
+        n=decontaminate_n,
+        text_col=text_col,
+        id_col=key_col,
+        mode="drop",
+    )
+    stages["decontaminated"] = decon
+    sampled = stratified_sample(
+        decon,
+        strata_col,
+        fractions or {},
+        key_col,
+        default=default_fraction,
+        salt="curate",
+    )
+    stages["sampled"] = sampled
+    stages["split"] = group_split(sampled, key_col)
+    return stages
+
+
+def curation_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage, n) funnel counts for a :func:`curate_corpus` result — the
+    per-stage survivor counts a pipeline run reports.  The ``split`` stage
+    expands to one row per split value.  Stage names carry an ordering
+    prefix so the funnel reads top-down when sorted.
+
+    EXECUTES the funnel: each stage is persisted, counted once (so stage
+    N+1 computes from stage N's cache instead of re-running the whole
+    upstream chain — counting lazily made the funnel quadratic), and
+    unpersisted before returning.  The result is a tiny local DataFrame
+    of (stage, n) rows.
+    """
+    spark = next(iter(stages.values())).sparkSession
+    rows: list[tuple[str, int]] = []
+    cached = []
+    for i, (name, df) in enumerate(stages.items()):
+        if name != "raw":
+            # persist() marks the logical plan itself — downstream stages
+            # built on this frame hit the cache by plan identity
+            df = df.persist()
+            cached.append(df)
+        if name == "split":
+            for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect():
+                rows.append((f"{i}_split_{r['split']}", r["n"]))
+        else:
+            rows.append((f"{i}_{name}", df.count()))
+    for df in cached:
+        df.unpersist()
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

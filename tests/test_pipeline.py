@@ -126,3 +126,29 @@ def test_vocabulary_matches_bruteforce(spark):
         ("cat", 2, 2),
         ("dog", 2, 2),
     ]
+
+
+def test_curate_corpus_funnel_monotone(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.pipeline import (
+        curate_corpus,
+        curation_funnel,
+        hash_bucket,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(
+        (hash_bucket(F.col("doc_id"), "bench") < 100000)
+        & (F.length(F.btrim("text")) > 0)
+    )
+    corpus = d.filter(hash_bucket(F.col("doc_id"), "bench") >= 100000)
+    stages = curate_corpus(corpus, bench, fractions={"en": 0.7}, default_fraction=0.5)
+    funnel = {r["stage"]: r["n"] for r in curation_funnel(stages).collect()}
+    order = ["0_raw", "1_quality", "2_exact_dedup", "3_near_dedup",
+             "4_decontaminated", "5_sampled"]
+    ns = [funnel[s] for s in order]
+    assert ns == sorted(ns, reverse=True)  # each stage only removes docs
+    assert ns[-1] > 0
+    split_total = sum(v for k, v in funnel.items() if k.startswith("6_split_"))
+    assert split_total == funnel["5_sampled"]  # split partitions the sample
