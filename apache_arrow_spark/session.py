@@ -132,11 +132,41 @@ def get_spark(
     return apply_runtime_confs(builder.getOrCreate())
 
 
+def normalize_engine_schema(df: DataFrame) -> DataFrame:
+    """Restore the engine's canonical temporal model at the scan edge.
+
+    The engine's temporal cast kernel (§2.6, compute/cast.py) is defined
+    over int64 epoch-nanoseconds — the reference's timestamp[ns] storage
+    (cpp/src/arrow/type.h TimestampType).  Generated testdata has shipped
+    ``events.ts`` both as INT64-nanos (read as long via ``nanosAsLong``)
+    and as parquet timestamp[us] (read as TIMESTAMP_NTZ); adapt here so
+    every downstream operator sees one model.  ``withColumn`` on an
+    existing column keeps its position, so projected schemas are stable.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if "ts" in df.columns:
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            # Session tz is pinned to UTC (_RUNTIME_CONFS), so the
+            # NTZ->TZ cast is identity on the wall-clock instant.
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                    "long"
+                ),
+            )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet).  Always routes through
     ``apply_runtime_confs`` so queries work on driver-built sessions too."""
     apply_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_engine_schema(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_table_with_pos(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -150,10 +180,14 @@ def load_table_with_pos(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     import pyspark.sql.functions as F
 
-    return df.select(
-        "*",
-        F.struct(
-            F.col("_metadata.file_path").alias("f"),
-            F.col("_metadata.row_index").alias("i"),
-        ).alias("__pos"),
+    # __pos must be built straight off the scan (the hidden _metadata
+    # column does not survive projections), then normalize on top.
+    return normalize_engine_schema(
+        df.select(
+            "*",
+            F.struct(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.row_index").alias("i"),
+            ).alias("__pos"),
+        )
     )

@@ -22,7 +22,14 @@ from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
 
 def with_event_time(df: DataFrame, ts_col: str = "ts", unit: str = "ns") -> DataFrame:
     """Attach ``event_time`` (timestamp) from an int64 epoch column —
-    the ns->us engine cast on the streaming path."""
+    the ns->us engine cast on the streaming path.  Schema-adaptive: if the
+    source already carries a timestamp(_ntz) column (parquet timestamp[us]
+    testdata), it is cast directly instead of long-epoch converted."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return df.withColumn("event_time", F.col(ts_col).cast("timestamp"))
     ts = timestamp_from_long(F.col(ts_col), unit, CastOptions(allow_time_truncate=True))
     return df.withColumn("event_time", ts.cast("timestamp"))
 

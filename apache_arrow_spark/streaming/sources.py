@@ -72,8 +72,10 @@ def replay_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     """Replay a testdata parquet table as a stream (the harness's analog of
     an unbounded source; FIXTURES.md 'events replayed as a stream')."""
     apply_runtime_confs(spark)
+    from apache_arrow_spark.session import normalize_engine_schema
+
     batch = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return (
+    return normalize_engine_schema(
         spark.readStream.format("parquet")
         .schema(batch.schema)
         .option("pathGlobFilter", f"{name}.parquet")
