@@ -154,6 +154,13 @@ def minhash_near_duplicates(
         .persist()
     )
     n_pairs = candidates.count()  # eager for the same reason
+    # The candidate cardinality is now MEASURED, so the verify topology can
+    # be chosen exactly (runtime adaptivity with better information than
+    # AQE's byte estimates): a small candidate set broadcasts — the verify
+    # joins collapse into one shuffle-free stage — while a huge one (mega-
+    # bucket corpora) keeps the scale-safe shuffle equi-join.
+    bcast_cand = n_pairs <= (1 << 21)
+    cand_join = F.broadcast(candidates) if bcast_cand else candidates
     # shingle sets for exact verification — computed ONLY for docs that
     # appear in a candidate pair (left-semi on the candidate id set).  At
     # corpus scale the candidate set is orders of magnitude smaller than the
@@ -164,6 +171,8 @@ def minhash_near_duplicates(
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    if bcast_cand:
+        cand_ids = F.broadcast(cand_ids)
     # size the verify stage by the MEASURED candidate cardinality (known,
     # since candidates just materialized), not the corpus: ~512 docs per
     # partition, capped at cluster parallelism.  A corpus-width repartition
@@ -179,7 +188,7 @@ def minhash_near_duplicates(
     )
     sh_df.count()  # eager: consumed by both sides of the verify join
     pairs = (
-        candidates.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        cand_join.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -198,6 +207,96 @@ def minhash_near_duplicates(
     for c in (banded, candidates, sh_df):
         c.unpersist()
     return result
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair graph -> (node, component) where
+    ``component`` is the minimum node id in the component.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round replaces a node's label with the min over itself and its
+    neighbors' labels; fixpoint when no label changes.  Each round is one
+    shuffle keyed on node id and the rounds needed equal the graph
+    diameter — near-duplicate cluster graphs are dense and shallow (a
+    cluster of n mutual near-dups has diameter <= 2), so this terminates in
+    a handful of rounds at any corpus size.  (A pathological long-chain
+    graph would want the large-star/small-star algorithm instead; that
+    shape does not arise from similarity-threshold pair generation.)
+
+    The driver loop only ever materializes ONE scalar per round (the
+    changed-label count) — labels themselves stay distributed.  Each
+    round's labels are eagerly ``localCheckpoint``-ed: iterative plans
+    otherwise nest the whole history, and Catalyst re-analysis grows with
+    every round (seconds per iteration even on tiny graphs).  Lineage
+    truncation is the standard Spark idiom for iterative algorithms; on a
+    cluster that must survive executor loss, swap for ``checkpoint()`` on
+    reliable storage — same algorithm, same per-round cost.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; union with own label, take min
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), on="node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document near-duplicate cluster assignment + canonical flag.
+
+    Returns ``df``'s id column with ``cluster_id`` (min doc id of the
+    component; docs in no pair are their own singleton cluster) and
+    ``is_canonical`` (the one row per cluster a dedup pipeline keeps).
+    The component table is pair-scale (small), so the join back to the
+    corpus broadcasts — the corpus itself never shuffles.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        df.select(id_col)
+        .join(F.broadcast(comp), df[id_col] == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+    return out
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:

@@ -2297,12 +2297,96 @@ def q78_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(stages)
 
 
+@register(
+    "q79_neardup_clusters",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d
+    ),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.s, b.s)) AS i, a.ls AS la, b.ls AS lb
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls
+    ),
+    pr AS (
+      SELECT ia, ib FROM p
+      WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+    walk(n, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) s0
+        UNION
+        SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.n
+    ),
+    comp AS (SELECT n, min(lbl) AS component FROM walk GROUP BY n)
+    SELECT doc.doc_id AS doc_id,
+           coalesce(c.component, doc.doc_id) AS cluster_id,
+           doc.doc_id = coalesce(c.component, doc.doc_id) AS is_canonical
+    FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.n
+    """,
+)
+def q79_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: LSH pair generation ->
+    connected components (min-label propagation) -> per-doc cluster id +
+    the canonical-row flag a dedup pipeline retains.  The oracle replays
+    the same clustering as a recursive transitive closure in SQL."""
+    from apache_arrow_spark.functions.dedup import (
+        cluster_assignments,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5)
+    return cluster_assignments(d, pairs)
+
+
+@register(
+    "q80_sliding_window_counts",
+    """
+    SELECT event_type,
+           CAST(((epoch_us(ts) // 900000000) - k.k) * 900000000 AS BIGINT)
+             AS w_start_us,
+           count(*) AS n
+    FROM events, (SELECT unnest(range(4)) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q80_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour window every 15 minutes, so each
+    event lands in 4 overlapping windows.  Spark's window generator handles
+    the fan-out JVM-side; the oracle replays it as an explicit k=0..3
+    window-start expansion."""
+    from apache_arrow_spark.streaming.ops import with_event_time
+
+    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
-# rows.  Rotate 11 round-1-green trivial-wrapper queries (each still fully
+# rows.  Rotate round-1-green trivial-wrapper queries (each still fully
 # covered by pytest and by other registered queries' plans) to the tail so
-# the formerly-dark operators occupy graded slots this round.  Rotate again
+# the formerly-dark operators occupy graded slots this round.  With 30
+# deferred of 80 registered, the graded window is exactly the 50 queries
+# that have never (or not yet) carried a driver-grade row.  Rotate again
 # next round so every query is periodically driver-graded.
 # --------------------------------------------------------------------------
 _DEFERRED = [
@@ -2326,6 +2410,19 @@ _DEFERRED = [
     "q18_slice",
     "q19_add_remove_column",
     "q20_isnull",
+    # second tranche (added with q79/q80): keeps the graded window at
+    # exactly the 50 queries lacking a driver-grade row; every query below
+    # was green (rows+schema+hash) in CORRECTNESS_r01.json
+    "q23_window_top_order_per_customer",
+    "q24_tumbling_window_events",
+    "q25_parquet_dataset_roundtrip",
+    "q27_text_token_stats",
+    "q29_lang_id",
+    "q43_rollup_revenue",
+    "q44_feather_roundtrip",
+    "q45_orc_roundtrip",
+    "q46_bpe_token_estimate",
+    "q50_json_props",
 ]
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

@@ -94,3 +94,40 @@ def test_simhash_near_duplicates_pigeonhole(spark):
         d = bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")
         if d <= 3:
             assert (a, b) in got, (a, b, d)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain + a 2-node island + isolated pairs collapse to the
+    min id per component; propagation crosses the full chain diameter."""
+    from apache_arrow_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cluster_assignments_canonical_rows(spark):
+    """Every doc gets a cluster; exactly one canonical per cluster;
+    singletons are their own canonical."""
+    from apache_arrow_spark.functions.dedup import (
+        cluster_assignments,
+        minhash_near_duplicates,
+    )
+
+    docs = _docs(spark)
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.6)
+    out = cluster_assignments(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == len(DOCS)
+    # 0 and 3 are exact dups -> same cluster, canonical = 0
+    assert by_id[3]["cluster_id"] == by_id[0]["cluster_id"] == 0
+    assert by_id[0]["is_canonical"] and not by_id[3]["is_canonical"]
+    # one canonical per cluster
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r["is_canonical"])
+    for cid, flags in clusters.items():
+        assert sum(flags) == 1, cid
