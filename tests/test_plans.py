@@ -115,3 +115,30 @@ def test_mix_datasets_zero_shuffle_union(spark, sf_dir):
         "doc_id",
     )
     assert shuffle_count(out) == 0
+
+
+def test_q81_tfidf_shape_and_plan(spark, sf_dir):
+    """Top-5 per language, dense ranks 1..5, vocabulary join shuffles on
+    term (no cartesian), decimal-summed scores are finite."""
+    df = QUERIES["q81_tfidf_top_terms"](spark, sf_dir)
+    assert "CartesianProduct" not in plan_string(df)
+    rows = df.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rnk"])
+    for lang, rnks in by_lang.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), lang
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_q82_centroids_partial_agg(spark, sf_dir):
+    """64 dims per label; the aggregate must be map-side combinable
+    (partial_ sums before the exchange) so vectors never shuffle."""
+    df = QUERIES["q82_label_centroids"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "partial_sum" in plan or "partial_" in plan
+    rows = df.collect()
+    labels = {r["label"] for r in rows}
+    for lab in labels:
+        dims = sorted(r["dim"] for r in rows if r["label"] == lab)
+        assert dims == list(range(64)), lab
