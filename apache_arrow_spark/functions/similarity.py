@@ -357,3 +357,33 @@ def embedding_near_duplicates(
         F.round(cosine(_as_double(F.col("x.v")), _as_double(F.col("y.v"))), 6).alias("cos"),
     )
     return cand.filter(F.col("cos") >= threshold)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage path for
+    billion-scale ANN indexes (4x smaller than float32, SIMD-friendly
+    integer dot products at query time).
+
+    codes[i] = floor(v[i] / scale + 0.5) with scale = max|v| / 127.
+    ``floor(x + 0.5)`` instead of round(): round's half-way tie-breaking
+    mode differs across engines, floor doesn't, so the codes are
+    bit-reproducible against any SQL oracle.  Everything is a per-row
+    column expression: scan-speed, zero shuffle, trivially parallel at any
+    corpus size.
+
+    Returns (id, scale, codes array<int>).  Dequantization is
+    ``code * scale``; max reconstruction error is scale/2 per component.
+    """
+    dv = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(dv, F.abs))
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")).alias(
+            "codes"
+        ),
+    )
+    return out

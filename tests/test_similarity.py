@@ -152,3 +152,29 @@ def test_ivf_index_partition_pruning(spark, edf, vecs, tmp_path_factory):
         for r in ivf_topk(edf, q, k=5, n_probe=2, centroids=centroids).collect()
     ]
     assert got == ref
+
+
+def test_quantize_int8_roundtrip_error(spark, sf_dir):
+    """Codes bounded to [-127, 127]; dequantized vectors within scale/2
+    per component of the original."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.similarity import quantize_int8
+    from apache_arrow_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = quantize_int8(e, "embedding", "vec_id")
+    joined = q.join(e, q["id"] == e["vec_id"]).select(
+        "scale",
+        F.array_max(F.transform("codes", F.abs)).alias("max_code"),
+        F.array_max(
+            F.zip_with(
+                "codes",
+                "embedding",
+                lambda c, v: F.abs(c * F.col("scale") - v.cast("double")),
+            )
+        ).alias("max_err"),
+    )
+    for r in joined.collect():
+        assert r["max_code"] <= 127
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12
