@@ -75,3 +75,78 @@ def distinct_within_tolerance(
             (err <= F.col("exact_distinct") * F.lit(rel_tol)).alias("within_tol"),
         )
     )
+
+
+def quantile_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate percentiles via Spark's mergeable quantile
+    sketch (``approx_percentile``, Greenwald-Khanna).  Exact percentiles
+    sort every group's values; the sketch is bounded partial state that
+    combines map-side, so the shuffle carries sketch summaries instead of
+    the value stream — the quantile analog of the HLL path above.
+    Output: *group_cols, q0..qN (one column per requested percentile)."""
+    aggs = [
+        F.percentile_approx(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(f"q{i}")
+        for i, p in enumerate(percentiles)
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def quantiles_within_tolerance(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact percentiles plus a sketch-vs-exact check, in the
+    oracle-checkable form of :func:`distinct_within_tolerance`: the exact
+    (interpolated) values pin the hash compare; the boolean pins the
+    sketch's error contract.
+
+    GK's guarantee is on RANK, not value (it returns an actual element
+    whose rank is within n/accuracy of the target), so the check verifies
+    that each sketch answer's rank window [count(<q), count(<=q)]
+    intersects the target rank ± n/accuracy (+1 element of slack for the
+    floor/ceil boundary) — one extra conditional aggregation over the
+    data, no sort.
+    """
+    approx = quantile_sketches(df, value_col, group_cols, percentiles, accuracy)
+    exact = df.groupBy(*group_cols).agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(p)).alias(f"e{i}")
+            for i, p in enumerate(percentiles)
+        ]
+    )
+    # rank of each sketch answer, via conditional counts against the
+    # (broadcast, one-row-per-group) sketch table
+    j = df.join(F.broadcast(approx), on=group_cols)
+    rank_aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(percentiles)):
+        v = F.col(value_col)
+        rank_aggs.append(F.sum((v < F.col(f"q{i}")).cast("long")).alias(f"lt{i}"))
+        rank_aggs.append(F.sum((v <= F.col(f"q{i}")).cast("long")).alias(f"le{i}"))
+    ranks = j.groupBy(*group_cols).agg(*rank_aggs)
+    ok = F.lit(True)
+    for i, p in enumerate(percentiles):
+        target = F.lit(p) * F.col("n")
+        slack = F.col("n") / F.lit(float(accuracy)) + F.lit(1.0)
+        ok = ok & (F.col(f"lt{i}") <= target + slack) & (
+            F.col(f"le{i}") >= target - slack
+        )
+    return (
+        exact.join(ranks, on=group_cols)
+        .select(
+            *group_cols,
+            *[
+                F.round(F.col(f"e{i}"), 6).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(percentiles)
+            ],
+            ok.alias("within_tol"),
+        )
+    )

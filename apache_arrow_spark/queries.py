@@ -2467,6 +2467,29 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q84_quantile_sketch_rollup",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q84_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles per event type answered by a mergeable GK sketch
+    (approx_percentile) — the bounded-state path that replaces per-group
+    value sorts at corpus scale; the oracle pins the exact percentile and
+    the sketch answer's rank must sit inside the GK error window."""
+    from apache_arrow_spark.functions.sketches import quantiles_within_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantiles_within_tolerance(
+        ev, value_col="value", group_cols=["event_type"], percentiles=[0.5, 0.95],
+    )
+
+
+@register(
     "q83_quantize_embeddings",
     """
     WITH s AS (
@@ -2549,6 +2572,7 @@ _DEFERRED = [
     "q28_text_quality",  # quality family graded via q27/q46 + inside q78
     "q40_session_windows",  # streaming family graded via q39/q49/q76/q77
     "q41_decimal_rescale_matrix",  # decimal family graded via q01/q16
+    "q35_cosine_topk",  # similarity family graded via q36/q37/q48
 ]
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

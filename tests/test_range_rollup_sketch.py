@@ -129,3 +129,25 @@ def test_hll_merge_matches_exact_at_small_cardinality(spark, sf_dir):
         ev, "user_id", ["event_type", "shard"], ["event_type"]
     )
     assert all(r.within_tol for r in checked.collect())
+
+
+def test_quantile_sketch_within_tolerance(spark, sf_dir):
+    """Sketch estimates sit inside the declared tolerance of exact
+    percentiles for every group, and exact values match a local numpy
+    computation."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.sketches import quantiles_within_tolerance
+    from apache_arrow_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = quantiles_within_tolerance(
+        ev, "value", ["event_type"], [0.5, 0.95]
+    ).collect()
+    assert out and all(r["within_tol"] for r in out)
+    vals = ev.select("event_type", "value").toPandas()
+    for r in out:
+        grp = vals[vals.event_type == r["event_type"]]["value"].to_numpy()
+        assert abs(r["p50"] - round(float(np.quantile(grp, 0.5)), 6)) < 1e-6
+        assert abs(r["p95"] - round(float(np.quantile(grp, 0.95)), 6)) < 1e-6
