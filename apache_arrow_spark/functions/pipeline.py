@@ -381,3 +381,57 @@ def vocabulary(
         F.count_distinct(F.col("__id")).alias("df"),
     )
     return counts.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into (overlapping) token-window chunks — the
+    context-length preparation step between curation and packing.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    ``stride < chunk_tokens`` gives overlap, ``stride == chunk_tokens``
+    (default) gives a disjoint partition.  A doc of n tokens yields
+    ``1 + ceil((n - chunk_tokens) / stride)`` chunks (one if it fits),
+    computed in integer arithmetic so any SQL oracle reproduces it
+    bit-for-bit.  Everything is per-row array expressions (sequence +
+    slice + posexplode): scan-speed, zero shuffle, provenance carried as
+    (doc_id, chunk_id).  Empty docs yield no chunks.
+
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    from apache_arrow_spark.functions.text import tokens
+
+    stride = stride or chunk_tokens
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    k = F.when(F.col("n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(f"(n - {chunk_tokens} + {stride} - 1) div {stride}") + F.lit(1)
+    )
+    chunks = (
+        toks.filter(F.col("n") > 0)
+        .withColumn("k", k)
+        .select(
+            "id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("ctoks"),
+        )
+    )
+    return chunks.select(
+        "id",
+        "chunk_id",
+        F.size("ctoks").alias("n_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )

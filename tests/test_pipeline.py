@@ -152,3 +152,33 @@ def test_curate_corpus_funnel_monotone(spark, sf_dir):
     assert ns[-1] > 0
     split_total = sum(v for k, v in funnel.items() if k.startswith("6_split_"))
     assert split_total == funnel["5_sampled"]  # split partitions the sample
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the token stream: first chunk starts at 0, consecutive
+    chunks advance by stride, every token appears in some chunk, and the
+    final chunk reaches the last token."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+         (2, "a b c"),                                 # fits in one chunk
+         (3, "")],                                     # empty -> no chunks
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # 100 tokens, chunk 32, stride 24 -> 1 + ceil(68/24) = 4 chunks
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"].startswith("t0 ")
+    assert d1[-1]["chunk_text"].endswith(" t99")
+    # consecutive chunks overlap by chunk - stride = 8 tokens
+    a, b = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
+    assert a[24:] == b[:8]
