@@ -176,3 +176,43 @@ def test_ipc_dictionary_write_roundtrip(spark, li, tmp_path):
     a = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
     b = {r["l_returnflag"]: r["count"] for r in back.groupBy("l_returnflag").count().collect()}
     assert a == b
+
+
+def test_arrow2csv_cli(tmp_path):
+    """CLI reads IPC file, IPC stream, and feather; emits identical CSV."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", None]})
+    paths = {}
+    fp = str(tmp_path / "t.arrow")
+    with pa.ipc.new_file(fp, t.schema) as w:
+        w.write_table(t)
+    paths["file"] = fp
+    sp = str(tmp_path / "t.arrows")
+    with pa.ipc.new_stream(sp, t.schema) as w:
+        w.write_table(t)
+    paths["stream"] = sp
+    fe = str(tmp_path / "t.feather")
+    feather.write_feather(t, fe)
+    paths["feather"] = fe
+
+    outputs = {}
+    for kind, p in paths.items():
+        r = subprocess.run(
+            [sys.executable, "tools/arrow2csv.py", p],
+            capture_output=True, text=True, check=True,
+        )
+        outputs[kind] = r.stdout
+    assert outputs["file"] == outputs["stream"] == outputs["feather"]
+    lines = outputs["file"].strip().splitlines()
+    assert lines[0] == "a,b" and lines[1] == "1,x" and lines[3] == "3,"
+    # --head
+    r = subprocess.run(
+        [sys.executable, "tools/arrow2csv.py", paths["file"], "--head", "1"],
+        capture_output=True, text=True, check=True,
+    )
+    assert len(r.stdout.strip().splitlines()) == 2
