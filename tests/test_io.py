@@ -216,3 +216,21 @@ def test_arrow2csv_cli(tmp_path):
         capture_output=True, text=True, check=True,
     )
     assert len(r.stdout.strip().splitlines()) == 2
+
+
+def test_jsonl_roundtrip_preserves_text(spark, tmp_path):
+    """Newlines, quotes, and unicode survive the JSONL round trip."""
+    from apache_arrow_spark.io.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, 'line one\nline two'), (2, 'quote " and \\ backslash'), (3, 'unicode é中')],
+        "id bigint, text string",
+    )
+    path = str(tmp_path / "jsonl")
+    write_jsonl(df, path, num_shards=2)
+    back = read_jsonl(spark, path, df.schema)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    want = {r["id"]: r["text"] for r in df.collect()}
+    assert got == want
+    import glob
+    assert len(glob.glob(path + "/part-*")) == 2
