@@ -2467,6 +2467,47 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q87_cube_source_lang",
+    """
+    SELECT source, lang, count(*) AS n
+    FROM documents GROUP BY CUBE(source, lang)
+    """,
+)
+def q87_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidimensional aggregation: CUBE over (source, lang) — all four
+    grouping levels in one pass (Spark expands grouping sets before the
+    exchange, so partial aggregation still combines map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.cube("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q88_moving_average",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS ma3
+    FROM events
+    """,
+)
+def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-user 3-event moving average over event time.
+    One shuffle on user_id, sequential frame evaluation inside each
+    partition — the frame order (ts, event_id) is total, so the result is
+    deterministic on any cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma3")
+    )
+
+
+@register(
     "q86_jsonl_roundtrip",
     """
     SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
@@ -2637,6 +2678,8 @@ _DEFERRED = [
     "q35_cosine_topk",  # similarity family graded via q36/q37/q48
     "q49_stateful_running_totals",  # stateful family graded via q76/q77
     "q42_custom_predicate",  # pandas-UDF family graded via q55
+    "q38_multimodal_features",  # mapInPandas plumbing graded via q55/q63
+    "q39_streaming_tumbling_counts",  # streaming family graded via q76/q77
 ]
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED
