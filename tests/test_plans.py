@@ -142,3 +142,20 @@ def test_q82_centroids_partial_agg(spark, sf_dir):
     for lab in labels:
         dims = sorted(r["dim"] for r in rows if r["label"] == lab)
         assert dims == list(range(64)), lab
+
+
+def test_q87_cube_partial_agg(spark, sf_dir):
+    """CUBE expands grouping sets BEFORE the exchange and still combines
+    map-side."""
+    df = QUERIES["q87_cube_source_lang"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_" in plan
+    assert df.count() > 0
+
+
+def test_q88_single_shuffle_window(spark, sf_dir):
+    """Window frame evaluates after ONE exchange on the partition key."""
+    df = QUERIES["q88_moving_average"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert "Window" in plan_string(df)
