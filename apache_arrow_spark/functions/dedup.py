@@ -404,3 +404,34 @@ def simhash_near_duplicates(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus — the
+    shape production dedup actually runs in (per-snapshot/per-crawl), so
+    the historical corpus is never rescanned as text.
+
+    ``seen`` is either the prior corpus (its fingerprints are computed
+    here) or a materialized one-column ``__fp`` digest table — at scale
+    you persist the digest table once (32 bytes/doc) and hand it in.
+    Survivors = rows whose fingerprint is absent from ``seen`` AND that
+    win (min id) within the new batch itself.  Both steps shuffle digests
+    only; bodies are recovered by the final semi-join.
+    """
+    if "__fp" in seen.columns:
+        seen_fp = seen.select("__fp")
+    else:
+        seen_fp = seen.select(fingerprint(F.col(text_col)).alias("__fp"))
+    with_fp = new_df.select(
+        F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    fresh = with_fp.join(seen_fp.distinct(), on="__fp", how="left_anti")
+    winners = fresh.groupBy("__fp").agg(F.min("__id").alias("__id")).select("__id")
+    return new_df.join(
+        winners.withColumnRenamed("__id", id_col), on=id_col, how="left_semi"
+    )

@@ -2475,6 +2475,43 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q89_incremental_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS fp,
+             {sql_hash_bucket("doc_id", "incr")} AS bk
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT fp FROM norm WHERE bk < 500000),
+    nw AS (SELECT doc_id, fp FROM norm WHERE bk >= 500000),
+    surv AS (
+      SELECT doc_id, fp FROM nw
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = nw.fp)
+    )
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (SELECT min(doc_id) AS doc_id FROM surv GROUP BY fp)
+    """,
+)
+def q89_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the corpus is split by a deterministic
+    hash rule into an already-ingested half and an incoming batch; the
+    batch dedups against the ingested digests (anti-join) and within
+    itself (min-id winners) without ever rescanning ingested text."""
+    from apache_arrow_spark.functions.dedup import exact_dedup_incremental
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"), "incr")
+    seen = d.filter(bk < 500000)
+    incoming = d.filter(bk >= 500000)
+    kept = exact_dedup_incremental(incoming, seen, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
     "q87_cube_source_lang",
     """
     SELECT source, lang, count(*) AS n
@@ -2688,6 +2725,7 @@ _DEFERRED = [
     "q42_custom_predicate",  # pandas-UDF family graded via q55
     "q38_multimodal_features",  # mapInPandas plumbing graded via q55/q63
     "q39_streaming_tumbling_counts",  # streaming family graded via q76/q77
+    "q31_dedup_exact",  # exact-dedup family graded via q79/q89 + inside q78
 ]
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

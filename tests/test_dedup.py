@@ -131,3 +131,34 @@ def test_cluster_assignments_canonical_rows(spark):
         clusters.setdefault(r["cluster_id"], []).append(r["is_canonical"])
     for cid, flags in clusters.items():
         assert sum(flags) == 1, cid
+
+
+def test_incremental_dedup_against_seen(spark):
+    """Incoming docs that duplicate the ingested corpus are dropped;
+    within-batch dups keep the min id; a digest-only seen table works."""
+    from apache_arrow_spark.functions.dedup import exact_dedup_incremental
+    from apache_arrow_spark.functions.text import fingerprint
+    import pyspark.sql.functions as F
+
+    seen = spark.createDataFrame(
+        [(100, "already ingested document")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "already ingested document"),   # dup of corpus -> dropped
+            (2, "fresh document"),               # kept
+            (3, "fresh document"),               # within-batch dup of 2
+            (4, "another fresh one"),            # kept
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in exact_dedup_incremental(new, seen).collect()
+    )
+    assert kept == [2, 4]
+    # digest-table variant behaves identically
+    digests = seen.select(fingerprint(F.col("text")).alias("__fp"))
+    kept2 = sorted(
+        r["doc_id"] for r in exact_dedup_incremental(new, digests).collect()
+    )
+    assert kept2 == [2, 4]
