@@ -44,6 +44,11 @@ HEADLINE = [
     "q68_deterministic_shuffle",
     "q72_top_ngram_fraction",
     "q74_decontaminate",
+    # round 2b: clustering, tf-idf, chunking, cube, incremental dedup
+    "q81_tfidf_top_terms",
+    "q85_chunk_documents",
+    "q87_cube_source_lang",
+    "q89_incremental_dedup",
 ]
 
 
