@@ -44,6 +44,12 @@ _RUNTIME_CONFS = {
     # Star-schema dims (region/nation/customer/supplier/part at bench SF)
     # should broadcast, never shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Externally built sessions (the correctness driver's) otherwise run
+    # with the 200-partition default — 6x the task count this box needs.
+    # Runtime-settable; AQE coalescing makes any over-provision cheap.
+    "spark.sql.shuffle.partitions": str(
+        max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
+    ),
 }
 
 
