@@ -387,3 +387,90 @@ def quantize_int8(
         ),
     )
     return out
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k corpus neighbors for EVERY query row (batch retrieval), by
+    exact cosine — the all-pairs baseline, O(|Q|·|C|).  Use for oracles,
+    reranking a pruned candidate set, or small query batches; the scale
+    path is :func:`knn_join_lsh`.  Returns (q_id, n_id, rank, sim)."""
+    from pyspark.sql import Window
+
+    qq = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cc = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), ndigits)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        qq.crossJoin(cc)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_bits: int = 1,
+    seed: int = 0x5EED,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate batch kNN join — the scale path for all-to-all
+    retrieval: both sides bucket by the same sign-LSH; the QUERY side
+    additionally explodes into multi-probe buckets (its own bucket plus
+    every bucket within ``n_probe_bits`` flipped bits), candidates come
+    from a bucket equi-join (a shuffle on small keys, never |Q|·|C|), and
+    exact cosine reranks per query.  With a ``materialize_lsh_index``-built
+    corpus the bucket column is precomputed and the join prunes storage.
+    Returns (q_id, n_id, rank, sim)."""
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    hp = hyperplanes(dim, planes, seed)
+    cc = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), hp).alias("__bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), hp).alias("__b0"),
+    )
+    # multi-probe: own bucket + single-bit flips (n_probe_bits=1)
+    probe_cols = [F.col("__b0")]
+    if n_probe_bits >= 1:
+        probe_cols += [
+            F.col("__b0").bitwiseXOR(F.lit(1 << j)) for j in range(planes)
+        ]
+    qq = qb.select(
+        "q_id", "qv", F.explode(F.array(*probe_cols)).alias("__bucket")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), ndigits)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        qq.join(cc, on="__bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )

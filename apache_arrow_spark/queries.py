@@ -2475,6 +2475,40 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q90_knn_join",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      FROM embeddings e, q WHERE e.vec_id != q.q_id
+    ),
+    r AS (SELECT q_id, n_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                   AS rn
+          FROM s)
+    SELECT q_id, n_id, CAST(rn AS INT) AS rnk, sim FROM r WHERE rn <= 5
+    """,
+)
+def q90_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-5 neighbors for every query row (a 20-vector
+    query batch against the full corpus), exact-cosine variant as the
+    oracle-checkable baseline; `knn_join_lsh` is the bucket-pruned scale
+    path (recall-tested in tests/test_similarity.py)."""
+    from apache_arrow_spark.functions.similarity import knn_join_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_join_exact(e.filter(F.col("vec_id") < 20), e, k=5)
+    return out.select("q_id", "n_id", F.col("rank").alias("rnk"), "sim")
+
+
+@register(
     "q89_incremental_dedup",
     f"""
     WITH norm AS (
@@ -2726,6 +2760,7 @@ _DEFERRED = [
     "q38_multimodal_features",  # mapInPandas plumbing graded via q55/q63
     "q39_streaming_tumbling_counts",  # streaming family graded via q76/q77
     "q31_dedup_exact",  # exact-dedup family graded via q79/q89 + inside q78
+    "q16_decimal_ops",  # decimal family graded via q01
 ]
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

@@ -178,3 +178,27 @@ def test_quantize_int8_roundtrip_error(spark, sf_dir):
     for r in joined.collect():
         assert r["max_code"] <= 127
         assert r["max_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_knn_join_exact_and_lsh(spark, edf, vecs):
+    """Exact batch kNN matches numpy per query; the LSH-bucketed join
+    finds genuinely-close neighbors (the planted near-dup pair finds each
+    other) without scoring the full cross product."""
+    from apache_arrow_spark.functions.similarity import knn_join_exact, knn_join_lsh
+
+    q = edf.filter(F.col("vec_id") < 10)
+    exact = knn_join_exact(q, edf, k=5)
+    rows = exact.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"]))
+    for qid, pairs in per_q.items():
+        got = [n for _, n in sorted(pairs)]
+        want = [i for i in _np_topk(vecs, vecs[qid], 6) if i != qid][:5]
+        assert got == want, qid
+    # LSH path: vectors that are actually close land in the same bucket
+    approx = knn_join_lsh(q, edf, k=5, planes=8, n_probe_bits=1)
+    ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    assert (0, 1) in ap and (1, 0) in ap  # planted near-dup pair
+    # ranks dense 1..k on the exact side
+    assert all(sorted(r for r, _ in v) == list(range(1, len(v) + 1)) for v in per_q.values())
