@@ -49,6 +49,10 @@ HEADLINE = [
     "q85_chunk_documents",
     "q87_cube_source_lang",
     "q89_incremental_dedup",
+    # round 2c: batch kNN join, cohorts, funnel mining
+    "q90_knn_join",
+    "q91_cohort_retention",
+    "q92_funnel_sequence",
 ]
 
 
