@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -84,3 +85,36 @@ def read_dataset(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def write_clustered(
+    df: DataFrame,
+    where: str,
+    cluster_cols: Sequence[str],
+    num_files: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Sort-clustered parquet layout: range-partition on ``cluster_cols``
+    then sort within each file, so every row group's min/max statistics
+    are tight and a filtered scan skips whole files AND whole row groups.
+
+    At 100 TB this is the storage-side half of predicate pushdown: the
+    pushed filter only helps if the layout makes statistics selective —
+    unsorted data has every row group spanning the full value range.
+    ``repartitionByRange`` gives globally disjoint file ranges (file-level
+    skipping); ``sortWithinPartitions`` tightens row-group stats inside
+    each file.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    part = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    (
+        part.sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(where)
+    )

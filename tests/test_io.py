@@ -234,3 +234,42 @@ def test_jsonl_roundtrip_preserves_text(spark, tmp_path):
     assert got == want
     import glob
     assert len(glob.glob(path + "/part-*")) == 2
+
+
+def test_write_clustered_prunes_row_groups(spark, sf_dir, tmp_path):
+    """Sort-clustered layout: a selective filter on the cluster column
+    reads far fewer rows from the scan than the table holds (file +
+    row-group statistics skipping), and results are identical to the
+    unclustered read."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.parquet import write_clustered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "clustered")
+    write_clustered(li, path, ["l_orderkey"], num_files=8)
+    back = spark.read.parquet(path)
+    pred = F.col("l_orderkey") < 100
+    expect = li.filter(pred).count()
+    got_df = back.filter(pred)
+    assert got_df.count() == expect
+    # layout proof from the parquet footers: range partitioning makes the
+    # per-file [min, max] of the cluster column (near-)disjoint, so stats
+    # alone rule out all but ~one file for a point/range predicate
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_orderkey")
+        mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4
+    overlapping = sum(1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b)
+    assert overlapping <= 1, spans  # globally (near-)disjoint file ranges
+    # the predicate l_orderkey < 100 is coverable by the first span only
+    assert sum(1 for lo, hi in spans if lo < 100) == 1, spans
