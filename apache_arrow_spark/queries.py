@@ -2475,6 +2475,35 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q93_clustered_scan",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    """,
+)
+def q93_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout round trip: rewrite lineitem sort-clustered on
+    l_orderkey, then run a selective scan — the pushed filter now skips
+    whole files/row groups via the (footer-verified disjoint) statistics
+    instead of reading everything."""
+    import tempfile
+
+    from apache_arrow_spark.io.parquet import write_clustered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q93_", dir=shm)
+    write_clustered(li, path, ["l_orderkey"], num_files=8)
+    back = spark.read.parquet(path).filter(F.col("l_orderkey") < 1000)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+
+
+@register(
     "q91_cohort_retention",
     """
     WITH a AS (
