@@ -134,3 +134,42 @@ def test_q16_sum_minus_null_alignment(spark, tmp_path):
         .collect()
     }
     assert got == direct
+
+
+def test_new_operators_on_empty_inputs(spark):
+    """Round-2 operators degrade to empty/identity on empty inputs instead
+    of crashing: components on no pairs, assignments with no pairs (all
+    singleton-canonical), chunking/quantization/knn on empty frames."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import (
+        cluster_assignments,
+        connected_components,
+        exact_dedup_incremental,
+    )
+    from apache_arrow_spark.functions.pipeline import chunk_documents
+    from apache_arrow_spark.functions.similarity import knn_join_exact, quantize_int8
+
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty_pairs).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id bigint, text string"
+    )
+    out = cluster_assignments(docs, empty_pairs).collect()
+    assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"] for r in out)
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert chunk_documents(empty_docs).count() == 0
+    assert exact_dedup_incremental(empty_docs, docs).count() == 0
+    assert sorted(
+        r["doc_id"] for r in exact_dedup_incremental(docs, empty_docs).collect()
+    ) == [1, 2]
+
+    empty_vecs = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert quantize_int8(empty_vecs).count() == 0
+    some_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert knn_join_exact(empty_vecs, some_vecs).count() == 0
+    assert knn_join_exact(some_vecs, empty_vecs).count() == 0
