@@ -407,6 +407,11 @@ def chunk_documents(
     from apache_arrow_spark.functions.text import tokens
 
     stride = stride or chunk_tokens
+    if not (1 <= stride <= chunk_tokens):
+        # stride > chunk would leave token gaps and emit empty tail
+        # chunks (found by the hypothesis tiling property); every real
+        # chunking scheme uses stride <= window
+        raise ValueError(f"stride must be in [1, chunk_tokens]; got {stride}")
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     ).withColumn("n", F.size("toks"))

@@ -108,3 +108,51 @@ def test_jaccard_python_model(xs):
             continue
         assert norm(norm(t)) == norm(t)
         assert sh(t) == sh(norm(t))
+
+
+# -- chunking invariants (pure-python mirror fuzzed, Spark spot-checked) ----
+
+def _chunk_count(n: int, chunk: int, stride: int) -> int:
+    return 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    chunk=st.integers(min_value=1, max_value=600),
+    data=st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_count_invariants(n, chunk, data):
+    stride = data.draw(st.integers(min_value=1, max_value=chunk))
+    """The integer chunk-count formula tiles the token stream exactly:
+    first chunk starts at 0, last chunk reaches token n-1, no chunk starts
+    past the end, consecutive starts advance by stride."""
+    k = _chunk_count(n, chunk, stride)
+    starts = [i * stride for i in range(k)]
+    assert starts[0] == 0
+    assert all(s < n for s in starts)                 # no empty chunks
+    assert starts[-1] + chunk >= n                    # reaches the end
+    if k > 1:
+        assert starts[-2] + chunk < n                 # k is minimal
+
+
+def test_chunk_documents_matches_formula_on_seeds(spark):
+    """Spark chunking agrees with the pure formula for a grid of shapes
+    (one Spark job for all cases)."""
+    from apache_arrow_spark.functions.pipeline import chunk_documents
+
+    cases = [(i, n) for i, n in enumerate([1, 5, 31, 32, 33, 56, 57, 100, 257])]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in cases],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, stride=24).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], []).append((r["chunk_id"], r["n_tokens"]))
+    for i, n in cases:
+        k = _chunk_count(n, 32, 24)
+        chunks = sorted(got[i])
+        assert [c for c, _ in chunks] == list(range(k)), (i, n)
+        total_covered = chunks[-1][0] * 24 + chunks[-1][1]
+        assert total_covered == n, (i, n)  # last chunk ends at token n
