@@ -2475,6 +2475,60 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q94_anti_join",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q94_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders, counted per nation.  The
+    anti-join shuffles on custkey (or broadcasts the distinct key set
+    when small); the nation dim broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q95_correlated_subquery",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders o
+    WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def q95_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders more
+    than 2x their customer's average.  Catalyst decorrelates it into an
+    aggregate + self-join on custkey — one shuffle, no per-row
+    re-execution; the integer outputs keep the compare avg-rounding-free."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("aas_orders_v")
+    return load_table(spark, sf_dir, "orders").sparkSession.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(o_orderkey) AS key_sum
+        FROM aas_orders_v o
+        WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                              FROM aas_orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "q93_clustered_scan",
     """
     SELECT l_returnflag, count(*) AS n,
