@@ -2943,7 +2943,18 @@ _DEFERRED = [
     "q38_multimodal_features",  # mapInPandas plumbing graded via q55/q63
     "q39_streaming_tumbling_counts",  # streaming family graded via q76/q77
     "q31_dedup_exact",  # exact-dedup family graded via q79/q89 + inside q78
-    "q16_decimal_ops",  # decimal family graded via q01
+    "q16_decimal_ops",  # decimal family graded via q01 (r01-green)
+    # third tranche: q01/q22 were green in r01 and their plans are asserted
+    # in test_plans; deferring them lets the never-graded q83/q85 take
+    # driver-graded slots.  q47 stays in-window deliberately: the asof
+    # null-carry rewrite changed its execution path since r01.
+    "q01_pricing_summary",
+    "q22_join_region_revenue",
+    # ...chosen over q86/q84 (jsonl IO family already graded via q62/q63/
+    # q64; quantile-sketch family pinned by q84's pytest rank-window test);
+    # both rotate into the window next round.
+    "q86_jsonl_roundtrip",
+    "q84_quantile_sketch_rollup",
     "q09_dictionary_encode_returnflag",  # hash-kernel family graded via q51/q52
     "q26_ipc_roundtrip",  # io round-trip family graded via q62/q63/q64/q86
 ]
