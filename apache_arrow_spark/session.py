@@ -119,6 +119,13 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Static conf (ignored on pre-built sessions): the default codegen
+        # class cache holds 100 entries — a multi-query workload (bench's 32
+        # headline queries span several hundred codegen units, the wide
+        # MinHash/decimal aggregates being the biggest) thrashes it and
+        # recompiles multi-second expression trees on every re-run.  A
+        # long-lived cluster session wants the compiled classes resident.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         # local[N] puts driver + all N executor threads in ONE JVM.  8g
         # measures best here: bigger heaps (48g) lengthen G1 young-gen
         # pauses and cost more than the extra headroom saves.
