@@ -1,12 +1,14 @@
 """Training-data-pipeline operators: text analysis, dedup (+clustering),
 similarity/ANN, corpus filters, assembly, sketches, skew tools,
-multimodal plumbing."""
+importance weighting (DSIR), BM25 retrieval, multimodal plumbing."""
 
 from apache_arrow_spark.functions import (
     dedup,
     filters,
+    importance,
     multimodal,
     pipeline,
+    retrieval,
     similarity,
     sketches,
     skew,
@@ -20,6 +22,8 @@ __all__ = [
     "multimodal",
     "filters",
     "pipeline",
+    "importance",
+    "retrieval",
     "sketches",
     "skew",
 ]

@@ -1,0 +1,96 @@
+"""BM25 retrieval scoring over the documents table.
+
+Okapi BM25 (Robertson & Zaragoza, "The Probabilistic Relevance Framework:
+BM25 and Beyond") as a batch Spark operator: given a bag of query terms,
+rank documents by sum_t idf(t) * tf_saturation(t, d).  This is the scoring
+half of an inverted index — the postings list materializes as the
+(term, doc) tf table.
+
+Scale shape:
+- the token explode is filtered to query terms BEFORE the aggregation, so
+  the shuffle carries only postings for queried terms (|terms| * df rows),
+  never the corpus token stream;
+- document lengths and the corpus average come from a separate scan-only
+  aggregate (no shuffle beyond a scalar);
+- per-(doc, term) scores are fixed-point quantized (``floor(s * 1e6)`` as
+  int64) before the per-doc sum, making scores and ranking integer-exact
+  and bit-reproducible across engines;
+- final top-k is a window over matched docs only (candidate set, not
+  corpus) — at larger k/corpus swap for orderBy().limit(k), which Spark
+  executes as distributed TakeOrdered.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from apache_arrow_spark.functions.text import token_count, tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25 score for ``terms``.
+
+    Returns (rnk, id_col, score) with rnk 1..k ordered by score desc,
+    ties broken on ascending id.  idf uses the standard non-negative
+    formulation ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    """
+    lens = df.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.array_contains(term_arr, F.col("term")))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # avgdl as one exact double (bigint/bigint division — identical in any
+    # IEEE engine); idf from integer counts through a single ln
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scale = float(10**ndigits)
+    per_term = joined.select(
+        "id",
+        F.floor(idf * sat * F.lit(scale)).alias("s"),
+    )
+    scored = per_term.groupBy("id").agg(F.sum("s").alias("score_q"))
+    w = Window.orderBy(F.col("score_q").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("id").alias(id_col),
+            (F.col("score_q").cast("double") / F.lit(scale)).alias("score"),
+        )
+    )

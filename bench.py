@@ -53,6 +53,9 @@ HEADLINE = [
     "q90_knn_join",
     "q91_cohort_retention",
     "q92_funnel_sequence",
+    # round 2d: data selection + retrieval scoring
+    "q97_importance_weights",
+    "q98_bm25_topk",
 ]
 
 
