@@ -3,9 +3,11 @@ similarity/ANN, corpus filters, assembly, sketches, skew tools,
 importance weighting (DSIR), BM25 retrieval, multimodal plumbing."""
 
 from apache_arrow_spark.functions import (
+    bloom,
     dedup,
     filters,
     importance,
+    lm,
     multimodal,
     pipeline,
     retrieval,
@@ -26,4 +28,6 @@ __all__ = [
     "retrieval",
     "sketches",
     "skew",
+    "bloom",
+    "lm",
 ]

@@ -2990,6 +2990,74 @@ def q98_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["window", "join", "filter", "hash"], k=20)
 
 
+@register(
+    "q99_bloom_incremental_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS fp,
+             {sql_hash_bucket("doc_id", "incr")} AS bk
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT fp FROM norm WHERE bk < 300000),
+    nw AS (SELECT doc_id, fp FROM norm WHERE bk >= 300000),
+    surv AS (
+      SELECT doc_id, fp FROM nw
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = nw.fp)
+    )
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (SELECT min(doc_id) AS doc_id FROM surv GROUP BY fp)
+    """,
+)
+def q99_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental dedup: identical contract to q89 (the
+    bitset only prunes; every maybe is verified by the exact anti-join),
+    so the oracle is the same exact-SQL transitive form.  Smaller seen
+    slice (30%) than q89 so the two queries exercise different
+    batch/corpus ratios."""
+    from apache_arrow_spark.functions.bloom import exact_dedup_bloom
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"), "incr")
+    seen = d.filter(bk < 300000)
+    incoming = d.filter(bk >= 300000)
+    kept = exact_dedup_bloom(incoming, seen, "text", "doc_id", num_bits=1 << 20)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "q100_unigram_nll",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    cells AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM cells GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM uni),
+    model AS (
+      SELECT term,
+             CAST(floor(ln((c + 1.0) / (n + v)) * 10000000.0) AS BIGINT) AS lpq
+      FROM uni, tot
+    )
+    SELECT c.doc_id AS doc_id,
+           CAST(sum(c.tf) AS BIGINT) AS n_tokens,
+           CAST(-sum(c.tf * m.lpq) AS BIGINT) AS nll_q,
+           CAST(-sum(c.tf * m.lpq) AS DOUBLE) / (10000000.0 * sum(c.tf)) AS nll
+    FROM cells c JOIN model m USING (term)
+    GROUP BY c.doc_id
+    """,
+)
+def q100_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean NLL under the corpus's
+    own add-one unigram model, integer-exact via per-term quantized
+    log-probs (functions/lm.py)."""
+    from apache_arrow_spark.functions.lm import unigram_nll
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_nll(d, "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
@@ -2998,7 +3066,9 @@ def q98_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the formerly-dark operators occupy graded slots this round.  With 30
 # deferred of 80 registered, the graded window is exactly the 50 queries
 # that have never (or not yet) carried a driver-grade row.  Rotate again
-# next round so every query is periodically driver-graded.
+# next round so every query is periodically driver-graded.  q99/q100
+# (registered after the window filled) sit at positions 51-52 this round —
+# pytest + local oracle checks cover them until they rotate in next round.
 # --------------------------------------------------------------------------
 _DEFERRED = [
     "q08_unique_orderpriority",  # distinct: plan family graded via q51/q52
