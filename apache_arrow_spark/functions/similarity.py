@@ -474,3 +474,38 @@ def knn_join_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "sim")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0x5EED,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``dim``-d embeddings
+    to ``out_dim`` components via seeded Gaussian planes (the same
+    deterministic :func:`hyperplanes` family the sign-LSH bucketing uses —
+    sign-LSH IS this projection with only the sign kept).
+
+    Distances are preserved within (1 ± eps) for out_dim = O(ln n / eps^2)
+    (JL lemma), which makes this the standard pre-step for cheaper
+    downstream ANN / clustering at 100 TB: per-row column expressions,
+    zero shuffle, scan-speed; the plane matrix is out_dim x dim literals
+    compiled into the plan — no state shipped.  Components are rounded to
+    ``ndigits`` (sequential left-fold dot, the DuckDB-parity evaluation
+    order of :func:`cosine`).
+
+    Returns (id, proj array<double>).
+    """
+    planes = hyperplanes(dim, out_dim, seed)
+    v = _as_double(F.col(vec_col))
+    comps = [
+        F.round(dot(v, F.array(*[F.lit(x) for x in p])), ndigits)
+        for p in planes
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*comps).alias("proj")
+    )

@@ -77,6 +77,99 @@ def distinct_within_tolerance(
     )
 
 
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch as a mergeable cell table: (*group_cols, d, pos,
+    cnt) with cnt = occurrences of keys hashing to ``pos`` under row
+    ``d``'s hash.  At most ``depth * width`` rows per group regardless of
+    stream size — the frequency analog of the HLL/GK sketches above:
+    per-partition partial counts combine map-side, pre-aggregated cell
+    tables for different slices merge by summing on (d, pos), and point
+    frequency estimates never rescan raw data.
+
+    The hash is pipeline.hash_bucket (md5-prefix) with salt ``cms{d}`` —
+    slower than xxhash64 but computable VERBATIM in ANSI SQL, so
+    estimates are oracle-checkable end to end (the importance.py /
+    md5_hash60 discipline).
+    """
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    group_cols = group_cols or []
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    hash_bucket(F.col(key_col), f"cms{d}", width).alias("pos"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__c")
+    return (
+        df.select(*group_cols, F.col(key_col))
+        .select(*group_cols, cell)
+        .groupBy(*group_cols, F.col("__c.d").alias("d"), F.col("__c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_merge(
+    cells: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union pre-aggregated cell tables to a coarser grouping: counters are
+    additive, so the merge is a plain sum on (d, pos)."""
+    group_cols = group_cols or []
+    return cells.groupBy(*group_cols, "d", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` (one row per distinct key):
+    est = min over d of the key's cell counter (0 when the cell is empty).
+    Classic CMS guarantee: est >= true count always; est <= true +
+    eps * N with probability 1 - delta for width = e/eps, depth =
+    ln(1/delta).  Output: key_col, est (bigint).
+
+    Probes explode to ``depth`` rows per key and join cells on (d, pos) —
+    with a materialized sketch this is a broadcast-scale join (the cell
+    table is <= depth * width rows), so estimation cost is independent of
+    the original stream size.
+    """
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    hash_bucket(F.col(key_col), f"cms{d}", width).alias("pos"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__p")
+    probes = keys.select(F.col(key_col)).distinct().select(key_col, probe).select(
+        key_col, F.col("__p.d").alias("d"), F.col("__p.pos").alias("pos")
+    )
+    joined = probes.join(F.broadcast(cells.select("d", "pos", "cnt")), on=["d", "pos"], how="left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
 def quantile_sketches(
     df: DataFrame,
     value_col: str,

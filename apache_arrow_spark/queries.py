@@ -3058,6 +3058,99 @@ def q100_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(d, "text", "doc_id")
 
 
+_CMS_W, _CMS_D = 2048, 4
+_SQL_CMS_POS = (
+    "(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR) || {key}), 1, 15))"
+    f"::BIGINT % {_CMS_W})"
+)
+
+
+@register(
+    "q101_cms_token_counts",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20),
+    dims AS (SELECT unnest(range({_CMS_D})) AS d),
+    cells AS (
+      SELECT dd.d AS d, {_SQL_CMS_POS.format(key="t")} AS pos, count(*) AS cnt
+      FROM tok CROSS JOIN dims dd GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT top.t, top.c, dd.d, {_SQL_CMS_POS.format(key="top.t")} AS pos
+      FROM top CROSS JOIN dims dd
+    ),
+    est AS (
+      SELECT p.t, p.c, min(coalesce(c2.cnt, 0)) AS e
+      FROM probe p LEFT JOIN cells c2 USING (d, pos)
+      GROUP BY p.t, p.c
+    )
+    SELECT t AS term, CAST(c AS BIGINT) AS exact_cnt, CAST(e AS BIGINT) AS cms_cnt
+    FROM est
+    """,
+)
+def q101_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the corpus token stream: the top-20
+    exact token counts alongside their CMS estimates (md5-parity hashing,
+    so the estimate itself is deterministic and oracle-checked — not just
+    bounded).  The sketch is depth*width counters regardless of stream
+    size; estimates never rescan raw data (functions/sketches.py)."""
+    from apache_arrow_spark.functions.sketches import (
+        count_min_cells,
+        count_min_estimate,
+    )
+    from apache_arrow_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    # no persist: both consumers re-run the (cheap) explode — a returned
+    # lazy DataFrame can't unpersist after itself, and leaked cache blocks
+    # cost more than one extra scan (the dedup.py lesson)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cells = count_min_cells(toks, "t", width=_CMS_W, depth=_CMS_D)
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(20)
+    )
+    est = count_min_estimate(cells, top.select("t"), "t", width=_CMS_W, depth=_CMS_D)
+    return (
+        top.join(est, on="t")
+        .select(
+            F.col("t").alias("term"),
+            F.col("c").alias("exact_cnt"),
+            F.col("est").alias("cms_cnt"),
+        )
+    )
+
+
+@register(
+    "q102_random_projection",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_planes_values_sql(64, 8)})
+    SELECT e.vec_id AS id, pl.j AS j,
+           round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                         i -> e.v[i] * pl.p[i])), 6) AS comp
+    FROM e CROSS JOIN planes pl
+    """,
+)
+def q102_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding table to 8
+    components (seeded plane literals shared verbatim with the oracle —
+    the q36 discipline), flattened to (id, j, comp) rows so every value is
+    scalar-hashable."""
+    from apache_arrow_spark.functions.similarity import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(e, dim=64, out_dim=8)
+    return proj.select(
+        "id", F.posexplode(F.col("proj")).alias("j", "comp")
+    ).select("id", "j", "comp")
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
