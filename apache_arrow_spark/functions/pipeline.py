@@ -440,3 +440,41 @@ def chunk_documents(
         F.size("ctoks").alias("n_tokens"),
         F.array_join("ctoks", " ").alias("chunk_text"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 25,
+) -> DataFrame:
+    """First BPE merge iteration: corpus-weighted counts of adjacent
+    character pairs inside words — the statistic a BPE tokenizer trainer
+    maximizes each round (Sennrich et al., arXiv:1508.07909).
+
+    Scale shape: pair extraction runs over the DISTINCT word vocabulary
+    (Zipf-sublinear in corpus size), weighted by word frequency — exactly
+    how production BPE trainers avoid rescanning the corpus per merge.
+    The token stream collapses to (word, count) in one map-side-combinable
+    aggregate; each distinct word then explodes into its length-1 adjacent
+    pairs; the weighted pair aggregate is again combinable; top-n is a
+    TakeOrdered with the pair string as tie-break.
+
+    Returns (pair, cnt) — cnt = total corpus occurrences of the pair.
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+    return counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_n)

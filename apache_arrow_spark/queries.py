@@ -3151,6 +3151,37 @@ def q102_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "j", "comp")
 
 
+@register(
+    "q103_bpe_pair_counts",
+    """
+    WITH wd AS (
+      SELECT w, count(*) AS wc FROM (
+        SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+                           ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                      END) AS w
+        FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, wc
+      FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+            FROM wd WHERE length(w) >= 2)
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 25
+    """,
+)
+def q103_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-weighted adjacent character-pair
+    counts, computed over the DISTINCT word vocabulary (Zipf-sublinear)
+    weighted by word frequency — how tokenizer trainers scale
+    (functions/pipeline.py bpe_pair_counts)."""
+    from apache_arrow_spark.functions.pipeline import bpe_pair_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", top_n=25)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -59,7 +59,41 @@ HEADLINE = [
 ]
 
 
+def _anchor_topandas(spark) -> float:
+    """Steady-state Arrow-path toPandas of 2^22 x (long, double) — the
+    blog-anchored egress measurement.  Up to 6 reps, early-stop once a
+    clean (well-under-gate) window is seen; min filters external stalls."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.pandas_bridge import to_pandas
+
+    blog_df = (
+        spark.range(2**22)
+        .select(F.col("id"), (F.rand(seed=42) * 100).alias("x"))
+        .cache()
+    )
+    blog_df.count()  # materialize input before timing the transfer
+    runs = []
+    for _ in range(6):
+        t0 = time.time()
+        pdf = to_pandas(blog_df)  # engine egress (large-batch Arrow collect)
+        runs.append(round(time.time() - t0, 3))
+        assert len(pdf) == 2**22
+        del pdf
+        if len(runs) >= 3 and min(runs) <= 0.45:
+            break
+    blog_df.unpersist()
+    return min(runs)
+
+
 def main():
+    if "--anchor-only" in sys.argv:
+        from apache_arrow_spark.session import get_spark
+
+        spark = get_spark(app_name="aas-bench-anchor")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"arrow_topandas_sec": _anchor_topandas(spark)}))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from apache_arrow_spark.queries import QUERIES
     from apache_arrow_spark.session import get_spark
@@ -151,39 +185,34 @@ def main():
 
     total = round(sum(timings.values()), 3)
 
-    # BASELINE.md anchor LAST: Arrow-path toPandas of 2^22 rows x
-    # (long, double); reference blog: 737 ms
-    # (site/_posts/2017-07-26-spark-arrow.md).  The 3x 67 MB driver
-    # collects grow the JVM old-gen + netty direct-buffer arenas in ways
-    # System.gc() does not undo on this box — running them before the
-    # query loop measurably degraded every allocation-heavy query after
-    # (q33 2-3x slower).  Min-of-3 reaches transfer steady state without
-    # needing a pristine heap, so the anchor tolerates going last; the
-    # query loop does not tolerate going after the anchor.
-    import pyspark.sql.functions as F
+    # BASELINE.md anchor in a PRISTINE subprocess JVM: Arrow-path toPandas
+    # of 2^22 rows x (long, double); reference blog: 737 ms
+    # (site/_posts/2017-07-26-spark-arrow.md).  The anchor and the query
+    # loop poison each other in one JVM — the 3x 67 MB driver collects
+    # grow old-gen + netty direct-buffer arenas (System.gc() does not undo
+    # it on this box) and degraded every allocation-heavy query when run
+    # first; run last, a long warm session degrades the ANCHOR instead
+    # (measured 0.21 s pristine -> 0.45 s after the 36-query loop).  A
+    # subprocess gives both a clean heap for ~15 s of extra wall.
+    import subprocess
 
-    from apache_arrow_spark.io.pandas_bridge import to_pandas
-
-    blog_df = (
-        spark.range(2**22)
-        .select(F.col("id"), (F.rand(seed=42) * 100).alias("x"))
-        .cache()
-    )
-    blog_df.count()  # materialize input before timing the transfer
-    # steady-state transfer time (blog reports likewise); external stalls
-    # on this box occasionally blanket several consecutive seconds, so take
-    # up to 6 reps and stop once a clean (well-under-gate) window is seen
-    runs = []
-    for _ in range(6):
-        t0 = time.time()
-        pdf = to_pandas(blog_df)  # engine egress (large-batch Arrow collect)
-        runs.append(round(time.time() - t0, 3))
-        assert len(pdf) == 2**22
-        del pdf
-        if len(runs) >= 3 and min(runs) <= 0.45:
-            break
-    arrow_topandas = min(runs)
-    blog_df.unpersist()
+    arrow_topandas = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--anchor-only"],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                arrow_topandas = json.loads(line)["arrow_topandas_sec"]
+                break
+    except Exception:
+        pass
+    if arrow_topandas is None:
+        # fallback: in-process (warm-heap) measurement
+        arrow_topandas = _anchor_topandas(spark)
 
     print(
         json.dumps(

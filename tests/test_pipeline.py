@@ -182,3 +182,21 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # consecutive chunks overlap by chunk - stride = 8 tokens
     a, b = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
     assert a[24:] == b[:8]
+
+
+def test_bpe_pair_counts_brute_force(spark):
+    from collections import Counter
+
+    from apache_arrow_spark.functions.pipeline import bpe_pair_counts
+
+    texts = ["low lower Lowest low", "new newer newest", "a bb low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    want = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, top_n=100).collect()}
+    assert got == dict(want)
