@@ -56,6 +56,12 @@ HEADLINE = [
     # round 2d: data selection + retrieval scoring
     "q97_importance_weights",
     "q98_bm25_topk",
+    # round 2e: bloom dedup, LM scoring, CMS, projection, BPE pairs
+    "q99_bloom_incremental_dedup",
+    "q100_unigram_nll",
+    "q101_cms_token_counts",
+    "q102_random_projection",
+    "q103_bpe_pair_counts",
 ]
 
 

@@ -159,3 +159,47 @@ def test_q88_single_shuffle_window(spark, sf_dir):
     df = QUERIES["q88_moving_average"](spark, sf_dir)
     assert shuffle_count(df) == 1
     assert "Window" in plan_string(df)
+
+
+def test_q100_unigram_nll_no_python_no_collect(spark, sf_dir):
+    # LM scoring stays JVM-side: explode + two aggregates + one join
+    df = QUERIES["q100_unigram_nll"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q101_cms_estimate_broadcasts_cells(spark, sf_dir):
+    # the <=depth*width cell table must broadcast into the probe join
+    df = QUERIES["q101_cms_token_counts"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q102_projection_zero_shuffle(spark, sf_dir):
+    # JL projection is per-row expressions only: no exchange anywhere
+    df = QUERIES["q102_random_projection"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan
+
+
+def test_q103_bpe_pairs_combinable_aggs(spark, sf_dir):
+    # two hash aggregates (word counts, pair counts) + TakeOrdered —
+    # no global sort, no Python
+    df = QUERIES["q103_bpe_pair_counts"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_is_arrow_batched(spark, sf_dir):
+    # the bloom probe runs as a vectorized Arrow-batched UDF (never
+    # row-at-a-time BatchEvalPython)
+    from apache_arrow_spark.functions.bloom import bloom_build, with_might_contain
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = d.limit(100).select(F.col("text").alias("k"))
+    sketch = bloom_build(seen, "k", num_bits=1 << 12)
+    probed = with_might_contain(d.select(F.col("text").alias("k")), "k", sketch)
+    plan = plan_string(probed, "simple")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
