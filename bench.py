@@ -199,9 +199,14 @@ def main():
     # it on this box) and degraded every allocation-heavy query when run
     # first; run last, a long warm session degrades the ANCHOR instead
     # (measured 0.21 s pristine -> 0.45 s after the 36-query loop).  A
-    # subprocess gives both a clean heap for ~15 s of extra wall.
+    # subprocess gives both a clean heap for ~15 s of extra wall.  Stop the
+    # parent session first: even idle, the warm 39-query JVM (old-gen +
+    # direct-buffer arenas + 32 python workers) degrades the subprocess
+    # anchor 0.21 s -> 0.63 s on this box; with the parent stopped the
+    # subprocess measures a genuinely quiet machine.
     import subprocess
 
+    spark.stop()
     arrow_topandas = None
     try:
         out = subprocess.run(
@@ -217,8 +222,8 @@ def main():
     except Exception:
         pass
     if arrow_topandas is None:
-        # fallback: in-process (warm-heap) measurement
-        arrow_topandas = _anchor_topandas(spark)
+        # fallback: fresh in-process session (parent was stopped above)
+        arrow_topandas = _anchor_topandas(get_spark(app_name="aas-bench-anchor-fb"))
 
     print(
         json.dumps(
