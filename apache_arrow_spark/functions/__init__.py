@@ -15,6 +15,7 @@ from apache_arrow_spark.functions import (
     sketches,
     skew,
     text,
+    zorder,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "retrieval",
     "sketches",
     "skew",
+    "zorder",
     "bloom",
     "lm",
 ]

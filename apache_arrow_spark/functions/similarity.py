@@ -509,3 +509,42 @@ def random_projection(
     return df.select(
         F.col(id_col).alias("id"), F.array(*comps).alias("proj")
     )
+
+
+def dimension_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-dimension corpus statistics (count, mean, sample std) of an
+    embedding column — the feature-scaling pre-step for whitening /
+    standardizing vectors before clustering or ANN.
+
+    Scale shape: posexplode then ONE hash aggregate keyed on the dimension
+    index; partials combine map-side, so the shuffle carries dim-count
+    rows per task (e.g. 64), never the vectors.  Values are floor-
+    quantized to integer micros before summation (the q82 s_micro
+    discipline): floor has no tie-breaking mode, so the long-space sums —
+    and every double derived from them — are bit-identical across engines
+    and row orders.  mean/std are then pure IEEE arithmetic on exact ints:
+    var = (ss - s^2/n) / ((n-1) * 1e12), std = sqrt(var).
+
+    Returns (dim, n, mean, std) with mean/std rounded to ``ndigits``.
+    """
+    ex = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"))
+    micro = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("s"),
+        F.sum(micro * micro).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (ss - s * s / n) / ((n - F.lit(1.0)) * F.lit(1e12))
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s / n / F.lit(1e6), ndigits).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), ndigits).alias("std"),
+    )

@@ -3183,6 +3183,175 @@ def q103_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q104-q107 — warehouse/pipeline operators round 2 adds: batch
+# sessionization, changelog merge-upsert, Z-order multi-dim clustering,
+# per-dimension embedding statistics.
+# --------------------------------------------------------------------------
+@register(
+    "q104_sessionize",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM l)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           CAST(epoch_ns(min(ts)) AS BIGINT) AS start_ns,
+           CAST(epoch_ns(max(ts)) AS BIGINT) AS end_ns
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q104_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min gap) over the event log:
+    lag + running-sum share one window spec -> ONE shuffle on user_id; the
+    per-session aggregate reuses that partitioning (operators/sessionize.py).
+    The streaming twin is q40's native session windows."""
+    from apache_arrow_spark.operators.sessionize import session_summary
+
+    ev = load_table(spark, sf_dir, "events")  # ts is int64 nanos (nanosAsLong)
+    gap_ns = 30 * 60 * 1_000_000_000
+    s = session_summary(ev, "user_id", "ts", gap_ns, ["event_id"])
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        F.col("start").alias("start_ns"),
+        F.col("end").alias("end_ns"),
+    )
+
+
+@register(
+    "q105_merge_upsert",
+    """
+    WITH r AS (
+      SELECT event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type, count(*) AS n_keys,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_latest_value,
+           CAST(epoch_ns(max(ts)) AS BIGINT) AS max_ts_ns
+    FROM r WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q105_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog merge-upsert compaction (operators/upsert.py): the event
+    log is split at a cutoff into a base snapshot + an update batch, merged
+    keep-latest per (user_id, event_type).  The merged state equals
+    keep-latest over the whole log — which is exactly what the oracle
+    checks — while the Spark side exercises the two-input MERGE path.  One
+    shuffle on the keys."""
+    from apache_arrow_spark.operators.upsert import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_ns = 1_706_745_600_000_000_000  # 2024-02-01 UTC in epoch nanos
+    base = ev.filter(F.col("ts") < cutoff_ns)
+    updates = ev.filter(F.col("ts") >= cutoff_ns)
+    latest = merge_upsert(
+        base, updates, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        exact_sum(F.col("value")).alias("sum_latest_value"),
+        F.max("ts").alias("max_ts_ns"),
+    )
+
+
+@register(
+    "q106_zorder_scan",
+    """
+    WITH b AS (SELECT min(o_custkey) AS lo, max(o_custkey) AS hi FROM orders)
+    SELECT count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price
+    FROM orders, b
+    WHERE o_custkey >= b.lo + CAST(floor((b.hi - b.lo) * 0.10) AS BIGINT)
+      AND o_custkey <= b.lo + CAST(floor((b.hi - b.lo) * 0.25) AS BIGINT)
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1995-01-01'
+    """,
+)
+def q106_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering write + 2-D range scan (functions/zorder.py):
+    orders re-laid along the (custkey, orderdate) Morton curve, then a
+    2-D range query reads back through parquet min/max pruning on BOTH
+    dimensions (1-D sort q93 can only serve one).  The bounds fetch is a
+    2-value driver read (centroid-fetch contract)."""
+    import tempfile
+
+    from apache_arrow_spark.functions.zorder import (
+        normalize_to_bits,
+        read_zordered,
+        write_zordered,
+        zvalue,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    z = zvalue(
+        [
+            normalize_to_bits(F.col("o_custkey"), lo, hi, 16),
+            normalize_to_bits(day, 0, 2557, 16),  # TPC-H date domain 1992-1998
+        ],
+        16,
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q106_", dir=shm)
+    write_zordered(o, path, z, num_files=16)
+    back = read_zordered(spark, path)
+    ck_lo = lo + int((hi - lo) * 0.10)
+    ck_hi = lo + int((hi - lo) * 0.25)
+    return (
+        back.filter(
+            (F.col("o_custkey") >= ck_lo)
+            & (F.col("o_custkey") <= ck_hi)
+            & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q107_dimension_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(i.i AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+    a AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(m) AS BIGINT) AS s, CAST(sum(m * m) AS BIGINT) AS ss
+      FROM ex GROUP BY dim)
+    SELECT dim, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+           round(sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               / ((CAST(n AS DOUBLE) - 1.0) * 1e12), 0.0)), 6) AS std
+    FROM a
+    """,
+)
+def q107_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics for feature scaling
+    (similarity.dimension_stats): one map-side-combinable aggregate on the
+    dim index, s_micro exact-integer discipline, mean/std as IEEE doubles
+    derived from identical longs in both engines."""
+    from apache_arrow_spark.functions.similarity import dimension_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return dimension_stats(e)
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
 # rows.  Rotate round-1-green trivial-wrapper queries (each still fully

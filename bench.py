@@ -62,6 +62,8 @@ HEADLINE = [
     "q101_cms_token_counts",
     "q102_random_projection",
     "q103_bpe_pair_counts",
+    "q104_sessionize",
+    "q106_zorder_scan",
 ]
 
 
