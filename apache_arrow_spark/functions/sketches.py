@@ -77,6 +77,19 @@ def distinct_within_tolerance(
     )
 
 
+def _cms_positions(key: Column, width: int, depth: int) -> list[Column]:
+    """``depth`` row positions from ONE md5 digest of the key: row d reads
+    hex digits [1+8d, 8+8d] (32 bits, independent across rows).  DuckDB
+    twin: ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1+8*d, 8))::BIGINT %
+    width``.  depth <= 4 (a 128-bit digest holds four 32-bit slices)."""
+    assert depth <= 4, "md5 digest holds at most four 32-bit row hashes"
+    h = F.md5(key.cast("string"))
+    return [
+        (F.conv(F.substring(h, 1 + 8 * d, 8), 16, 10).cast("bigint") % width)
+        for d in range(depth)
+    ]
+
+
 def count_min_cells(
     df: DataFrame,
     key_col: str,
@@ -92,22 +105,18 @@ def count_min_cells(
     tables for different slices merge by summing on (d, pos), and point
     frequency estimates never rescan raw data.
 
-    The hash is pipeline.hash_bucket (md5-prefix) with salt ``cms{d}`` —
-    slower than xxhash64 but computable VERBATIM in ANSI SQL, so
+    The hash is an md5 digest computable VERBATIM in ANSI SQL, so
     estimates are oracle-checkable end to end (the importance.py /
-    md5_hash60 discipline).
+    md5_hash60 discipline) — and the ``depth`` rows all slice ONE digest
+    (row d reads hex digits [1+8d, 8+8d] = 32 independent bits), so the
+    expensive md5 runs once per key occurrence, not ``depth`` times.
     """
-    from apache_arrow_spark.functions.pipeline import hash_bucket
-
     group_cols = group_cols or []
     cell = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    hash_bucket(F.col(key_col), f"cms{d}", width).alias("pos"),
-                )
-                for d in range(depth)
+                F.struct(F.lit(d).alias("d"), pos.alias("pos"))
+                for d, pos in enumerate(_cms_positions(F.col(key_col), width, depth))
             ]
         )
     ).alias("__c")
@@ -148,16 +157,11 @@ def count_min_estimate(
     table is <= depth * width rows), so estimation cost is independent of
     the original stream size.
     """
-    from apache_arrow_spark.functions.pipeline import hash_bucket
-
     probe = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    hash_bucket(F.col(key_col), f"cms{d}", width).alias("pos"),
-                )
-                for d in range(depth)
+                F.struct(F.lit(d).alias("d"), pos.alias("pos"))
+                for d, pos in enumerate(_cms_positions(F.col(key_col), width, depth))
             ]
         )
     ).alias("__p")

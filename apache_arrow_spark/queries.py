@@ -3059,8 +3059,10 @@ def q100_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CMS_W, _CMS_D = 2048, 4
+# row d slices hex digits [1+8d, 8+8d] of ONE md5 digest (sketches.py
+# _cms_positions) — one hash per key occurrence, not depth
 _SQL_CMS_POS = (
-    "(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR) || {key}), 1, 15))"
+    "(('0x' || substr(md5({key}), CAST(1 + 8 * dd.d AS INT), 8))"
     f"::BIGINT % {_CMS_W})"
 )
 
