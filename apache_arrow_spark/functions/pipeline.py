@@ -100,6 +100,37 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thr)
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sample (per-domain / per-source
+    quotas): rank rows within each group by their key's hash (ties broken
+    by the key itself) and keep the first ``n``.  Unlike
+    :func:`stratified_sample` (a FRACTION per stratum), this pins an exact
+    budget per group — the contract dataset-mixing recipes specify.
+
+    One shuffle on the group column (the row_number window).  For a group
+    whose cardinality dwarfs ``n`` (the 100 TB hot-domain case), pre-thin
+    with ``stratified_sample`` at a fraction comfortably above n/|group|
+    first — the hash ordering is identical in both (same salt ⇒ same
+    ranking), so thin-then-quota returns exactly the same rows as
+    quota-on-everything while the window sees ~2n rows per group instead
+    of millions.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__qrn", F.row_number().over(w))
+        .filter(F.col("__qrn") <= n)
+        .drop("__qrn")
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

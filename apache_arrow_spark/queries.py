@@ -3354,6 +3354,152 @@ def q107_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q108-q111 — ingestion/product-analytics breadth: schema-evolution reads,
+# exact per-group quotas, pivot, first-seen accumulation.
+# --------------------------------------------------------------------------
+@register(
+    "q108_schema_evolution",
+    """
+    WITH m AS (
+      SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT count(*) AS n_rows, count(o_custkey) AS n_custkey,
+           count(o_totalprice) AS n_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM m
+    """,
+)
+def q108_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations with different
+    column sets (an added column mid-stream — every long-lived ingestion
+    pipeline's reality) unified by ``mergeSchema``; absent columns
+    null-pad.  Per-file footer schemas merge at planning time — no data
+    rewrite, and pruning/pushdown still work per file."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q108_", dir=shm)
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count("o_totalprice").alias("n_price"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+_SQL_QUOTA_BUCKET = sql_hash_bucket("doc_id", "q109")
+
+
+@register(
+    "q109_quota_sample",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_SQL_QUOTA_BUCKET}, doc_id) AS rn
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM r WHERE rn <= 30 GROUP BY source
+    """,
+)
+def q109_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-group deterministic quota sampling
+    (pipeline.quota_sample): hash-ranked row_number caps each source at 30
+    docs — the per-domain budget primitive of dataset-mixing recipes; the
+    two-phase thin-then-quota refinement for hot domains is documented in
+    the function."""
+    from apache_arrow_spark.functions.pipeline import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = quota_sample(d, "source", 30, "doc_id", salt="q109")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q110_pivot_event_matrix",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q110_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event-type count matrix via
+    ``groupBy().pivot(values)``.  Explicit pivot values keep it one pass
+    (no distinct pre-job) and compile to the same conditional-count
+    aggregate the oracle states — map-side combinable, one shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "q111_new_user_curve",
+    """
+    WITH fs AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day, count(*) AS n_new FROM fs GROUP BY first_day)
+    SELECT CAST(first_day AS VARCHAR) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q111_new_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen accumulation (new vs cumulative users per day) WITHOUT a
+    per-window distinct: min(ts) per user (one map-side-combinable agg),
+    day-bucket counts, then a running sum over the tiny daily table — the
+    scale-correct rewrite of count(DISTINCT user) OVER (...), which would
+    otherwise shuffle every event per window."""
+    from apache_arrow_spark.compute.cast import CastOptions, timestamp_from_long
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = timestamp_from_long(F.col("first_ns"), "ns", CastOptions(allow_time_truncate=True))
+    fs = ev.groupBy("user_id").agg(F.min("ts").alias("first_ns"))
+    daily = (
+        fs.select(ts.cast("date").alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
 # rows.  Rotate round-1-green trivial-wrapper queries (each still fully

@@ -64,6 +64,8 @@ HEADLINE = [
     "q103_bpe_pair_counts",
     "q104_sessionize",
     "q106_zorder_scan",
+    "q109_quota_sample",
+    "q111_new_user_curve",
 ]
 
 

@@ -1,0 +1,65 @@
+"""quota_sample + q108-q111 composition tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from apache_arrow_spark.functions.pipeline import quota_sample, stratified_sample
+
+
+def test_quota_sample_exact_n(spark):
+    rows = [(g, i) for g in ["a", "b"] for i in range(100)] + [("c", 0)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out = quota_sample(df, "g", 10, "k")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # full groups capped at exactly N, small groups kept whole
+    assert counts == {"a": 10, "b": 10, "c": 1}
+
+
+def test_quota_sample_deterministic(spark):
+    rows = [("a", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    s1 = sorted(r.k for r in quota_sample(df, "g", 25, "k", salt="s").collect())
+    s2 = sorted(r.k for r in quota_sample(df, "g", 25, "k", salt="s").collect())
+    s3 = sorted(r.k for r in quota_sample(df, "g", 25, "k", salt="other").collect())
+    assert s1 == s2
+    assert s1 != s3  # independent draw under a different salt
+
+
+def test_thin_then_quota_equals_quota(spark):
+    # the documented two-phase refinement: pre-thinning with the same salt
+    # at a generous fraction yields the identical quota sample
+    rows = [("a", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    direct = sorted(r.k for r in quota_sample(df, "g", 20, "k", salt="z").collect())
+    thinned = stratified_sample(df, "g", {"a": 0.3}, "k", salt="z")
+    two_phase = sorted(r.k for r in quota_sample(thinned, "g", 20, "k", salt="z").collect())
+    assert direct == two_phase
+
+
+def test_pivot_row_matches_conditional_counts(spark, sf_dir):
+    from apache_arrow_spark.queries import QUERIES
+
+    out = QUERIES["q110_pivot_event_matrix"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = ev.select("user_id").first().user_id
+    row = out.filter(F.col("user_id") == u).first()
+    expected = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("user_id") == u)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for t in ["click", "error", "purchase", "signup", "view"]:
+        assert row[t] == expected.get(t, 0)
+
+
+def test_schema_evolution_nullpads(spark, tmp_path):
+    a = spark.createDataFrame([(1, 10)], "k bigint, x bigint")
+    b = spark.createDataFrame([(2, 3.5)], "k bigint, y double")
+    a.write.parquet(str(tmp_path / "p" / "gen=1"))
+    b.write.parquet(str(tmp_path / "p" / "gen=2"))
+    m = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "p"))
+    rows = {r.k: (r.x, r.y) for r in m.collect()}
+    assert rows == {1: (10, None), 2: (None, 3.5)}
