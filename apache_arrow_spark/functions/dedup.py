@@ -288,6 +288,170 @@ def minhash_near_duplicates(
     return result
 
 
+def minhash_sig_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>) — the materializable signature-store form of
+    :func:`minhash_signatures`.  Persist this as parquet once per ingested
+    corpus (num_hashes longs/doc) and hand it to
+    :func:`minhash_near_duplicates_against`; the corpus TEXT is then only
+    touched to verify the (tiny) candidate set."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_near_duplicates_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.8,
+    corpus_sig: DataFrame | None = None,
+    est_margin: float | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between an INCOMING batch and an already-
+    ingested corpus — the per-crawl/per-snapshot shape production dedup
+    runs in (the MinHash twin of :func:`exact_dedup_incremental`).
+    Returns (new_id, corpus_id, jaccard >= threshold).
+
+    The incremental scale win: candidate generation joins the NEW batch's
+    band keys (|new| × bands rows) against the corpus band keys derived
+    from a materialized signature store (``corpus_sig``, built once with
+    :func:`minhash_sig_array`) — the corpus text is never re-shingled
+    except for the candidate docs the verify stage touches.  Pipeline
+    mirrors :func:`minhash_near_duplicates`: band equi-join → signature-
+    estimate prune (4-sigma margin) → exact Jaccard verify on shingle
+    sets, semi-join-scoped to candidates on BOTH sides.
+    """
+    rows_per_band = num_hashes // bands
+    if est_margin is None:
+        est_margin = 4.0 * (
+            (jaccard_threshold * (1.0 - jaccard_threshold) / num_hashes) ** 0.5
+        )
+    new_sig = minhash_sig_array(new_df, text_col, id_col, num_hashes, k).persist()
+    new_sig.count()
+    if corpus_sig is None:
+        corpus_sig = minhash_sig_array(corpus_df, text_col, id_col, num_hashes, k)
+    corpus_sig = corpus_sig.persist()
+    corpus_sig.count()
+
+    def banded(sig_arr: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig_arr.select("id", F.explode(F.array(*structs)).alias("bb")).select(
+            "id", "bb.band", "bb.bucket"
+        )
+
+    n, c = banded(new_sig).alias("n"), banded(corpus_sig).alias("c")
+    raw = (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sa"), F.col("sb"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+    candidates = (
+        raw.join(new_sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sa")), "new_id")
+        .join(
+            corpus_sig.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sb")),
+            "corpus_id",
+        )
+        .filter(est >= F.lit(max(jaccard_threshold - est_margin, 0.0)))
+        .select("new_id", "corpus_id")
+        .persist()
+    )
+    n_pairs = candidates.count()
+    bcast = n_pairs <= (1 << 21)
+    cand_join = F.broadcast(candidates) if bcast else candidates
+    verify_part = max(1, min(_compute_parallelism(new_df), (2 * n_pairs) // 512 + 1))
+
+    def shingle_sets(df: DataFrame, ids: DataFrame) -> DataFrame:
+        ids = F.broadcast(ids) if bcast else ids
+        return (
+            df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t"))
+            .join(ids, on="id", how="left_semi")
+            .repartition(verify_part, F.col("id"))
+            .select(
+                "id",
+                F.transform(
+                    shingles_of_normalized(F.col("t"), k), lambda s: F.xxhash64(s)
+                ).alias("sh"),
+            )
+            .select("id", "sh", F.size("sh").alias("ls"))
+            .persist()
+        )
+
+    sh_new = shingle_sets(new_df, candidates.select(F.col("new_id").alias("id")).distinct())
+    sh_cor = shingle_sets(
+        corpus_df, candidates.select(F.col("corpus_id").alias("id")).distinct()
+    )
+    sh_new.count()
+    sh_cor.count()
+    pairs = (
+        cand_join.join(
+            sh_new.select(
+                F.col("id").alias("new_id"), F.col("sh").alias("sh_a"), F.col("ls").alias("la")
+            ),
+            "new_id",
+        )
+        .join(
+            sh_cor.select(
+                F.col("id").alias("corpus_id"),
+                F.col("sh").alias("sh_b"),
+                F.col("ls").alias("lb"),
+            ),
+            "corpus_id",
+        )
+        .filter(
+            (F.col("la") >= F.lit(jaccard_threshold) * F.col("lb"))
+            & (F.col("lb") >= F.lit(jaccard_threshold) * F.col("la"))
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    result = (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+        .persist()
+    )
+    result.count()
+    for cch in (new_sig, corpus_sig, candidates, sh_new, sh_cor):
+        cch.unpersist()
+    return result
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -3499,6 +3499,53 @@ def q111_new_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q112_incremental_neardup",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d
+    ),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             len(list_intersect(n.s, c.s)) AS i, n.ls AS la, c.ls AS lb
+      FROM sh2 n JOIN sh2 c
+        ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+       AND n.ls * 2 >= c.ls AND c.ls * 2 >= n.ls
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    """,
+)
+def q112_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup: an incoming batch (doc_id % 5 == 0)
+    against the ingested corpus's materialized signature store — band keys
+    of the BATCH join the stored corpus signatures, and corpus text is
+    re-shingled only for verify candidates
+    (dedup.minhash_near_duplicates_against; oracle = brute-force cross
+    Jaccard, recall 1.0 at the gate data like q33)."""
+    from apache_arrow_spark.functions.dedup import (
+        minhash_near_duplicates_against,
+        minhash_sig_array,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    # the "stored" signature table — in production read from parquet
+    sig_store = minhash_sig_array(corpus)
+    return minhash_near_duplicates_against(
+        new, corpus, jaccard_threshold=0.5, corpus_sig=sig_store
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -162,3 +162,35 @@ def test_incremental_dedup_against_seen(spark):
         r["doc_id"] for r in exact_dedup_incremental(new, digests).collect()
     )
     assert kept2 == [2, 4]
+
+
+def test_incremental_neardup_matches_full(spark):
+    """Cross-corpus near-dup pairs == the new/corpus cross-slice of the
+    full self-join result."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_against,
+        minhash_sig_array,
+    )
+
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in minhash_near_duplicates_against(
+            new, corpus, jaccard_threshold=0.5,
+            corpus_sig=minhash_sig_array(corpus),
+        ).collect()
+    }
+    full = minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    expected = {}
+    for r in full:
+        a_new, b_new = r.id_a % 3 == 0, r.id_b % 3 == 0
+        if a_new and not b_new:
+            expected[(r.id_a, r.id_b)] = r.jaccard
+        elif b_new and not a_new:
+            expected[(r.id_b, r.id_a)] = r.jaccard
+    assert inc == expected
