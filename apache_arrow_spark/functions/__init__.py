@@ -10,6 +10,7 @@ from apache_arrow_spark.functions import (
     lm,
     multimodal,
     pipeline,
+    profiling,
     retrieval,
     similarity,
     sketches,
@@ -26,6 +27,7 @@ __all__ = [
     "filters",
     "pipeline",
     "importance",
+    "profiling",
     "retrieval",
     "sketches",
     "skew",

@@ -131,6 +131,35 @@ def quota_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k rows,
+    inclusion probability proportional to ``weight_col``): the
+    Efraimidis-Spirakis exponential-key scheme, u = hash-uniform(key),
+    sort key = -ln(u) / w, keep the k smallest.  The quality-weighted
+    corpus-sampling primitive (sample documents proportional to a quality
+    or length score) — reproducible across runs and engines because u
+    derives from :func:`hash_bucket`, not rand().
+
+    Scale shape: per-row expressions + ``orderBy(...).limit(k)``, which
+    Spark compiles to TakeOrderedAndProject — per-partition k-heaps and a
+    driver merge of k rows, never a global sort.  Appends the sort key as
+    ``__ekey`` (callers may drop it); ties break on the key column.
+    """
+    u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    ekey = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__ekey", ekey)
+        .orderBy(F.col("__ekey").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

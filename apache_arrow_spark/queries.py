@@ -3546,6 +3546,110 @@ def q112_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q113_resample_ffill",
+    """
+    WITH o AS (
+      SELECT event_type AS series,
+             CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS b,
+             round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE)
+                   / count(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    sp AS (
+      SELECT series, unnest(range(lo, hi + 1)) AS b
+      FROM (SELECT series, min(b) AS lo, max(b) AS hi FROM o GROUP BY series)),
+    j AS (SELECT sp.series, sp.b, o.v FROM sp LEFT JOIN o USING (series, b))
+    SELECT series, CAST(b * 3600000000000 AS BIGINT) AS bucket_start,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY series ORDER BY b
+                                            ROWS UNBOUNDED PRECEDING) AS value,
+           v IS NOT NULL AS observed
+    FROM j
+    """,
+)
+def q113_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event stream per type with forward-filled
+    gaps (operators/timeseries.py): map-side-combinable bucket aggregate,
+    per-series spine (never a global calendar cross-join), one window pass
+    for the fill.  Values go through the exact-decimal avg so the carried
+    numbers hash identically across engines."""
+    from apache_arrow_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    return resample_ffill(
+        ev.select(F.col("event_type"), F.col("ts"), F.col("value")),
+        "event_type",
+        "ts",
+        "value",
+        hour_ns,
+        agg=lambda c: exact_avg(c),
+    ).select(
+        F.col("series"), "bucket_start", "value", "observed"
+    )
+
+
+_PROFILE_COLS = [
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+]
+
+
+@register(
+    "q114_profile",
+    "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, count(*) AS n_rows,"
+        f" count(*) - count({c}) AS n_null,"
+        f" count(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    ),
+)
+def q114_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (functions/profiling.py): all
+    row/null/distinct metrics in ONE aggregate, per-column rows assembled
+    by exploding a struct array on the single result row — no per-column
+    jobs.  Exact distincts here (the oracle's form); ``approx=True`` is
+    the HLL-based 100 TB default."""
+    from apache_arrow_spark.functions.profiling import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile(o, _PROFILE_COLS)
+
+
+_SQL_W_BUCKET = sql_hash_bucket("doc_id", "q115")
+
+
+@register(
+    "q115_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             -ln(({_SQL_W_BUCKET} + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE) AS ekey_raw
+      FROM documents)
+    SELECT doc_id, source, n_chars, round(ekey_raw, 6) AS ekey
+    FROM w ORDER BY ekey_raw, doc_id LIMIT 40
+    """,
+)
+def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (pipeline.weighted_sample): Efraimidis-Spirakis exponential keys from
+    the portable md5 uniform, k smallest via TakeOrderedAndProject (k-heaps
+    + driver merge of k rows, no global sort).  Inclusion probability is
+    proportional to n_chars — the quality/length-weighted corpus-sampling
+    primitive."""
+    from apache_arrow_spark.functions.pipeline import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = weighted_sample(d, "n_chars", 40, "doc_id", salt="q115")
+    return s.select(
+        "doc_id", "source", "n_chars", F.round(F.col("__ekey"), 6).alias("ekey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -1,0 +1,71 @@
+"""resample_ffill + profile + weighted_sample unit tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from apache_arrow_spark.functions.pipeline import weighted_sample
+from apache_arrow_spark.functions.profiling import profile
+from apache_arrow_spark.operators.timeseries import resample_ffill
+
+
+def test_resample_fills_gaps_and_carries_value(spark):
+    # series 'a': buckets 0 and 3 observed -> 1,2 filled with bucket-0 value
+    rows = [("a", 5, 10.0), ("a", 35, 30.0), ("b", 12, 7.0)]
+    df = spark.createDataFrame(rows, "s string, t bigint, v double")
+    out = {
+        (r.series, r.bucket_start): (r.value, r.observed)
+        for r in resample_ffill(df, "s", "t", "v", 10).collect()
+    }
+    assert out[("a", 0)] == (10.0, True)
+    assert out[("a", 10)] == (10.0, False)
+    assert out[("a", 20)] == (10.0, False)
+    assert out[("a", 30)] == (30.0, True)
+    assert out[("b", 10)] == (7.0, True)
+    assert len(out) == 5  # no spine beyond each series' own bounds
+
+
+def test_resample_custom_agg(spark):
+    rows = [("a", 1, 1.0), ("a", 2, 5.0)]
+    df = spark.createDataFrame(rows, "s string, t bigint, v double")
+    out = resample_ffill(df, "s", "t", "v", 10, agg=F.max).collect()
+    assert out[0].value == 5.0
+
+
+def test_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a bigint, b string"
+    )
+    out = {r.column: r for r in profile(df).collect()}
+    assert out["a"].n_rows == 3 and out["a"].n_null == 0 and out["a"].n_distinct == 2
+    assert out["b"].n_null == 1 and out["b"].n_distinct == 2
+
+
+def test_profile_approx_close(spark):
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "a bigint")
+    exact = profile(df).first()
+    approx = profile(df, approx=True).first()
+    assert exact.n_distinct == 100
+    assert abs(approx.n_distinct - 100) <= 10
+
+
+def test_weighted_sample_properties(spark):
+    rows = [(i, 1 + (i % 10) * 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    s1 = [r.k for r in weighted_sample(df, "w", 50, "k", salt="s").collect()]
+    s2 = [r.k for r in weighted_sample(df, "w", 50, "k", salt="s").collect()]
+    assert s1 == s2 and len(s1) == 50 == len(set(s1))  # deterministic, w/o replacement
+    # heavy weights dominate: weight-1 rows (i%10==0) should be rare
+    light = sum(1 for k in s1 if k % 10 == 0)
+    assert light <= 5
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)], "k bigint, w bigint")
+    plan = (
+        weighted_sample(df, "w", 5, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
