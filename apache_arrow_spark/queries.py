@@ -3650,6 +3650,96 @@ def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_WEIGHTS = [("click", 1), ("view", 1), ("purchase", 10), ("signup", 5), ("error", 0)]
+
+
+@register(
+    "q116_stream_static_join",
+    """
+    SELECT event_type,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+                           WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                           ELSE 0 END AS weight,
+           count(*) AS n,
+           CAST(count(*) * (CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+                                            WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                                            ELSE 0 END) AS BIGINT) AS weighted_n
+    FROM events GROUP BY event_type
+    """,
+)
+def q116_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream enriched against a
+    static dimension (event weights) INSIDE the streaming query — Spark
+    broadcasts the static side into every micro-batch with no state store
+    (stream-static joins are stateless by definition), then aggregates.
+    The batch oracle is the same join+agg — availableNow replay makes the
+    streaming result total."""
+    from apache_arrow_spark.streaming import replay_table_stream, run_to_memory_sink
+
+    weights = spark.createDataFrame(_EVENT_WEIGHTS, "event_type string, weight int")
+    stream = replay_table_stream(spark, sf_dir, "events")
+    joined = stream.join(F.broadcast(weights), "event_type", "left")
+    agg = joined.groupBy("event_type", "weight").agg(F.count(F.lit(1)).alias("n"))
+    got = run_to_memory_sink(agg, spark, output_mode="complete")
+    return got.select(
+        "event_type",
+        "weight",
+        "n",
+        (F.col("n") * F.col("weight")).cast("long").alias("weighted_n"),
+    )
+
+
+@register(
+    "q117_udtf_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id, u.s AS sentence_raw, u.i AS i
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, '.')) AS s,
+                           generate_subscripts(string_split(text, '.'), 1) AS i) u
+    ),
+    t AS (SELECT doc_id, i, trim(sentence_raw) AS sentence
+          FROM s WHERE length(trim(sentence_raw)) > 0)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos,
+           sentence, length(sentence) AS n_chars_s
+    FROM t
+    """,
+)
+def q117_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.10 capability superset — the reference has no
+    UDTF surface): a table function expanding each document into
+    (pos, sentence) rows.  UDTFs are the row-at-a-time escape hatch — the
+    honest plan note is that this SAME expansion is expressible as
+    posexplode(split(...)) at codegen speed (q85 chunking does exactly
+    that); the query exists to cover the API surface, and the oracle pins
+    its semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield pos, s
+                    pos += 1
+
+    spark.udtf.register("aas_sentence_split", SentenceSplit)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("aas_docs_q117")
+    out = spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence FROM aas_docs_q117 d, "
+        "LATERAL aas_sentence_split(d.text) s"
+    )
+    return out.select(
+        "doc_id", "pos", "sentence", F.length("sentence").alias("n_chars_s")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
