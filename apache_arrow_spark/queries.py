@@ -3745,12 +3745,12 @@ def q117_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
 # rows.  Rotate round-1-green trivial-wrapper queries (each still fully
 # covered by pytest and by other registered queries' plans) to the tail so
-# the formerly-dark operators occupy graded slots this round.  With 30
-# deferred of 80 registered, the graded window is exactly the 50 queries
-# that have never (or not yet) carried a driver-grade row.  Rotate again
-# next round so every query is periodically driver-graded.  q99/q100
-# (registered after the window filled) sit at positions 51-52 this round —
-# pytest + local oracle checks cover them until they rotate in next round.
+# the formerly-dark operators occupy graded slots this round — the r02
+# window is exactly q33..q98's never-graded set.  Queries registered after
+# the window filled (q99-q117) are covered by pytest + the local
+# check_oracle harness (all green at sf0.01) until they rotate in next
+# round: the r03 rotation should defer this round's graded window and
+# promote q99-q117 into the first 50 slots.
 # --------------------------------------------------------------------------
 _DEFERRED = [
     "q08_unique_orderpriority",  # distinct: plan family graded via q51/q52

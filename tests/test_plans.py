@@ -203,3 +203,64 @@ def test_bloom_probe_is_arrow_batched(spark, sf_dir):
     plan = plan_string(probed, "simple")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + running sum + per-session agg all reuse ONE exchange on the
+    entity key."""
+    from apache_arrow_spark.operators.sessionize import session_summary
+    from apache_arrow_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")  # ts as int64 nanos
+    df = session_summary(ev, "user_id", "ts", 1_800_000_000_000, ["event_id"])
+    assert shuffle_count(df) == 1
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir):
+    from apache_arrow_spark.operators.upsert import merge_upsert
+    from apache_arrow_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    upd = ev.filter(F.col("event_id") % 2 == 1)
+    df = merge_upsert(base, upd, ["user_id", "event_type"], ["ts", "event_id"])
+    assert shuffle_count(df) == 1
+
+
+def test_resample_ffill_reuses_series_partitioning(spark, sf_dir):
+    """bucket agg (series,b), spine agg (series), join, window (series):
+    one exchange tree on the series key + the bucket agg's — no extra
+    exchange for the window."""
+    from apache_arrow_spark.operators.timeseries import resample_ffill
+    from apache_arrow_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df = resample_ffill(
+        ev.select("event_type", "ts", "value"),
+        "event_type",
+        "ts",
+        "value",
+        3_600_000_000_000,
+    )
+    # observed agg shuffles on (series,b); spine agg + window reuse series
+    # partitioning derived from it; the spine-observed join may re-exchange
+    # one side.  The discipline: bounded small constant, not per-stage.
+    assert shuffle_count(df) <= 4
+
+
+def test_profile_single_aggregate_no_percol_jobs(spark, sf_dir):
+    from apache_arrow_spark.functions.profiling import profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = profile(o, ["o_custkey", "o_orderstatus"])
+    plan = plan_string(df, "simple")
+    # exactly one scan of the table feeds all metrics
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_weighted_sample_no_global_sort(spark, sf_dir):
+    from apache_arrow_spark.functions.pipeline import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_string(weighted_sample(d, "n_chars", 10, "doc_id"), "simple")
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
