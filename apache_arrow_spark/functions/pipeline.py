@@ -219,6 +219,38 @@ def mix_datasets(
     return out
 
 
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Cap each group at a TOKEN budget (not a row count): walk the group
+    in deterministic hash order and keep documents while the cumulative
+    token count stays under ``budget`` (the first document crossing the
+    boundary is kept, so every non-empty group contributes at least one
+    document and the kept total is the smallest prefix >= budget — or the
+    whole group if it's smaller).
+
+    This is how corpus mixing specs are actually written ("200 B tokens of
+    web, 30 B of code"): :func:`quota_sample` pins document counts,
+    :func:`mix_datasets` pins keep-rates, this pins token mass.  One
+    shuffle on the group column (the running-sum window); the hash order
+    makes the kept set reproducible and independent of physical row order.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum_tokens", cum)
+        .filter(F.col("__cum_tokens") - F.col(token_col) < budget)
+        .drop("__cum_tokens")
+    )
+
+
 def _exclusive_prefix_sum(
     df: DataFrame, order_col: str, val_col: str, out_col: str, n_part: int = 0
 ) -> DataFrame:

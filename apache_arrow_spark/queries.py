@@ -3740,6 +3740,43 @@ def q117_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TB_BUCKET = sql_hash_bucket("doc_id", "q118")
+
+
+@register(
+    "q118_token_budget_mix",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, {_SQL_TOKCNT} AS ntok, {_SQL_TB_BUCKET} AS hb
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, ntok,
+             sum(ntok) OVER (PARTITION BY source ORDER BY hb, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens_kept
+    FROM c WHERE cum - ntok < 300 GROUP BY source
+    """,
+)
+def q118_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus capping (pipeline.token_budget_cap): each source
+    contributes documents in deterministic hash order until ~300 tokens —
+    mixing specs pin token MASS ('200B web, 30B code'), not row counts.
+    One running-sum window shuffle on the source key; the follow-up
+    aggregate reuses that partitioning."""
+    from apache_arrow_spark.functions.pipeline import token_budget_cap
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__ntok", token_count(F.col("text"))
+    )
+    capped = token_budget_cap(d, "source", "__ntok", 300, "doc_id", salt="q118")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("tokens_kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

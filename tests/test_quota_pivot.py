@@ -63,3 +63,28 @@ def test_schema_evolution_nullpads(spark, tmp_path):
     m = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "p"))
     rows = {r.k: (r.x, r.y) for r in m.collect()}
     assert rows == {1: (10, None), 2: (None, 3.5)}
+
+
+def test_token_budget_cap(spark):
+    from apache_arrow_spark.functions.pipeline import token_budget_cap
+
+    rows = [("a", i, 40) for i in range(20)] + [("b", 100, 500)]
+    df = spark.createDataFrame(rows, "g string, k bigint, ntok bigint")
+    out = token_budget_cap(df, "g", "ntok", 100, "k")
+    per = {r.g: (r.n, r.t) for r in out.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("ntok").alias("t")).collect()}
+    # group a: 40-token docs -> keeps 3 (cum 40,80,120; the crosser is kept)
+    assert per["a"] == (3, 120)
+    # a single over-budget doc is still kept (every group contributes)
+    assert per["b"] == (1, 500)
+
+
+def test_token_budget_cap_order_independent(spark):
+    from apache_arrow_spark.functions.pipeline import token_budget_cap
+
+    rows = [("a", i, 10 + i) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "g string, k bigint, ntok bigint")
+    df2 = spark.createDataFrame(list(reversed(rows)), "g string, k bigint, ntok bigint")
+    k1 = sorted(r.k for r in token_budget_cap(df1, "g", "ntok", 200, "k").collect())
+    k2 = sorted(r.k for r in token_budget_cap(df2, "g", "ntok", 200, "k").collect())
+    assert k1 == k2
