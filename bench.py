@@ -176,22 +176,19 @@ def main():
             for d in _glob.glob(os.path.join(scratch, "aas_q[0-9]*_*")):
                 _shutil.rmtree(d, ignore_errors=True)
 
-    # JIT warmup: run every headline query once at sf0.001 (untimed).  The
-    # generated codegen classes and C2-compiled loops are data-independent,
-    # so a tiny-scale execution pays the compile cost outside the timed
-    # reps — measured: first sf0.1 executions drop from 3-12 s to within
-    # ~20% of steady state.  Cheap (~1-2 s/query at sf0.001), and skipped
-    # when no sibling sf0.001 directory exists.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in names:
-            try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass  # a warmup failure just means that query times cold
-            _cleanup()
+    # JIT warmup: run every headline query once at the TARGET sf (untimed).
+    # A tiny-sf warmup is NOT sufficient: AQE picks different physical
+    # shapes at sf0.001 (broadcast instead of shuffle joins, coalesced
+    # exchanges), so the big queries' sf0.1 codegen classes and C2 loops
+    # compile inside the first TIMED rep — measured: q33 reports 4.6 s
+    # with tiny-sf warmup vs ~3.0 s steady state.  One extra untimed pass
+    # costs ~40 s of bench wall and makes the timed reps honest.
+    for name in names:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # a warmup failure just means that query times cold
+        _cleanup()
 
     # two reps per query, best observed: single-shot timings on this box
     # suffer multi-second external stalls (hypervisor memory reclaim) that
@@ -213,7 +210,7 @@ def main():
         return elapsed
 
     reps_by_name: dict[str, list[float]] = {n: [] for n in names}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             reps_by_name[name].append(_timed(name))
     timings: dict[str, float] = {}
