@@ -147,3 +147,48 @@ def shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text (the MinHash input
     set).  Pure expression: substring over a generated index sequence."""
     return shingles_of_normalized(normalize_text(text), k)
+
+
+def gram_hashes(norm: Column, k: int = 5) -> Column:
+    """Sequential k-gram md5-prefix int64 hashes of an ALREADY-normalized
+    string (order preserved — the winnowing input; contrast the DISTINCT
+    set shingles_of_normalized builds for MinHash)."""
+    n = F.length(norm) - F.lit(k - 1)
+    grams = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, F.lit(k)))
+    )
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+    )
+
+
+def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS local
+    plagiarism-detection scheme): min hash of every w-window of the
+    sequential k-gram hash stream, deduped.  Guarantees every shared
+    substring of length >= w+k-1 contributes a shared fingerprint, which
+    makes the fingerprints joinable for local-overlap detection the way
+    whole-document digests are for exact dedup.
+
+    ``hs`` MUST be a materialized column (project :func:`gram_hashes`
+    first): Catalyst inlines expression-tree references into each window
+    lambda, so passing the hash expression directly would re-evaluate the
+    whole md5 stream once per window — O(doc_len^2) md5 calls (measured:
+    a hang at even 50 docs).  From a plain attribute each window is w
+    array reads.  Documents shorter than one window contribute their
+    single global min (every non-empty doc yields >= 1 fingerprint).
+    Pure array expressions, no UDF, no shuffle.
+    """
+    m = F.size(hs)
+    return (
+        F.when(m == 0, F.array().cast("array<bigint>"))
+        .when(m < w, F.array(F.array_min(hs)))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - F.lit(w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            )
+        )
+    )

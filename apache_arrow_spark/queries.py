@@ -3777,6 +3777,50 @@ def q118_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q119_winnow_fingerprints",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_SQL_NORM} AS t FROM documents),
+    g AS (SELECT doc_id, lang,
+            CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)) END AS gr
+          FROM d),
+    h AS (SELECT doc_id, lang,
+            list_transform(gr, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+          FROM g),
+    f AS (SELECT doc_id, lang,
+            CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(hs) < 4 THEN [list_min(hs)]
+                 ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                                                   j -> list_min(hs[j:j+3]))) END AS fps
+          FROM h),
+    e AS (SELECT lang, doc_id, unnest(fps) AS fp FROM f)
+    SELECT lang, count(*) AS total_fp, count(DISTINCT fp) AS uniq_fp
+    FROM e GROUP BY lang
+    """,
+)
+def q119_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint extraction over the corpus
+    (text.winnow_fingerprints): window-min hashes of the sequential k-gram
+    stream guarantee shared substrings >= w+k-1 chars share a fingerprint
+    — the local-overlap analog of exact dedup's whole-document digest.
+    Per-language fingerprint volume + distinct count; one explode + one
+    aggregate, fingerprints shuffle as longs."""
+    from apache_arrow_spark.functions.text import (
+        gram_hashes,
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select("lang", gram_hashes(normalize_text(F.col("text")), 5).alias("hs"))
+    fps = hs.select("lang", F.explode(winnow_fingerprints(F.col("hs"), 4)).alias("fp"))
+    return fps.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_fp"),
+        F.countDistinct("fp").alias("uniq_fp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -60,3 +60,35 @@ def test_quality_score_bounds(spark, sf_dir):
         F.min("q"), F.max("q")
     ).collect()[0]
     assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one fingerprint."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.text import gram_hashes, normalize_text, winnow_fingerprints
+
+    shared = "the identical plagiarized passage appears verbatim here"
+    rows = [
+        (1, "intro text AAA " + shared + " tail one"),
+        (2, "unrelated lead BBB " + shared + " other ending"),
+        (3, "completely different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hs = df.select("doc_id", gram_hashes(normalize_text(F.col("text")), 5).alias("hs"))
+    out = {r.doc_id: set(r.fps) for r in hs.select(
+        "doc_id", winnow_fingerprints(F.col("hs"), 4).alias("fps")).collect()}
+    assert out[1] & out[2]  # shared passage -> shared fingerprint
+    assert not (out[1] & out[3]) or len(out[1] & out[3]) < len(out[1] & out[2])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.text import gram_hashes, normalize_text, winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id bigint, text string")  # 2 grams < w
+    hs = df.select(gram_hashes(normalize_text(F.col("text")), 5).alias("hs"))
+    fps = hs.select(winnow_fingerprints(F.col("hs"), 4).alias("f")).first().f
+    assert len(fps) == 1
