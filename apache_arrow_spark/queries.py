@@ -3821,6 +3821,142 @@ def q119_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q120_fingerprint_overlap_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)) END AS gr
+          FROM d),
+    h AS (SELECT doc_id,
+            list_transform(gr, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+          FROM g),
+    f AS (SELECT doc_id,
+            CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(hs) < 4 THEN [list_min(hs)]
+                 ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                                                   j -> list_min(hs[j:j+3]))) END AS fps
+          FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp
+    FROM p WHERE shared_fp >= 5
+    """,
+)
+def q120_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pair detection via winnowing fingerprints: the MOSS
+    pipeline end-to-end — docs sharing >= 5 window-min fingerprints share
+    substantial verbatim text.  The pair join is an equi-join on the
+    fingerprint (longs), so cost is bounded by actual shared-substring
+    volume — never an all-pairs comparison."""
+    from apache_arrow_spark.functions.text import (
+        gram_hashes,
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        F.col("doc_id"), gram_hashes(normalize_text(F.col("text")), 5).alias("hs")
+    )
+    e = hs.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("hs"), 4)).alias("fp")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 5)
+    )
+    return pairs
+
+
+@register(
+    "q121_group_regression",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT)
+                      * CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT)
+                      * CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT)) AS BIGINT) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS intercept
+    FROM s
+    """,
+)
+def q121_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression (value vs day, per event type) from
+    ONE map-side-combinable aggregate of quantized integer moments (the
+    s_micro discipline applied to regression sums): slope/intercept are
+    IEEE doubles derived from identical longs in both engines.  The
+    scale-correct alternative to per-group fitting loops — any number of
+    series, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    x = (F.col("ts") / F.lit(float(day_ns))).cast("long")
+    y = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = sy / nd - slope * (sx / nd)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope"),
+        F.round(intercept / F.lit(100.0), 6).alias("intercept"),
+    )
+
+
+@register(
+    "q122_price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q122_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (binning) of order totals: a pure binning
+    expression + one map-side-combinable aggregate — at 100 TB the
+    histogram shuffle is bucket-count rows per task.  Top bucket clamps
+    the tail (least), so the bucket domain is fixed at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast(
+        "long"
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
