@@ -3957,6 +3957,107 @@ def q122_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q123_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS k FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id),
+    e AS (
+      SELECT c.user_id, t.n,
+             CAST(sum(CAST(floor(-(CAST(c.k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                 * ln(CAST(c.k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS h9
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n)
+    SELECT user_id, n AS n_events, round(CAST(h9 AS DOUBLE) / 1000000000.0, 6) AS entropy
+    FROM e
+    """,
+)
+def q123_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity scoring: Shannon entropy of each user's
+    event-type distribution — the diversity metric corpus curation applies
+    to source/language mixes.  Two map-side-combinable aggregates on the
+    user key (the second reuses the first's partitioning); each term
+    -p*ln(p) is an IEEE double from identical integer counts in both
+    engines, floor-quantized to nano-units (the s_micro discipline) BEFORE
+    the sum so the aggregate is integer-exact and order-independent under
+    any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    t = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    term9 = F.floor(-p * F.log(p) * F.lit(1e9)).cast("long")
+    e = c.join(t, "user_id").groupBy("user_id", "n").agg(F.sum(term9).alias("h9"))
+    return e.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(F.col("h9").cast("double") / F.lit(1e9), 6).alias("entropy"),
+    )
+
+
+@register(
+    "q124_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-02-01') WHERE rn = 1),
+    b AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    d AS (
+      SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.value <> b.value THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM a FULL OUTER JOIN b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type)
+    SELECT event_type, change, count(*) AS n
+    FROM d GROUP BY event_type, change
+    """,
+)
+def q124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: keyed full-outer diff of two keep-latest
+    states (the monitoring twin of q105's merge-upsert) — added / removed /
+    changed / unchanged counts per dimension.  Both snapshots shuffle once
+    on the same key set, the diff join aligns on it, and the final count
+    is map-side-combinable."""
+    from apache_arrow_spark.operators.upsert import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_ns = 1_706_745_600_000_000_000  # 2024-02-01 UTC
+    empty = ev.filter(F.lit(False))
+    snap_a = merge_upsert(
+        ev.filter(F.col("ts") < cutoff_ns), empty,
+        keys=["user_id", "event_type"], order_cols=["ts", "event_id"],
+    ).select("user_id", "event_type", "value")
+    snap_b = merge_upsert(
+        ev, empty, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    ).select("user_id", "event_type", "value")
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    d = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias("event_type"),
+        F.when(F.col("a.user_id").isNull(), F.lit("added"))
+        .when(F.col("b.user_id").isNull(), F.lit("removed"))
+        .when(F.col("a.value") != F.col("b.value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return d.groupBy("event_type", "change").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
