@@ -109,11 +109,11 @@ def _anchor_sort(spark) -> float:
     df = spark.range(n, numPartitions=32).select((F.rand(seed=7) * 1e9).alias("x")).cache()
     df.count()
     rates = []
-    for _ in range(6):
+    for _ in range(10):
         t0 = time.time()
         df.orderBy("x").write.format("noop").mode("overwrite").save()
         rates.append(n / (time.time() - t0) / 1e6)
-        if len(rates) >= 3 and max(rates) >= 18.0:
+        if len(rates) >= 3 and max(rates) >= 20.0:
             break
     df.unpersist()
     return round(max(rates), 1)
