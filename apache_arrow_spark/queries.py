@@ -4058,6 +4058,80 @@ def q124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("event_type", "change").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "q125_chi_square_drift",
+    """
+    WITH c AS (SELECT source, lang, count(*) AS k FROM documents GROUP BY 1, 2),
+    rs AS (SELECT source, CAST(sum(k) AS BIGINT) AS r FROM c GROUP BY source),
+    cs AS (SELECT lang, CAST(sum(k) AS BIGINT) AS cc FROM c GROUP BY lang),
+    t AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM c),
+    cell AS (
+      SELECT c.source, c.lang, c.k,
+             CAST(rs.r AS DOUBLE) * CAST(cs.cc AS DOUBLE) / CAST(t.n AS DOUBLE) AS exp
+      FROM c JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN t),
+    q AS (
+      SELECT source, lang,
+             CAST(floor((CAST(k AS DOUBLE) - exp) * (CAST(k AS DOUBLE) - exp) / exp
+                        * 1000000.0) AS BIGINT) AS chi6
+      FROM cell)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(CAST(sum(chi6) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS chi_square
+    FROM q
+    """,
+)
+def q125_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between two categorical columns
+    (source x lang) — the drift/contingency test monitoring pipelines run
+    between snapshots.  One contingency aggregate + broadcast-sized
+    marginals joined back; per-cell terms floor-quantized to micros before
+    the final sum (integer-exact, order-independent)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("k"))
+    rs = c.groupBy("source").agg(F.sum("k").alias("r"))
+    cs = c.groupBy("lang").agg(F.sum("k").alias("cc"))
+    t = c.agg(F.sum("k").alias("n"))
+    cell = (
+        c.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(t))
+    )
+    k = F.col("k").cast("double")
+    exp = F.col("r").cast("double") * F.col("cc").cast("double") / F.col("n").cast("double")
+    chi6 = F.floor((k - exp) * (k - exp) / exp * F.lit(1e6)).cast("long")
+    q = cell.select(chi6.alias("chi6"))
+    return q.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("chi6").cast("double") / F.lit(1e6), 6).alias("chi_square"),
+    )
+
+
+@register(
+    "q126_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q126_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (behavioral modeling / anomalous-flow detection): one window pass on
+    the user key for the lead, then a map-side-combinable count keyed on
+    the (from, to) pair — 25 cells max on the wire regardless of scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
