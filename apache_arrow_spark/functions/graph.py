@@ -1,0 +1,89 @@
+"""Iterative graph algorithms over pair tables (PageRank; connected
+components lives in dedup.connected_components).
+
+PageRank here runs on the near-duplicate / overlap pair graphs the dedup
+stack produces — ranking documents by how centrally they sit in a
+duplication cluster (the canonical-document selection signal when "min id"
+is too arbitrary).
+
+Scale + determinism discipline:
+- each iteration is one join (carry ranks to edges) + one shuffle keyed on
+  the destination node; rounds are fixed (``iters``), so total cost is
+  iters x one-pass — the pair graph is orders of magnitude smaller than
+  the corpus (only near-dup members appear);
+- every rank is an int64 in nano-units and every per-edge contribution is
+  an EXACT integer division (r - r % deg) / deg — numerator < 2^53, so
+  the double division is exact and identical across engines; the
+  destination sum is therefore an integer sum: order-independent,
+  bit-reproducible, and expressible verbatim in SQL (the oracle unrolls
+  the same ``iters`` rounds as chained CTEs);
+- lineage is truncated per round with ``localCheckpoint`` (the
+  connected-components lesson: Catalyst re-analysis otherwise grows with
+  nesting depth).  On a fault-tolerant cluster swap for ``checkpoint()``
+  on reliable storage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED pair graph.
+
+    Returns (node, rank9) with rank9 the int64 nano-unit rank after
+    ``iters`` rounds.  Every arithmetic step stays in exactly-representable
+    integer space (see module docstring), so two engines running the same
+    rounds produce identical rank9 values.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).union(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # driver scalar, same contract as CC's changed-count
+    if n == 0:
+        return pairs.sparkSession.createDataFrame([], "node bigint, rank9 bigint")
+    from fractions import Fraction
+
+    fr = Fraction(damping).limit_denominator(10**6)
+    dnum, dden = fr.numerator, fr.denominator
+    init9 = 10**9 // n
+    # (1-d)/N in nano-units via EXACT integer arithmetic (no float damping:
+    # double(0.85)*s and DECIMAL 0.85*s floor differently at integer
+    # boundaries — a measured cross-engine trap)
+    base9 = (10**9 * (dden - dnum) // dden) // n
+    deg = deg.localCheckpoint()
+    edges = edges.localCheckpoint()
+    r = deg.select("u", F.lit(init9).cast("long").alias("r9"))
+    nodes = deg.select(F.col("u").alias("v"))
+    for _ in range(iters):
+        carried = edges.join(r, "u").join(deg, "u")
+        # exact integer division: numerator < 2^53 -> double division of
+        # the exact multiple is exact and engine-identical (DuckDB twin:
+        # r9 // deg)
+        contrib = carried.select(
+            "v",
+            ((F.col("r9") - F.col("r9") % F.col("deg")) / F.col("deg"))
+            .cast("long")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ds = F.lit(dnum) * F.coalesce(F.col("s"), F.lit(0))
+        r = (
+            nodes.join(sums, "v", "left")
+            .select(
+                F.col("v").alias("u"),
+                (F.lit(base9) + ((ds - ds % F.lit(dden)) / F.lit(dden)).cast("long"))
+                .cast("long")
+                .alias("r9"),
+            )
+            .localCheckpoint()
+        )
+    return r.select(F.col("u").alias("node"), F.col("r9").alias("rank9"))

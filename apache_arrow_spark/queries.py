@@ -4132,6 +4132,63 @@ def q126_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _pagerank_oracle_sql(iters: int = 5, dnum: int = 17, dden: int = 20) -> str:
+    """Unrolled-CTE PageRank oracle over the q120 fingerprint-overlap
+    graph — the same exact-integer rounds the Spark implementation runs."""
+    head = f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, length(t) - 3), i -> substr(t, i, 5)) END AS gr
+          FROM d),
+    h AS (SELECT doc_id,
+            list_transform(gr, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+          FROM g),
+    f AS (SELECT doc_id,
+            CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(hs) < 4 THEN [list_min(hs)]
+                 ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                                                   j -> list_min(hs[j:j+3]))) END AS fps
+          FROM h),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    p2 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    e AS (SELECT id_a AS u, id_b AS v FROM p2 UNION ALL SELECT id_b, id_a FROM p2),
+    deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u, CAST(1000000000 // nn.n AS BIGINT) AS r9 FROM deg CROSS JOIN nn)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (SELECT e.v, CAST(r.r9 // dd.deg AS BIGINT) AS c
+             FROM e JOIN r{i - 1} r ON e.u = r.u JOIN deg dd ON e.u = dd.u),
+    s{i} AS (SELECT v, CAST(sum(c) AS BIGINT) AS s FROM c{i} GROUP BY v),
+    r{i} AS (SELECT deg.u,
+                    CAST(((CAST(1000000000 AS BIGINT) * {dden - dnum}) // {dden}) // nn.n
+                         + ({dnum} * coalesce(s.s, 0)) // {dden} AS BIGINT) AS r9
+             FROM deg CROSS JOIN nn LEFT JOIN s{i} s ON deg.u = s.v)"""
+    return head + body + f"""
+    SELECT u AS node, r9 AS rank9 FROM r{iters}
+    """
+
+
+@register("q127_pagerank_neardup", _pagerank_oracle_sql(5))
+def q127_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the fingerprint-overlap graph (functions/graph.py):
+    ranks documents by duplication-cluster centrality — the canonical-
+    document selection signal.  Five exact-integer rounds (nano-unit
+    ranks, rational damping 17/20, integer divisions) so the oracle's
+    unrolled CTEs produce bit-identical rank9 values; per-round cost is
+    one join + one shuffle on the pair graph, which is orders of magnitude
+    smaller than the corpus."""
+    from apache_arrow_spark.functions.graph import pagerank
+
+    pairs = q120_fingerprint_overlap_pairs(spark, sf_dir).select("id_a", "id_b")
+    return pagerank(pairs, iters=5, damping=0.85)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -194,3 +194,25 @@ def test_incremental_neardup_matches_full(spark):
         elif b_new and not a_new:
             expected[(r.id_b, r.id_a)] = r.jaccard
     assert inc == expected
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """Star graph: the hub must outrank every leaf; ranks are exact ints."""
+    from apache_arrow_spark.functions.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    r1 = {r.node: r.rank9 for r in pagerank(pairs, iters=5).collect()}
+    r2 = {r.node: r.rank9 for r in pagerank(pairs, iters=5).collect()}
+    assert r1 == r2  # deterministic integer ranks
+    hub = r1[0]
+    assert all(hub > r1[i] for i in range(1, 6))
+    assert len(set(r1[i] for i in range(1, 6))) == 1  # symmetric leaves tie
+
+
+def test_pagerank_empty_graph(spark):
+    from apache_arrow_spark.functions.graph import pagerank
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(pairs, iters=3).count() == 0
