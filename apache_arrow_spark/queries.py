@@ -4189,6 +4189,72 @@ def q127_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=5, damping=0.85)
 
 
+@register(
+    "q128_market_basket",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+    s AS (SELECT item, count(*) AS supp FROM b GROUP BY item),
+    p AS (
+      SELECT a.item AS item_a, c.item AS item_b, count(*) AS together
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+      GROUP BY 1, 2),
+    l AS (
+      SELECT p.item_a, p.item_b, p.together,
+             CAST(floor(CAST(p.together AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+                        / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lift6
+      FROM p JOIN s sa ON p.item_a = sa.item JOIN s sb ON p.item_b = sb.item
+      CROSS JOIN n)
+    SELECT item_a, item_b, together, round(CAST(lift6 AS DOUBLE) / 1000000.0, 6) AS lift
+    FROM l WHERE together >= 5
+    """,
+)
+def q128_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (recommendation / affinity
+    mining): pairs explode WITHIN baskets via a self-join on the basket
+    key, so pair volume is sum of |basket|^2 — bounded by basket size
+    (~4 items for orders), never corpus^2.  Supports and the basket count
+    broadcast back into the lift projection; lift is micro-quantized from
+    identical integer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    s = b.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
+    a, c = b.alias("a"), b.alias("c")
+    p = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.item") < F.col("c.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    sa = s.select(F.col("item").alias("item_a"), F.col("supp").alias("sa"))
+    sb = s.select(F.col("item").alias("item_b"), F.col("supp").alias("sb"))
+    lift_raw = (
+        F.col("together").cast("double")
+        * F.col("n_baskets").cast("double")
+        / (F.col("sa").cast("double") * F.col("sb").cast("double"))
+    )
+    lift6 = F.floor(lift_raw * F.lit(1e6)).cast("long")
+    return (
+        p.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("together") >= 5)
+        .select(
+            "item_a",
+            "item_b",
+            "together",
+            F.round(lift6.cast("double") / F.lit(1e6), 6).alias("lift"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
