@@ -156,3 +156,49 @@ def test_chunk_documents_matches_formula_on_seeds(spark):
         assert [c for c, _ in chunks] == list(range(k)), (i, n)
         total_covered = chunks[-1][0] * 24 + chunks[-1][1]
         assert total_covered == n, (i, n)  # last chunk ends at token n
+
+
+# -- winnowing fingerprints: pure-python model of text.winnow_fingerprints --
+
+import hashlib
+
+
+def _winnow_py(norm: str, k: int = 5, w: int = 4) -> set[int]:
+    grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@given(
+    st.text(alphabet="abcdefg", min_size=0, max_size=60),
+    st.text(alphabet="abcdefg", min_size=0, max_size=60),
+    st.text(alphabet="hijklmn", min_size=8, max_size=30),  # shared: distinct alphabet
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_shared_substring_guarantee(prefix, suffix, shared):
+    """Schleimer et al. theorem: any shared substring of length >= w+k-1
+    yields a shared fingerprint — for ANY surrounding context."""
+    a = prefix + shared + suffix
+    b = suffix + shared + prefix
+    fa, fb = _winnow_py(a), _winnow_py(b)
+    assert fa & fb  # len(shared) >= 8 = w+k-1
+
+
+def test_winnow_spark_matches_python_model(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.text import gram_hashes, winnow_fingerprints
+
+    texts = ["abcdefghijklmnop", "aaaaaaaabbbbbbbb", "xy", "", "abcde"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i bigint, t string")
+    hs = df.select("i", gram_hashes(F.col("t"), 5).alias("hs"))
+    got = {
+        r.i: set(r.f)
+        for r in hs.select("i", winnow_fingerprints(F.col("hs"), 4).alias("f")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t), t
