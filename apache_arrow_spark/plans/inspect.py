@@ -67,3 +67,37 @@ def codegen_stages(df: DataFrame) -> int:
     import re
 
     return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))
+
+
+def _unwrap_adaptive(node):
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return _unwrap_adaptive(node.executedPlan())
+    return node
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
+    """(node, metric, value) triples from the EXECUTED plan (run an action
+    first — metrics are zero before execution).  Traverses AQE wrappers and
+    query stages, so post-run values reflect the final adaptive plan."""
+    out: list[tuple[str, str, int]] = []
+
+    def walk(node):
+        node = _unwrap_adaptive(node)
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out.append((node.nodeName(), kv._1(), kv._2().value()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if "QueryStage" in node.nodeName():
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def shuffle_bytes_written(df: DataFrame) -> int:
+    """Total shuffle bytes written by the (already executed) query — the
+    measurable form of the 'digests shuffle, bodies don't' discipline."""
+    return sum(v for _, name, v in executed_metrics(df) if name == "shuffleBytesWritten")

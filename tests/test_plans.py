@@ -264,3 +264,23 @@ def test_weighted_sample_no_global_sort(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = plan_string(weighted_sample(d, "n_chars", 10, "doc_id"), "simple")
     assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+
+def test_exact_dedup_shuffles_digests_not_bodies(spark, sf_dir):
+    """MEASURED scale discipline: exact dedup's shuffle traffic is a small
+    fraction of the corpus text volume — document bodies never enter an
+    exchange."""
+    from apache_arrow_spark.functions.dedup import exact_dedup
+    from apache_arrow_spark.plans.inspect import shuffle_bytes_written
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_bytes = d.select(
+        F.sum(F.length("text")).alias("b")
+    ).first().b
+    out = exact_dedup(d, "text", "doc_id")
+    out.collect()  # metrics attach to THIS df's execution (a .write wraps
+    # the plan in a separate query execution whose metrics out would miss)
+    shuffled = shuffle_bytes_written(out)
+    assert shuffled > 0
+    # digests + ids are far smaller than the text corpus
+    assert shuffled < corpus_bytes / 2, (shuffled, corpus_bytes)
