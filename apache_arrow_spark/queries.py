@@ -4255,6 +4255,39 @@ def q128_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q129_foreachbatch_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q129_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink end-to-end
+    (streaming.run_foreachbatch_parquet_sink): the event stream lands in
+    batchId-keyed overwrite directories (the idempotence recipe restoring
+    exactly-once over at-least-once foreachBatch), then the landed data is
+    read back and aggregated against the batch oracle — availableNow
+    replay makes the landed set total."""
+    import tempfile
+
+    from apache_arrow_spark.streaming import (
+        replay_table_stream,
+        run_foreachbatch_parquet_sink,
+    )
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q129_", dir=shm)
+    stream = replay_table_stream(spark, sf_dir, "events").select("event_type", "value")
+    run_foreachbatch_parquet_sink(stream, f"{root}/data", f"{root}/ckpt")
+    landed = spark.read.parquet(f"{root}/data")
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -5,6 +5,7 @@ from apache_arrow_spark.streaming.sources import (
     replay_table_stream,
 )
 from apache_arrow_spark.streaming.ops import (
+    run_foreachbatch_parquet_sink,
     run_to_memory_sink,
     session_windows,
     streaming_dedup,
@@ -19,5 +20,6 @@ __all__ = [
     "session_windows",
     "streaming_dedup",
     "time_bounded_join",
+    "run_foreachbatch_parquet_sink",
     "run_to_memory_sink",
 ]

@@ -153,3 +153,36 @@ def run_to_memory_sink(
     if ephemeral:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def run_foreachbatch_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_location: str,
+    mode: str = "append",
+) -> None:
+    """Execute a streaming DataFrame with Trigger.AvailableNow through a
+    foreachBatch parquet sink — the production pattern for sinks Spark has
+    no native streaming writer for (JDBC, MERGE targets, multi-table
+    fan-out).
+
+    Idempotence contract: each micro-batch writes to a ``batch=<id>``
+    subdirectory with OVERWRITE semantics, so a batch replayed after a
+    failure (same epoch id from the checkpoint's commit log) rewrites the
+    same directory instead of duplicating rows — foreachBatch is
+    at-least-once by itself; keying the write by batchId is what restores
+    exactly-once output.  The checkpoint must be durable storage for that
+    guarantee to survive a driver restart (unlike the ephemeral memory-
+    sink scratch, it is REQUIRED here, not optional).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
