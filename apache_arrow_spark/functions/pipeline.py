@@ -150,11 +150,16 @@ def weighted_sample(
     Spark compiles to TakeOrderedAndProject — per-partition k-heaps and a
     driver merge of k rows, never a global sort.  Appends the sort key as
     ``__ekey`` (callers may drop it); ties break on the key column.
+
+    Rows with null or non-positive weight are dropped: a null weight makes
+    a null sort key (which Spark orders FIRST ascending — it would poison
+    the sample), and w <= 0 has no sampling interpretation.
     """
     u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(HASH_MOD))
     ekey = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("__ekey", ekey)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ekey", ekey)
         .orderBy(F.col("__ekey").asc(), F.col(key_col).asc())
         .limit(k)
     )
