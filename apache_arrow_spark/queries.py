@@ -4288,6 +4288,100 @@ def q129_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_DEDUP_SQL = """
+    WITH base AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id < 10),
+    cents AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < 4),
+    dist AS (
+      SELECT b.id, b.v, c.cid,
+             list_sum(list_transform(range(1, 65),
+                      i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS dd
+      FROM base b CROSS JOIN cents c),
+    asg AS (
+      SELECT id, v, cid AS cluster
+      FROM (SELECT id, v, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rn
+            FROM dist) WHERE rn = 1),
+    p AS (
+      SELECT x.cluster, x.id AS id_a, y.id AS id_b,
+             round(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+                   / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                      * sqrt(list_sum(list_transform(y.v, q -> q * q)))), 6) AS cos
+      FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.id < y.id)
+    SELECT cluster, id_a, id_b, cos FROM p WHERE cos >= 0.95
+    """
+
+
+@register("q130_semantic_dedup_pairs", _SEMANTIC_DEDUP_SQL)
+def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 recipe shape):
+    cluster embeddings around medoid seed vectors, then find near-identical
+    pairs ONLY within each cluster — the quadratic cosine stage is bounded
+    by cluster size, never corpus^2.  The four centroids are fixed data
+    vectors (vec_id 0-3; a 4-row driver fetch, the ivf_topk centroid
+    contract) so the oracle replicates the assignment exactly; production
+    swaps in sample-fit k-means centroids — same plan shape, same bound.
+    Exact duplicate vectors are planted (the q37 convention) so the result
+    is non-vacuous at every scale; ties in the argmin break toward the
+    lowest centroid id in both engines.  One shuffle on the cluster key
+    for the self-join."""
+    from apache_arrow_spark.functions.similarity import _as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")).unionAll(
+        e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("id"), _as_double(F.col("embedding")).alias("v")
+        )
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    dcols = []
+    for j, c in enumerate(cents):
+        cl = F.array(*[F.lit(x) for x in c])
+        dcols.append(
+            F.aggregate(
+                F.zip_with(F.col("v"), cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{j}")
+        )
+    d = base.select("id", "v", *dcols)
+    m = F.least(*[F.col(f"d{j}") for j in range(4)])
+    a = d.select(
+        "id",
+        "v",
+        F.when(F.col("d0") == m, 0)
+        .when(F.col("d1") == m, 1)
+        .when(F.col("d2") == m, 2)
+        .otherwise(3)
+        .alias("cluster"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    c = F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.cluster").alias("cluster"),
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            c.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
