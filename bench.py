@@ -66,6 +66,13 @@ HEADLINE = [
     "q106_zorder_scan",
     "q109_quota_sample",
     "q111_new_user_curve",
+    "q113_resample_ffill",
+    "q118_token_budget_mix",
+    "q119_winnow_fingerprints",
+    "q121_group_regression",
+    "q122_price_histogram",
+    "q125_chi_square_drift",
+    "q126_transition_matrix",
 ]
 
 
