@@ -150,16 +150,27 @@ def shingles(text: Column, k: int = 5) -> Column:
 
 
 def gram_hashes(norm: Column, k: int = 5) -> Column:
-    """Sequential k-gram md5-prefix int64 hashes of an ALREADY-normalized
-    string (order preserved — the winnowing input; contrast the DISTINCT
-    set shingles_of_normalized builds for MinHash)."""
-    n = F.length(norm) - F.lit(k - 1)
-    grams = F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, F.lit(k)))
-    )
-    return F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
-    )
+    """Sequential k-gram md5-prefix int64 hashes of a normalized string
+    (order preserved — the winnowing input; contrast the DISTINCT set
+    shingles_of_normalized builds for MinHash).
+
+    ``norm`` may be a raw expression (e.g. ``normalize_text(col)``): it is
+    let-bound through a single-element ``transform`` so each gram reads
+    the evaluated string — without the binding, Catalyst inlines the
+    normalization regex into EVERY gram lambda (~doc_len regex evals per
+    document; measured 25 s for 1.5M grams at sf0.1 vs ~2 s bound).
+    """
+
+    def body(nv: Column) -> Column:
+        n = F.length(nv) - F.lit(k - 1)
+        grams = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(nv, i, F.lit(k)))
+        )
+        return F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+        )
+
+    return F.element_at(F.transform(F.array(norm), body), 1)
 
 
 def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
@@ -170,25 +181,30 @@ def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
     makes the fingerprints joinable for local-overlap detection the way
     whole-document digests are for exact dedup.
 
-    ``hs`` MUST be a materialized column (project :func:`gram_hashes`
-    first): Catalyst inlines expression-tree references into each window
-    lambda, so passing the hash expression directly would re-evaluate the
-    whole md5 stream once per window — O(doc_len^2) md5 calls (measured:
-    a hang at even 50 docs).  From a plain attribute each window is w
-    array reads.  Documents shorter than one window contribute their
-    single global min (every non-empty doc yields >= 1 fingerprint).
-    Pure array expressions, no UDF, no shuffle.
+    ``hs`` may be the raw :func:`gram_hashes` EXPRESSION: it is let-bound
+    through a single-element ``transform`` whose lambda variable holds the
+    evaluated array, so every window reads the value instead of
+    re-evaluating the md5 stream.  (Projecting to an intermediate column
+    is NOT sufficient — CollapseProject re-inlines it into every lambda
+    reference, turning the windowing into O(doc_len^2) md5 calls; measured
+    as 18.7 s at sf0.1 vs ~1 s let-bound.)  Documents shorter than one
+    window contribute their single global min (every non-empty doc yields
+    >= 1 fingerprint).  Pure array expressions, no UDF, no shuffle.
     """
-    m = F.size(hs)
-    return (
-        F.when(m == 0, F.array().cast("array<bigint>"))
-        .when(m < w, F.array(F.array_min(hs)))
-        .otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), m - F.lit(w - 1)),
-                    lambda j: F.array_min(F.slice(hs, j, w)),
+
+    def body(h: Column) -> Column:
+        m = F.size(h)
+        return (
+            F.when(m == 0, F.array().cast("array<bigint>"))
+            .when(m < w, F.array(F.array_min(h)))
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), m - F.lit(w - 1)),
+                        lambda j: F.array_min(F.slice(h, j, w)),
+                    )
                 )
             )
         )
-    )
+
+    return F.element_at(F.transform(F.array(hs), body), 1)

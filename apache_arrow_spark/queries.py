@@ -3838,7 +3838,17 @@ def q119_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE list_distinct(list_transform(range(1, len(hs) - 2),
                                                    j -> list_min(hs[j:j+3]))) END AS fps
           FROM h),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    -- document-frequency cap (adaptive: 4% of the corpus, floor 20):
+    -- boilerplate fingerprints shared by huge doc sets would make the
+    -- pair join quadratic (measured 295M candidate pairs -> 557k at
+    -- sf0.1); ubiquitous fingerprints carry no overlap signal anyway
+    -- (the MOSS stop-fingerprint rule)
+    nn AS (SELECT greatest(20, CAST(floor(0.04 * count(*)) AS BIGINT)) AS cap
+           FROM documents),
+    keep AS (SELECT fp FROM e0 CROSS JOIN nn GROUP BY fp, nn.cap
+             HAVING count(*) <= nn.cap),
+    e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN keep USING (fp)),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
       FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -3851,8 +3861,10 @@ def q120_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     """Local-overlap pair detection via winnowing fingerprints: the MOSS
     pipeline end-to-end — docs sharing >= 5 window-min fingerprints share
     substantial verbatim text.  The pair join is an equi-join on the
-    fingerprint (longs), so cost is bounded by actual shared-substring
-    volume — never an all-pairs comparison."""
+    fingerprint (longs) AFTER the document-frequency cap drops ubiquitous
+    boilerplate fingerprints (the MOSS stop-fingerprint rule) — cost is
+    bounded by rare-substring sharing, never all-pairs or hot-key
+    quadratic blowup."""
     from apache_arrow_spark.functions.text import (
         gram_hashes,
         normalize_text,
@@ -3863,9 +3875,17 @@ def q120_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     hs = d.select(
         F.col("doc_id"), gram_hashes(normalize_text(F.col("text")), 5).alias("hs")
     )
-    e = hs.select(
+    e0 = hs.select(
         "doc_id", F.explode(winnow_fingerprints(F.col("hs"), 4)).alias("fp")
     )
+    # stop-fingerprint rule (adaptive df cap = max(20, 4% of corpus)):
+    # without it boilerplate fingerprints shared by thousands of docs make
+    # the join quadratic — measured 295M candidate pairs at sf0.1 vs 557k
+    # capped.  The doc count is a one-scalar driver read (centroid-fetch
+    # contract).
+    cap = max(20, int(0.04 * d.count()))
+    keep = e0.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") <= cap)
+    e = e0.join(keep.select("fp"), "fp")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -4150,7 +4170,12 @@ def _pagerank_oracle_sql(iters: int = 5, dnum: int = 17, dden: int = 20) -> str:
                  ELSE list_distinct(list_transform(range(1, len(hs) - 2),
                                                    j -> list_min(hs[j:j+3]))) END AS fps
           FROM h),
-    ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    nn0 AS (SELECT greatest(20, CAST(floor(0.04 * count(*)) AS BIGINT)) AS cap
+            FROM documents),
+    keep AS (SELECT fp FROM ex0 CROSS JOIN nn0 GROUP BY fp, nn0.cap
+             HAVING count(*) <= nn0.cap),
+    ex AS (SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN keep USING (fp)),
     p2 AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
