@@ -4407,6 +4407,76 @@ def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q131_spelling_variants",
+    f"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT replace(text, 'a', '4') FROM documents WHERE doc_id < 50),
+    w AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest({_SQL_TOKENS}) AS w FROM corpus) t
+      WHERE length(w) >= 4 GROUP BY w),
+    b AS (SELECT w, c, substr(w, 1, 1) AS blk, length(w) AS lw FROM w),
+    p AS (
+      SELECT a.w AS word_a, x.w AS word_b, a.c AS count_a, x.c AS count_b
+      FROM b a JOIN b x
+        ON a.blk = x.blk AND abs(a.lw - x.lw) <= 1 AND a.w < x.w
+      WHERE levenshtein(a.w, x.w) = 1)
+    SELECT word_a, word_b, CAST(count_a AS BIGINT) AS count_a,
+           CAST(count_b AS BIGINT) AS count_b
+    FROM p
+    """,
+)
+def q131_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant mining over the corpus vocabulary (typo
+    normalization / vocabulary compaction): word pairs at edit distance 1.
+    The scale discipline is BLOCKING — pairs form only within
+    (first-char, length±1) blocks via an equi-join + band predicate, and
+    the join runs over the DISTINCT vocabulary (Zipf-sublinear in corpus
+    size, the q103 BPE argument), so the quadratic edit-distance stage
+    never touches the token stream, let alone corpus^2.  (First-char
+    blocking trades recall for scale: variants differing in their first
+    character land in different blocks — the standard typo-mining trade.)
+    The synthetic vocabulary has no organic variants, so typo'd copies of
+    50 documents are planted (exact replace('a','4'), the q37 planting
+    convention) to keep the result non-vacuous at every scale."""
+    from apache_arrow_spark.functions.text import tokens
+
+    d0 = load_table(spark, sf_dir, "documents")
+    d = d0.select("text").unionAll(
+        d0.filter(F.col("doc_id") < 50).select(
+            F.regexp_replace(F.col("text"), "a", "4").alias("text")
+        )
+    )
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 4)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = w.select(
+        "w", "c", F.substring("w", 1, 1).alias("blk"), F.length("w").alias("lw")
+    )
+    a, x = b.alias("a"), b.alias("x")
+    return (
+        a.join(
+            x,
+            (F.col("a.blk") == F.col("x.blk"))
+            & (F.abs(F.col("a.lw") - F.col("x.lw")) <= 1)
+            & (F.col("a.w") < F.col("x.w")),
+        )
+        .filter(F.levenshtein(F.col("a.w"), F.col("x.w")) == 1)
+        .select(
+            F.col("a.w").alias("word_a"),
+            F.col("x.w").alias("word_b"),
+            F.col("a.c").alias("count_a"),
+            F.col("x.c").alias("count_b"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
