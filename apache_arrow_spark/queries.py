@@ -2500,16 +2500,21 @@ def q96_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name, count(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     GROUP BY n_name
     """,
 )
 def q94_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: customers with no orders, counted per nation.  The
-    anti-join shuffles on custkey (or broadcasts the distinct key set
-    when small); the nation dim broadcasts."""
+    """Anti-join: customers with no high-value order (> 400k), counted per
+    nation.  (Every customer has SOME order in the fixtures, so the
+    unqualified form returns zero rows at every sf — a vacuous gate; the
+    qualified predicate keeps the result non-empty, ~13% of customers.)
+    The anti-join shuffles on custkey (or broadcasts the distinct key set
+    when small); the filter pushes into the orders scan; the nation dim
+    broadcasts."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     n = load_table(spark, sf_dir, "nation")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
