@@ -1,0 +1,49 @@
+"""Expectation-style data validation (Great-Expectations-shaped rules
+engine): declarative per-row predicates evaluated corpus-wide in ONE pass.
+
+Every ingestion pipeline gates loads on rule reports ("totalprice
+positive", "status in domain", "date in range").  The engine form: each
+rule is a boolean Column; all rules evaluate inside one aggregate as
+conditional counts — no per-rule job, no second scan, shuffle carries one
+row per (mapper, rule-set).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """(rule, n_rows, n_violations, violation_rate) — one row per rule.
+
+    ``rules`` maps rule name -> predicate Column that is TRUE when the row
+    PASSES.  Null predicate results count as violations (a rule that
+    cannot evaluate did not pass).  Single aggregate; the per-rule rows
+    are exploded from a struct array on the one result row (the
+    profiling.profile pattern).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .withColumn(
+            "violation_rate",
+            F.round(F.col("n_violations") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
+        )
+    )

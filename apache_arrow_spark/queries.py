@@ -4482,6 +4482,83 @@ def q131_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q132_validation_report",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN o_orderdate IS NULL
+                        OR NOT (o_orderdate >= TIMESTAMP '1992-01-01'
+                                AND o_orderdate < TIMESTAMP '1999-01-01') THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice < 450000) THEN 1 ELSE 0 END) AS v4
+      FROM orders)
+    SELECT 'price_positive' AS rule, n AS n_rows, CAST(v1 AS BIGINT) AS n_violations,
+           round(CAST(v1 AS DOUBLE) / greatest(n, 1), 6) AS violation_rate FROM a
+    UNION ALL
+    SELECT 'status_in_domain', n, CAST(v2 AS BIGINT), round(CAST(v2 AS DOUBLE) / greatest(n, 1), 6) FROM a
+    UNION ALL
+    SELECT 'date_in_range', n, CAST(v3 AS BIGINT), round(CAST(v3 AS DOUBLE) / greatest(n, 1), 6) FROM a
+    UNION ALL
+    SELECT 'price_below_cap', n, CAST(v4 AS BIGINT), round(CAST(v4 AS DOUBLE) / greatest(n, 1), 6) FROM a
+    """,
+)
+def q132_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-style validation report (functions/validation.py): four
+    declarative rules over orders evaluated in ONE aggregate pass —
+    conditional counts, no per-rule jobs; null predicate results count as
+    violations.  price_below_cap is deliberately violated by the fixture
+    tail so the report exercises non-zero rates."""
+    from apache_arrow_spark.functions.validation import check
+
+    o = load_table(spark, sf_dir, "orders")
+    return check(
+        o,
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+            "date_in_range": (
+                F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp_ntz")
+            )
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")),
+            "price_below_cap": F.col("o_totalprice") < 450000,
+        },
+    )
+
+
+@register(
+    "q133_quantile_binning",
+    """
+    WITH b AS (
+      SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT decile, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_price,
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS lo,
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS hi
+    FROM b GROUP BY decile
+    """,
+)
+def q133_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (decile) binning of order totals via ntile — the
+    feature-bucketing transform.  The ntile window has no partition key
+    (single-partition sort — fine at dimension scale); at 100 TB bin by
+    PRE-COMPUTED quantile boundaries instead: the mergeable GK sketch
+    (q84) yields the decile edges, and binning becomes a pure scan-speed
+    expression — same results, no global sort.  Tie-break on o_orderkey
+    makes the assignment deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_totalprice").cast("decimal(18,4)").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("decimal(18,4)").cast("double").alias("hi"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
