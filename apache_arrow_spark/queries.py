@@ -4559,6 +4559,45 @@ def q133_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q134_interarrival_histogram",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                                    ORDER BY ts, event_id) AS delta
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(least(floor(ln(CAST(delta AS DOUBLE) / 1000000.0 + 1.0) / 0.6931471805599453), 20) AS BIGINT) AS bucket
+      FROM d WHERE delta IS NOT NULL)
+    SELECT event_type, bucket, count(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q134_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency histogram (the ops/latency-distribution
+    pattern): per (user, type) event deltas bucketed on a log2-millisecond
+    scale — the histogram shape percentile dashboards are built from,
+    WITHOUT a global sort or exact percentile pass.  One lag window on the
+    (user, type) key, then a map-side-combinable count over <= 21 buckets
+    per type; ln of identical integer inputs is engine-identical (ln2 is passed as the same literal to both engines), and the
+    bucket index is floor-quantized (no tie-break hazard)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    delta = F.col("ts") - F.lag("ts").over(w)
+    d = ev.select("event_type", delta.alias("delta")).filter(F.col("delta").isNotNull())
+    bucket = F.least(
+        F.floor(
+            F.log(F.col("delta").cast("double") / F.lit(1e6) + F.lit(1.0)) / F.lit(0.6931471805599453)
+        ),
+        F.lit(20),
+    ).cast("long")
+    return d.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
