@@ -87,3 +87,51 @@ def pagerank(
             .localCheckpoint()
         )
     return r.select(F.col("u").alias("node"), F.col("r9").alias("rank9"))
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Global triangle census of the undirected pair graph: (n_edges,
+    n_wedges, n_triangles, clustering_coefficient = 3T / W).
+
+    The standard distributed recipe: orient every edge low-id -> high-id,
+    then one two-hop join (a<b, b<c) probed against the edge set (a<c) —
+    each triangle is counted exactly once and the join degree is bounded
+    by the oriented out-degree (max half the true degree), the classic
+    defense against high-degree hubs.  Wedges come from the undirected
+    degree table: sum of deg*(deg-1)/2 — no join at all.  On near-dup
+    graphs this measures how clique-like the duplicate clusters are
+    (mutual near-dups -> coefficient ~1).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = e.count()
+    out = tri.crossJoin(wedges).select(
+        F.lit(n_edges).alias("n_edges"),
+        F.col("w").alias("n_wedges"),
+        F.col("t").alias("n_triangles"),
+        F.round(
+            F.lit(3.0) * F.col("t") / F.greatest(F.col("w").cast("double"), F.lit(1.0)),
+            ndigits,
+        ).alias("clustering_coefficient"),
+    )
+    return out

@@ -4598,6 +4598,50 @@ def q134_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q135_triangle_census",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / greatest(a.ls + b.ls - len(list_intersect(a.s, b.s)), 1), 6) >= 0.5),
+    und AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+    deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+    w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg),
+    t AS (SELECT count(*) AS t FROM p e1
+          JOIN p e2 ON e1.ib = e2.ia
+          JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib)
+    SELECT (SELECT count(*) FROM p) AS n_edges, w.w AS n_wedges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           round(3.0 * t.t / greatest(CAST(w.w AS DOUBLE), 1.0), 6) AS clustering_coefficient
+    FROM w CROSS JOIN t
+    """,
+)
+def q135_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash near-dup graph (graph.triangle_stats):
+    oriented two-hop join counts each triangle once with join degree
+    bounded by the oriented out-degree (the hub defense); wedges come from
+    the degree table with no join.  The clustering coefficient measures how
+    clique-like duplicate clusters are — input to choosing canonical-doc
+    strategies (cliques -> any representative; stars -> PageRank q127)."""
+    from apache_arrow_spark.functions.dedup import minhash_near_duplicates
+    from apache_arrow_spark.functions.graph import triangle_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5)
+    return triangle_stats(pairs)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

@@ -216,3 +216,15 @@ def test_pagerank_empty_graph(spark):
 
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert pagerank(pairs, iters=3).count() == 0
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant edge: 4 triangles, known wedges, coefficient 3T/W."""
+    from apache_arrow_spark.functions.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]  # 6 edges
+    pairs = spark.createDataFrame(k4 + [(3, 9)], "id_a bigint, id_b bigint")
+    r = triangle_stats(pairs).first()
+    # degrees: 0,1,2 -> 3; 3 -> 4; 9 -> 1  => wedges 3*3 + 6 + 0 = 15
+    assert r.n_edges == 7 and r.n_wedges == 15 and r.n_triangles == 4
+    assert abs(r.clustering_coefficient - 3 * 4 / 15) < 1e-6
