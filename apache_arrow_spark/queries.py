@@ -4642,6 +4642,71 @@ def q135_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(pairs)
 
 
+@register(
+    "q136_integrity_audit",
+    """
+    WITH snap AS (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    l AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN NOT EXISTS (SELECT 1 FROM snap WHERE snap.o_orderkey = l_orderkey)
+                      THEN 1 ELSE 0 END) AS n_orphans
+      FROM lineitem),
+    o AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+                      THEN 1 ELSE 0 END) AS n_orphans
+      FROM orders)
+    SELECT 'lineitem->orders@snapshot' AS fk, n_rows, CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / greatest(n_rows, 1), 6) AS orphan_rate FROM l
+    UNION ALL
+    SELECT 'orders->customer', n_rows, CAST(n_orphans AS BIGINT),
+           round(CAST(n_orphans AS DOUBLE) / greatest(n_rows, 1), 6) FROM o
+    """,
+)
+def q136_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the multi-table extension of q132's
+    rules engine): orphan counts per foreign key via anti-joins — the
+    check every incremental-load pipeline runs before publishing.  The
+    lineitem FK is audited against a dated SNAPSHOT of orders (the partial-
+    snapshot scenario that actually produces orphans); each audit is one
+    anti-join on the key, the child side counted map-side, and the parent
+    key sets broadcast when small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    snap = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey")
+
+    def audit(child: DataFrame, parent_keys: DataFrame, ckey: str, pkey: str, name: str) -> DataFrame:
+        # distinct parent keys -> the left join never multiplies child rows
+        j = child.join(
+            parent_keys.distinct(), F.col(ckey) == F.col(pkey), "left_outer"
+        )
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+        return agg.select(
+            F.lit(name).alias("fk"),
+            "n_rows",
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.round(
+                F.col("n_orphans") / F.greatest(F.col("n_rows"), F.lit(1)), 6
+            ).alias("orphan_rate"),
+        )
+
+    a1 = audit(
+        li.select("l_orderkey"), snap, "l_orderkey", "o_orderkey",
+        "lineitem->orders@snapshot",
+    )
+    a2 = audit(
+        o.select("o_custkey"), c.select("c_custkey"), "o_custkey", "c_custkey",
+        "orders->customer",
+    )
+    return a1.unionByName(a2)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
