@@ -3301,12 +3301,17 @@ def q106_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders")
-    lo, hi = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
     day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    # all four layout bounds from one stats pass (a 4-value driver read —
+    # hardcoded TPC-H date bounds would mis-tile: the fixture dates span
+    # 1995-2001, clamping 3 years of orders into one z-slice)
+    lo, hi, dlo, dhi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).first()
     z = zvalue(
         [
             normalize_to_bits(F.col("o_custkey"), lo, hi, 16),
-            normalize_to_bits(day, 0, 2557, 16),  # TPC-H date domain 1992-1998
+            normalize_to_bits(day, dlo, dhi, 16),
         ],
         16,
     )

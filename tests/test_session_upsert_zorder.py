@@ -99,9 +99,11 @@ def test_normalize_to_bits_bounds(spark):
 def test_zorder_roundtrip_and_tiling(spark, sf_dir, tmp_path):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
-    lo, hi = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo, hi, dlo, dhi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).first()
     z = zvalue(
-        [normalize_to_bits(F.col("o_custkey"), lo, hi, 16), normalize_to_bits(day, 0, 2557, 16)],
+        [normalize_to_bits(F.col("o_custkey"), lo, hi, 16), normalize_to_bits(day, dlo, dhi, 16)],
         16,
     )
     path = str(tmp_path / "zo")
@@ -125,10 +127,12 @@ def test_zorder_roundtrip_and_tiling(spark, sf_dir, tmp_path):
 def test_zorder_scan_prunes_files(spark, sf_dir, tmp_path):
     # a 2-D range predicate must NOT read every z-ordered file
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lo, hi = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
     day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    lo, hi, dlo, dhi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).first()
     z = zvalue(
-        [normalize_to_bits(F.col("o_custkey"), lo, hi, 16), normalize_to_bits(day, 0, 2557, 16)],
+        [normalize_to_bits(F.col("o_custkey"), lo, hi, 16), normalize_to_bits(day, dlo, dhi, 16)],
         16,
     )
     path = str(tmp_path / "zo2")
