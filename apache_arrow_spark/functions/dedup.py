@@ -339,10 +339,15 @@ def minhash_near_duplicates_against(
         )
     new_sig = minhash_sig_array(new_df, text_col, id_col, num_hashes, k).persist()
     new_sig.count()
-    if corpus_sig is None:
+    # Only persist/unpersist signature stores WE derived: a caller-supplied
+    # corpus_sig is meant to outlive this call (the docstring tells callers
+    # to build it once and reuse it across batches), so evicting it here
+    # would silently force recomputation on the next batch.
+    corpus_sig_is_internal = corpus_sig is None
+    if corpus_sig_is_internal:
         corpus_sig = minhash_sig_array(corpus_df, text_col, id_col, num_hashes, k)
-    corpus_sig = corpus_sig.persist()
-    corpus_sig.count()
+        corpus_sig = corpus_sig.persist()
+        corpus_sig.count()
 
     def banded(sig_arr: DataFrame) -> DataFrame:
         structs = [
@@ -447,7 +452,10 @@ def minhash_near_duplicates_against(
         .persist()
     )
     result.count()
-    for cch in (new_sig, corpus_sig, candidates, sh_new, sh_cor):
+    internal_caches = [new_sig, candidates, sh_new, sh_cor]
+    if corpus_sig_is_internal:
+        internal_caches.append(corpus_sig)
+    for cch in internal_caches:
         cch.unpersist()
     return result
 

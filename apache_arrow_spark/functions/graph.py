@@ -107,7 +107,18 @@ def triangle_stats(
     graphs this measures how clique-like the duplicate clusters are
     (mutual near-dups -> coefficient ~1).
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Defensively orient low-id -> high-id and dedup: input containing
+    # duplicate, reversed (b,a), or self-loop edges would otherwise inflate
+    # every count and the coefficient.  distinct() on the oriented form is
+    # one shuffle on the edge key — the same key the two-hop join needs.
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     wedges = deg.agg(

@@ -25,8 +25,13 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules.items():
+        # coalesce: F.sum over ZERO rows is NULL — an empty load must report
+        # 0 violations, not NULL (a gate comparing n_violations == 0 would
+        # otherwise mis-evaluate on an empty input).
         aggs.append(
-            F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"__v_{name}")
+            F.coalesce(
+                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v_{name}")
         )
     one = df.agg(*aggs)
     rows = F.array(

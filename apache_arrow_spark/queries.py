@@ -3733,7 +3733,11 @@ def q117_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             pos = 0
             for raw in text.split("."):
-                s = raw.strip()
+                # strip(' ') not strip(): SQL trim() removes SPACES only,
+                # while Python's bare strip() also eats tabs/newlines —
+                # documents with non-space whitespace at sentence
+                # boundaries would diverge from the oracle.
+                s = raw.strip(" ")
                 if s:
                     yield pos, s
                     pos += 1

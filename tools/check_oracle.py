@@ -5,6 +5,14 @@ Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
 row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Known accepted tolerance: the MinHash queries (q33/q127/q135 family) use a
+signature-estimate prune at ``threshold - 4 sigma`` that can drop a true
+pair sitting exactly at the Jaccard threshold with probability ~3e-5/pair,
+while the brute-force SQL oracles are exact.  On the fixed sf0.01/sf0.1
+fixtures this has never fired (pair estimates are well away from the
+cutoff); if a MinHash row ever hash-mismatches by exactly one pair,
+re-check with ``est_margin=1.0`` (prune disabled) before suspecting a bug.
 """
 
 from __future__ import annotations
