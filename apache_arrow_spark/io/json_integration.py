@@ -8,7 +8,9 @@ parses {schema, batches[{count, columns[{VALIDITY, DATA, OFFSET,
 children}]}]} into pyarrow arrays, then a Spark DataFrame through the
 engine's type mapping.  Covers the corpus families the harness generates
 (FIXTURES.md A1-A4): ints/uints, floats, bool, utf8/binary, decimal,
-date/time/timestamp, list, struct.
+date/time/timestamp, list, struct, and dictionary-encoded fields (the
+generate_dictionary_case family: top-level "dictionaries" entry + per-field
+dictionary {id, indexType, isOrdered}, integration_test.py:667-715,874).
 
 The writer is the harness's ``ARROW_TO_JSON`` mode
 (cpp/src/arrow/ipc/json-integration-test.cc:193-224): any engine table can
@@ -71,16 +73,42 @@ def _field(f: dict) -> pa.Field:
         at = _arrow_type(f["type"], children)
     else:
         at = _arrow_type(f["type"], [])
+    if "dictionary" in f:
+        # Dictionary-encoded field (integration_test.py:686-715): the field's
+        # "type" is the VALUE type; indexType + id + isOrdered live under the
+        # "dictionary" entry, and the values themselves in the file's
+        # top-level "dictionaries" list (resolved in read_json_integration_arrow).
+        # The id rides along as field metadata so the writer re-emits the
+        # same ids (byte fixpoint) and shared dictionaries stay shared.
+        idx = _arrow_type(f["dictionary"]["indexType"], [])
+        at = pa.dictionary(idx, at, ordered=f["dictionary"].get("isOrdered", False))
+        return pa.field(
+            f["name"],
+            at,
+            nullable=f.get("nullable", True),
+            metadata={b"aas_dict_id": str(f["dictionary"]["id"]).encode()},
+        )
     return pa.field(f["name"], at, nullable=f.get("nullable", True))
 
 
-def _build_array(col: dict, field: pa.Field) -> pa.Array:
+def _build_array(col: dict, field: pa.Field, dictionaries: dict | None = None) -> pa.Array:
     at = field.type
     count = col["count"]
     validity = col.get("VALIDITY") or [1] * count
 
     def valid(i):
         return bool(validity[i])
+
+    if pa.types.is_dictionary(at):
+        # The record-batch column of a dictionary field carries the INDEX
+        # data only; values come from the file-level dictionary by id.
+        if dictionaries is None:
+            raise NotImplementedError(
+                "json-integration: nested dictionary fields are not supported"
+            )
+        values = dictionaries[field.metadata[b"aas_dict_id"].decode()]
+        indices = _build_array(col, pa.field(field.name, at.index_type))
+        return pa.DictionaryArray.from_arrays(indices, values, ordered=at.ordered)
 
     if pa.types.is_list(at):
         offsets = [int(x) for x in col["OFFSET"]]
@@ -169,8 +197,18 @@ def _type_json(at: pa.DataType) -> dict:
     raise NotImplementedError(f"json-integration writer: type {at}")
 
 
-def _field_json(f: pa.Field) -> dict:
+def _field_json(f: pa.Field, dict_ids: dict[str, int] | None = None) -> dict:
     at = f.type
+    if pa.types.is_dictionary(at):
+        # Emit the VALUE type as the field type plus the dictionary entry
+        # (id / indexType / isOrdered), per integration_test.py:697-708.
+        out = _field_json(pa.field(f.name, at.value_type, nullable=f.nullable))
+        out["dictionary"] = {
+            "id": (dict_ids or {})[f.name],
+            "indexType": _type_json(at.index_type),
+            "isOrdered": at.ordered,
+        }
+        return out
     if pa.types.is_list(at):
         children = [_field_json(pa.field("item", at.value_type))]
     elif pa.types.is_struct(at):
@@ -190,6 +228,10 @@ def _column_json(arr: pa.Array, name: str) -> dict:
     conventions (64-bit ints as strings, binary upper-hex, decimal unscaled
     string).  Null slots carry zero-filler DATA, as the C++ writer emits."""
     at = arr.type
+    if pa.types.is_dictionary(at):
+        # Batch column of a dictionary field = the index array only; the
+        # values are written once in the file-level dictionaries entry.
+        return _column_json(arr.indices, name)
     count = len(arr)
     values = arr.to_pylist()
     validity = [0 if v is None else 1 for v in values]
@@ -266,19 +308,64 @@ def write_json_integration(data, path: str) -> None:
         data = data.toArrow()
     if isinstance(data, pa.RecordBatch):
         data = pa.Table.from_batches([data])
+
+    # Dictionary registry: unify per-chunk dictionaries so one values array
+    # serves every batch, then assign ids — a field's metadata id (set by the
+    # reader) wins so a read->write round trip is a byte fixpoint; otherwise
+    # first-appearance order, deduped on (value type, values) so columns
+    # sharing a dictionary share an id (the reference's shared-dict case).
+    dict_ids: dict[str, int] = {}
+    dict_values: dict[int, pa.Array] = {}
+    if any(pa.types.is_dictionary(f.type) for f in data.schema):
+        data = data.unify_dictionaries()
+        by_content: dict[tuple, int] = {}
+        next_id = 0
+        for f in data.schema:
+            if not pa.types.is_dictionary(f.type):
+                continue
+            col = data.column(f.name)
+            vals = (
+                col.chunk(0).dictionary
+                if col.num_chunks
+                else pa.array([], type=f.type.value_type)
+            )
+            if f.metadata and b"aas_dict_id" in f.metadata:
+                did = int(f.metadata[b"aas_dict_id"].decode())
+            else:
+                key = (str(vals.type), tuple(vals.to_pylist()))
+                if key in by_content:
+                    did = by_content[key]
+                else:
+                    did = next_id
+                    next_id += 1
+                    by_content[key] = did
+            dict_ids[f.name] = did
+            dict_values.setdefault(did, vals)
+
     doc = {
-        "schema": {"fields": [_field_json(f) for f in data.schema]},
-        "batches": [
-            {
-                "count": batch.num_rows,
-                "columns": [
-                    _column_json(batch.column(j), data.schema[j].name)
-                    for j in range(batch.num_columns)
-                ],
-            }
-            for batch in data.to_batches()
-        ],
+        "schema": {"fields": [_field_json(f, dict_ids) for f in data.schema]},
     }
+    if dict_values:
+        doc["dictionaries"] = [
+            {
+                "id": did,
+                "data": {
+                    "count": len(vals),
+                    "columns": [_column_json(vals, f"DICT{did}")],
+                },
+            }
+            for did, vals in sorted(dict_values.items())
+        ]
+    doc["batches"] = [
+        {
+            "count": batch.num_rows,
+            "columns": [
+                _column_json(batch.column(j), data.schema[j].name)
+                for j in range(batch.num_columns)
+            ],
+        }
+        for batch in data.to_batches()
+    ]
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=2)
 
@@ -290,9 +377,28 @@ def read_json_integration_arrow(path: str) -> pa.Table:
         doc = json.load(fh)
     fields = [_field(f) for f in doc["schema"]["fields"]]
     schema = pa.schema(fields)
+    # Resolve file-level dictionaries (id -> value array).  The dictionaries
+    # entry itself carries no type; the value type comes from the first
+    # schema field referencing each id (integration_test.py:667-684).
+    dictionaries: dict[str, pa.Array] = {}
+    if doc.get("dictionaries"):
+        value_fields: dict[str, pa.Field] = {}
+        for fld in fields:
+            if pa.types.is_dictionary(fld.type):
+                did = fld.metadata[b"aas_dict_id"].decode()
+                value_fields.setdefault(
+                    did, pa.field(fld.name, fld.type.value_type)
+                )
+        for entry in doc["dictionaries"]:
+            did = str(entry["id"])
+            col = entry["data"]["columns"][0]
+            dictionaries[did] = _build_array(col, value_fields[did])
     batches = []
     for b in doc["batches"]:
-        arrays = [_build_array(b["columns"][j], fields[j]) for j in range(len(fields))]
+        arrays = [
+            _build_array(b["columns"][j], fields[j], dictionaries)
+            for j in range(len(fields))
+        ]
         batches.append(pa.RecordBatch.from_arrays(arrays, schema=schema))
     return pa.Table.from_batches(batches) if batches else schema.empty_table()
 
@@ -302,7 +408,19 @@ def read_json_integration(spark: SparkSession, path: str) -> DataFrame:
     through the engine's arrow->spark type mapping (uint widening etc.)."""
     from apache_arrow_spark.io.pandas_bridge import from_arrow
 
-    return from_arrow(spark, read_json_integration_arrow(path))
+    t = read_json_integration_arrow(path)
+    # Spark has no dictionary type: decode to dense values (the engine's
+    # documented dictionary->dense identity stance, compute/cast.py).
+    if any(pa.types.is_dictionary(f.type) for f in t.schema):
+        t = pa.table(
+            {
+                f.name: t.column(f.name).cast(f.type.value_type)
+                if pa.types.is_dictionary(f.type)
+                else t.column(f.name)
+                for f in t.schema
+            }
+        )
+    return from_arrow(spark, t)
 
 
 def validate_json_integration(spark: SparkSession, path: str) -> dict:

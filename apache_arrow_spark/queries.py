@@ -4716,6 +4716,50 @@ def q136_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a1.unionByName(a2)
 
 
+@register(
+    "q137_json_dict_roundtrip",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q137_json_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-integration round-trip THROUGH dictionary batches — the
+    generate_dictionary_case family (integration/integration_test.py:874,
+    dictionaries wire entry :759-762, cpp/src/arrow/ipc/json-internal.cc):
+    dictionary-encode the low-cardinality lang column, emit integration
+    JSON with a file-level dictionaries entry, read it back (dictionary ->
+    dense through the engine's type mapping), aggregate-compare against
+    the source.  Test-harness utility (driver-side by design, like the
+    reference's); the aggregate proves value+validity fidelity."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from apache_arrow_spark.io.json_integration import (
+        read_json_integration,
+        write_json_integration,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = d.toArrow()
+    t = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang").dictionary_encode(),
+            "n_chars": t.column("n_chars"),
+        }
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q137_", dir=shm) + "/dict.json"
+    write_json_integration(t, path)
+    back = read_json_integration(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade
