@@ -3,23 +3,129 @@
 Model (per the build brief): media are opaque ``binary`` columns carrying
 typed metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so each executor
-processes its partitions batch-wise.  The actual codec calls are STUBBED
-(no PIL/ffmpeg in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, whose deterministic stand-in
-(byte histograms) keeps every piece of Spark plumbing — schema, batch
-iteration, partitioning — real and testable.
+processes its partitions batch-wise.
+
+Two REAL dependency-free codecs are implemented in pure numpy — BMP
+(24-bit uncompressed BI_RGB, the Windows bitmap wire format: 14-byte file
+header + 40-byte BITMAPINFOHEADER, BGR bottom-up rows padded to 4 bytes)
+and PPM (Netpbm P6 binary, RGB top-down) — so ``decode_image`` runs for
+real on those payloads.  Compressed formats (JPEG/PNG) still need codec
+libraries absent from this container and raise ``NotImplementedError``;
+``fake=True`` keeps the deterministic byte-histogram stand-in for
+synthetic payloads.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 MEDIA_SCHEMA = "doc_id bigint, payload binary, media_type string, width int, height int"
-FEATURE_BITS = 16  # byte-histogram buckets in the fake feature extractor
+FEATURE_BITS = 16  # byte-histogram buckets in the feature extractor
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure numpy): BMP 24-bit BI_RGB and PPM P6
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    header = b"BM" + (54 + img_size).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + int(w).to_bytes(4, "little", signed=True)
+        + int(h).to_bytes(4, "little", signed=True)  # positive => bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, row_bytes)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6) bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments starting with '#' allowed per the Netpbm spec)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval={maxval} unsupported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Decode a real image payload to (h, w, 3) uint8 RGB, dispatching on
+    magic bytes.  Supported: BMP (24-bit BI_RGB), PPM (P6)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"unsupported image magic {payload[:2]!r}: only BMP/PPM decode "
+        "without external codec libraries (JPEG/PNG need PIL/opencv)"
+    )
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,22 +142,21 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode one image payload into pixel data.
+    """Decode one image payload into a 16-bucket normalized histogram
+    feature vector.
 
-    Real decoding requires an image codec library not present in this
-    container — STUB.  ``fake=True`` returns a deterministic 16-bucket byte
-    histogram (normalized), standing in for pixel features.
+    Real path (``fake=False``): decode BMP/PPM pixels with the numpy
+    codecs above and histogram the PIXEL bytes.  ``fake=True`` histograms
+    the raw payload bytes — the deterministic stand-in for synthetic
+    (non-image) payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library (PIL/opencv) not available here; "
-            "pass fake=True for the deterministic stand-in"
-        )
-    counts = [0] * FEATURE_BITS
-    for byte in payload:
-        counts[byte % FEATURE_BITS] += 1
-    total = max(len(payload), 1)
-    return [c / total for c in counts]
+    if fake:
+        data = np.frombuffer(bytes(payload), dtype=np.uint8)
+    else:
+        data = decode_image_pixels(bytes(payload)).ravel()
+    counts = np.bincount(data % FEATURE_BITS, minlength=FEATURE_BITS)
+    total = max(data.size, 1)
+    return (counts / total).tolist()
 
 
 def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -71,6 +176,86 @@ def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media_df.mapInPandas(_extract, "doc_id bigint, features array<double>, n_bytes bigint")
+
+
+def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL image payloads (alternating BMP / PPM by id parity)
+    with deterministic pixel content: channel c of pixel (x, y) in image i
+    is ``(i * K_c + x * 7 + y * 13) % 256`` with K = (31, 57, 97) — a
+    closed form an external oracle can recompute without any codec.
+    Dimensions: width = 8 + i % 5, height = 8 + i % 7.  Runs as one
+    mapInPandas stage; encode cost is per-row numpy, no JVM crossing."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads, types, ws, hs = [], [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 8 + i % 5, 8 + i % 7
+                x = np.arange(w, dtype=np.int64) * 7
+                y = np.arange(h, dtype=np.int64) * 13
+                base = y[:, None] + x[None, :]  # (h, w)
+                px = np.stack(
+                    [(i * k + base) % 256 for k in (31, 57, 97)], axis=-1
+                ).astype(np.uint8)
+                if i % 2 == 0:
+                    payloads.append(encode_bmp(px))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(px))
+                    types.append("image/x-portable-pixmap")
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": types,
+                    "width": np.array(ws, dtype="int32"),
+                    "height": np.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def channel_stats(media_df: DataFrame) -> DataFrame:
+    """REAL decode -> per-image channel means in exact integer micro-units:
+    (doc_id, width, height, mean_r_micro, mean_g_micro, mean_b_micro)
+    where mean_c_micro = floor(sum(channel) * 1e6 / n_pixels) — integer
+    arithmetic end-to-end so the value is engine-exact (no float rounding
+    ties).  The decode loop runs batch-wise inside mapInPandas (Arrow
+    transfer, no per-row JVM crossing); at scale this is the canonical
+    shape for any pixel-statistics pass over a binary image column."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, micros = [], [], []
+            for p in pdf["payload"]:
+                px = decode_image_pixels(bytes(p))
+                h, w = px.shape[:2]
+                hs.append(h)
+                ws.append(w)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                micros.append(sums * 1_000_000 // (w * h))
+            m = np.array(micros, dtype="int64") if micros else np.zeros((0, 3), "int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": np.array(ws, dtype="int32"),
+                    "height": np.array(hs, dtype="int32"),
+                    "mean_r_micro": m[:, 0],
+                    "mean_g_micro": m[:, 1],
+                    "mean_b_micro": m[:, 2],
+                }
+            )
+
+    return media_df.mapInPandas(
+        _stats,
+        "doc_id bigint, width int, height int, "
+        "mean_r_micro bigint, mean_g_micro bigint, mean_b_micro bigint",
+    )
 
 
 def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:

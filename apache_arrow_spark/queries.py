@@ -4760,6 +4760,48 @@ def q137_json_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q138_image_channel_stats",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents),
+    g AS (
+      SELECT doc_id, w, h, rx.x AS x, ry.y AS y
+      FROM d, LATERAL (SELECT unnest(range(w)) AS x) rx,
+              LATERAL (SELECT unnest(range(h)) AS y) ry
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(sum((doc_id*31 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_r_micro,
+      CAST(sum((doc_id*57 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_g_micro,
+      CAST(sum((doc_id*97 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_b_micro
+    FROM g GROUP BY doc_id, w, h
+    """,
+)
+def q138_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no fake path): synthesize BMP/PPM
+    payloads with closed-form pixel content (multimodal.attach_real_media),
+    round-trip the binary column through parquet, then decode the actual
+    bytes with the pure-numpy codecs (multimodal.decode_image_pixels) and
+    compute exact per-channel micro-unit means.  The oracle recomputes the
+    means from the generating formula alone — it matches only if the
+    encode -> store -> decode pipeline is pixel-faithful.  Both stages are
+    mapInPandas (Arrow-batched); at 100 TB the same plan shape holds: the
+    decode is embarrassingly parallel over partitions of the binary scan."""
+    import tempfile
+
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        channel_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_real_media(d)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q138_", dir=shm)
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return channel_stats(back)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

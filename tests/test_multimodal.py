@@ -1,6 +1,7 @@
 """Multimodal column plumbing: schema, batch shapes, stub gating."""
 
 import pytest
+import pyspark.sql.functions as F
 
 from apache_arrow_spark.functions.multimodal import (
     attach_fake_media,
@@ -55,3 +56,87 @@ def test_frame_sample_explodes(spark, media):
     rows = frames.collect()
     assert len(rows) == 12
     assert {r["frame_no"] for r in rows} == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (BMP 24-bit BI_RGB / PPM P6, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_padded_widths():
+    import numpy as np
+
+    from apache_arrow_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (2, 3), (3, 2), (5, 7), (8, 8), (13, 4)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(px)
+        assert payload[:2] == b"BM"
+        back = decode_bmp(payload)
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from apache_arrow_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = encode_ppm(px)
+    assert payload[:2] == b"P6"
+    assert np.array_equal(decode_ppm(payload), px)
+    # Netpbm comments in the header are legal
+    commented = b"P6\n# a comment\n9 5\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), px)
+
+
+def test_decode_image_real_path():
+    import numpy as np
+
+    from apache_arrow_spark.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    px = np.full((4, 4, 3), 17, dtype=np.uint8)  # all bytes -> bucket 1
+    for payload in (encode_bmp(px), encode_ppm(px)):
+        feats = decode_image(payload, fake=False)
+        assert len(feats) == 16
+        assert feats[17 % 16] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n", fake=False)
+
+
+def test_extract_features_real(spark):
+    """extract_features(fake=False) over real BMP/PPM payloads."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        extract_features,
+    )
+
+    df = spark.range(6).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    media = attach_real_media(df)
+    out = extract_features(media, fake=False).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+def test_channel_stats_matches_formula(spark):
+    from apache_arrow_spark.functions.multimodal import attach_real_media, channel_stats
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    rows = {r["doc_id"]: r for r in channel_stats(attach_real_media(df)).collect()}
+    for i in range(10):
+        w, h = 8 + i % 5, 8 + i % 7
+        s = sum((i * 31 + x * 7 + y * 13) % 256 for x in range(w) for y in range(h))
+        assert rows[i]["width"] == w and rows[i]["height"] == h
+        assert rows[i]["mean_r_micro"] == s * 1_000_000 // (w * h)
