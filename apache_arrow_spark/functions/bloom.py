@@ -42,7 +42,9 @@ from pyspark.sql import Column, DataFrame
 __all__ = [
     "BloomSketch",
     "bloom_build",
+    "bloom_build_sharded",
     "with_might_contain",
+    "with_might_contain_sharded",
     "exact_dedup_bloom",
 ]
 
@@ -130,6 +132,115 @@ def bloom_build(
     return BloomSketch(merged.tobytes(), nb, nh)
 
 
+def _shard_col(col: Column, shard_bits: int) -> Column:
+    """Shard id = top ``shard_bits`` bits of the key's xxhash64 — the hash
+    PREFIX, independent of the in-shard bit positions (which mix the full
+    hash), so sharding never correlates with probe positions."""
+    return F.shiftrightunsigned(F.xxhash64(col), 64 - shard_bits).cast("int")
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    col: str,
+    shard_bits: int = 4,
+    num_bits_per_shard: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The 10^10-scale build (SCALE.md "Bloom-pruned dedup"): shard the
+    digest space by hash prefix into ``2**shard_bits`` independent bitsets
+    and return them as a DISTRIBUTED DataFrame (shard int, bits binary) —
+    no driver merge, no monolithic broadcast, total filter size bounded
+    only by cluster memory.  One corpus scan: digests repartition by shard
+    id (each shard lands wholly in one task), each task emits its shards'
+    fully-built bitsets.  Persist the result as parquet to amortize across
+    ingest batches; a shard with no keys emits no row (probed as empty).
+    Per-shard math is identical to :func:`bloom_build`."""
+    nb, nh = int(num_bits_per_shard), int(num_hashes)
+    if nb % 8:
+        raise ValueError("num_bits_per_shard must be a multiple of 8")
+    nbytes = nb // 8
+    num_shards = 1 << shard_bits
+    hashed = df.select(
+        F.xxhash64(F.col(col)).alias("__h"),
+        _shard_col(F.col(col), shard_bits).alias("__s"),
+    ).repartition(num_shards, "__s")
+
+    def partition_bits(batches):
+        shards: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for s, grp in pdf.groupby("__s"):
+                bits = shards.setdefault(int(s), np.zeros(nbytes, dtype=np.uint8))
+                h = grp["__h"].to_numpy(dtype=np.int64).view(np.uint64)
+                pos = _positions(h, nb, nh).ravel()
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        if shards:
+            yield pd.DataFrame(
+                {
+                    "shard": list(shards),
+                    "bits": [b.tobytes() for b in shards.values()],
+                }
+            )
+
+    return hashed.mapInPandas(partition_bits, "shard int, bits binary")
+
+
+def with_might_contain_sharded(
+    df: DataFrame,
+    col: str,
+    sketch_df: DataFrame,
+    shard_bits: int = 4,
+    num_bits_per_shard: int = 1 << 20,
+    num_hashes: int = 5,
+    out: str = "__maybe",
+) -> DataFrame:
+    """Probe a sharded sketch without ever assembling it in one place: the
+    batch co-groups with the sketch table on shard id
+    (``groupBy(shard).cogroup(...).applyInPandas``), so each shard's bits
+    move to exactly the tasks holding that shard's rows — one shuffle of
+    the batch keyed by shard, bits shipped once per shard, never
+    row-multiplied through a join.  A shard absent from ``sketch_df``
+    probes as all-False (nothing was ever inserted there)."""
+    nb, nh = int(num_bits_per_shard), int(num_hashes)
+    base_cols = df.columns
+    b = df.withColumn("__h", F.xxhash64(F.col(col))).withColumn(
+        "__s", _shard_col(F.col(col), shard_bits)
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in b.schema.fields
+    ) + f", {out} boolean"
+
+    def probe(key, batch_pdf: pd.DataFrame, sketch_pdf: pd.DataFrame) -> pd.DataFrame:
+        res = batch_pdf.copy()
+        if not len(sketch_pdf):
+            res[out] = False
+            return res
+        bits = np.frombuffer(sketch_pdf["bits"].iloc[0], dtype=np.uint8)
+        hv = batch_pdf["__h"].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _positions(hv, nb, nh)
+        ok = np.ones(hv.shape[0], dtype=bool)
+        for i in range(nh):
+            p = pos[i]
+            byte = bits[(p >> np.uint64(3)).astype(np.int64)]
+            ok &= (
+                np.right_shift(byte, (p & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            ).astype(bool)
+        res[out] = ok
+        return res
+
+    probed = (
+        b.groupBy("__s")
+        .cogroup(sketch_df.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+    )
+    return probed.select(*base_cols, out)
+
+
 def with_might_contain(
     df: DataFrame,
     col: str,
@@ -170,6 +281,7 @@ def exact_dedup_bloom(
     id_col: str = "doc_id",
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
+    shard_bits: int | None = None,
 ) -> DataFrame:
     """Bloom-pruned incremental exact dedup — bit-identical output to
     dedup.exact_dedup_incremental, with the corpus anti-join scoped to the
@@ -180,6 +292,12 @@ def exact_dedup_bloom(
     true-dups + ~fpp * batch false positives.  On a mostly-novel crawl
     batch that join shrinks ~100x; correctness never depends on fpp
     because every True is re-checked.
+
+    ``shard_bits=None`` (default) uses the single broadcast bitset — right
+    up to ~10^9 digests.  Setting ``shard_bits`` switches to the sharded
+    build/probe (:func:`bloom_build_sharded`), which never materializes
+    the filter in one place: ``num_bits`` then means bits PER SHARD and
+    the output stays bit-identical (the prune layer only changes shape).
     """
     from apache_arrow_spark.functions.text import fingerprint
 
@@ -187,12 +305,20 @@ def exact_dedup_bloom(
         seen_fp = seen.select("__fp")
     else:
         seen_fp = seen.select(fingerprint(F.col(text_col)).alias("__fp"))
-    sketch = bloom_build(seen_fp, "__fp", num_bits, num_hashes)
 
     with_fp = new_df.select(
         F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("__fp")
     )
-    probed = with_might_contain(with_fp, "__fp", sketch)
+    if shard_bits is not None:
+        sketch_df = bloom_build_sharded(
+            seen_fp, "__fp", shard_bits, num_bits, num_hashes
+        )
+        probed = with_might_contain_sharded(
+            with_fp, "__fp", sketch_df, shard_bits, num_bits, num_hashes
+        )
+    else:
+        sketch = bloom_build(seen_fp, "__fp", num_bits, num_hashes)
+        probed = with_might_contain(with_fp, "__fp", sketch)
     definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")
     maybes = (
         probed.filter(F.col("__maybe"))

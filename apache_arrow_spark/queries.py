@@ -4802,6 +4802,49 @@ def q138_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return channel_stats(back)
 
 
+@register(
+    "q139_sharded_bloom_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS fp,
+             {sql_hash_bucket("doc_id", "incr")} AS bk
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT fp FROM norm WHERE bk < 500000),
+    nw AS (SELECT doc_id, fp FROM norm WHERE bk >= 500000),
+    surv AS (
+      SELECT doc_id, fp FROM nw
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = nw.fp)
+    )
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (SELECT min(doc_id) AS doc_id FROM surv GROUP BY fp)
+    """,
+)
+def q139_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED Bloom incremental dedup — q99's contract through the
+    10^10-scale filter shape (bloom_build_sharded /
+    with_might_contain_sharded): the sketch is a distributed (shard, bits)
+    table, the probe a cogroup on shard id — no driver OR-merge, no
+    monolithic broadcast, so filter capacity scales with the cluster, not
+    the driver.  Deliberately tiny per-shard bitsets force false positives
+    through the exact verify join, proving output stays bit-identical.
+    Oracle is the same exact-SQL form as q99 (the filter only prunes)."""
+    from apache_arrow_spark.functions.bloom import exact_dedup_bloom
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"), "incr")
+    seen = d.filter(bk < 500000)
+    incoming = d.filter(bk >= 500000)
+    kept = exact_dedup_bloom(
+        incoming, seen, "text", "doc_id", num_bits=1 << 12, shard_bits=4
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries; round 1 left q51-q61 without driver-grade

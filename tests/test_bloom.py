@@ -107,3 +107,78 @@ def test_sketch_merge_is_bitwise_or(spark):
     s_m = BloomSketch(merged, s_all.num_bits, s_all.num_hashes)
     probed = with_might_contain(both, "k", s_m, "maybe")
     assert probed.filter(~F.col("maybe")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Sharded filter (the 10^10-scale path: distributed sketch table, cogroup
+# probe, no driver merge / monolithic broadcast)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_no_false_negatives(spark):
+    from apache_arrow_spark.functions.bloom import (
+        bloom_build_sharded,
+        with_might_contain_sharded,
+    )
+
+    keys = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    sketch = bloom_build_sharded(keys, "k", shard_bits=3, num_bits_per_shard=1 << 12)
+    probed = with_might_contain_sharded(
+        keys, "k", sketch, shard_bits=3, num_bits_per_shard=1 << 12, out="maybe"
+    )
+    assert probed.filter(~F.col("maybe")).count() == 0  # Bloom invariant
+
+
+def test_sharded_absent_shard_probes_false(spark):
+    from apache_arrow_spark.functions.bloom import with_might_contain_sharded
+
+    keys = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    empty_sketch = spark.createDataFrame([], "shard int, bits binary")
+    probed = with_might_contain_sharded(
+        keys, "k", empty_sketch, shard_bits=3, num_bits_per_shard=1 << 12, out="maybe"
+    )
+    assert probed.filter(F.col("maybe")).count() == 0
+
+
+def test_sharded_sketch_covers_all_shards_once(spark):
+    from apache_arrow_spark.functions.bloom import bloom_build_sharded
+
+    keys = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    sketch = bloom_build_sharded(keys, "k", shard_bits=3, num_bits_per_shard=1 << 10)
+    rows = sketch.collect()
+    shards = [r["shard"] for r in rows]
+    assert len(shards) == len(set(shards))  # one fully-merged row per shard
+    assert set(shards) <= set(range(8))
+    assert all(len(r["bits"]) == (1 << 10) // 8 for r in rows)
+
+
+def test_sharded_vs_monolithic_dedup_equivalence(spark, sf_dir):
+    """The sharded prune layer changes shape, never output: sharded,
+    monolithic, and exact incremental dedup all agree."""
+    from apache_arrow_spark.functions.dedup import exact_dedup_incremental
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    incoming = d.filter(F.col("doc_id") % 3 != 0)
+    exact = sorted(
+        r["doc_id"]
+        for r in exact_dedup_incremental(incoming, seen, "text", "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    # tiny per-shard bitsets force false positives through the verify join
+    sharded = sorted(
+        r["doc_id"]
+        for r in exact_dedup_bloom(
+            incoming, seen, "text", "doc_id", num_bits=64, shard_bits=3
+        )
+        .select("doc_id")
+        .collect()
+    )
+    mono = sorted(
+        r["doc_id"]
+        for r in exact_dedup_bloom(incoming, seen, "text", "doc_id", num_bits=512)
+        .select("doc_id")
+        .collect()
+    )
+    assert sharded == exact and mono == exact
