@@ -188,6 +188,49 @@ class ObjectStore:
                 out[oid] = False
         return out
 
+    def hash(self, object_id: str) -> str:
+        """Content digest of a sealed object (client.h:209 ``Hash`` — the
+        XXH64 of a Plasma object's data+metadata buffers; here an
+        order-insensitive digest of the dataset's rows).  Computed
+        DISTRIBUTED: per-row xxhash64 over canonicalized columns, combined
+        with an order-independent aggregate (sum + count + xor via bit_xor)
+        so the digest is stable under partitioning/shuffle — two stores
+        holding the same sealed rows agree byte-for-byte."""
+        import pyspark.sql.functions as F
+
+        df = self.get(object_id)
+        h = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+        # decimal sum: ANSI-mode bigint sum would raise on overflow; a
+        # decimal(38,0) multiset-sum is exact to ~10^19 rows.  bit_xor adds
+        # duplicate-row sensitivity the sum alone lacks cheaply.
+        row = df.select(
+            F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
+        ).collect()[0]
+        import hashlib
+
+        return hashlib.sha256(
+            f"{row['s']}:{row['n']}:{row['x']}".encode()
+        ).hexdigest()
+
+    def transfer(self, object_id: str, target: "ObjectStore") -> DataFrame:
+        """Copy a sealed object into another store (client.h:298-304
+        ``Transfer`` to a different plasma manager).  The object arrives
+        sealed and immutable in the target (same id, same rows); digest
+        equality (:meth:`hash`) is the cross-store integrity check the
+        reference's manager protocol performs.  If both stores share a
+        spill_dir the parquet copy is reused rather than rewritten."""
+        df = self.get(object_id)
+        if target.contains(object_id):
+            raise KeyError(f"object {object_id!r} already in target store")
+        spill = bool(target.spill_dir) and not (
+            self.spill_dir == target.spill_dir
+            and self._path(object_id)
+            and os.path.exists(self._path(object_id))
+        )
+        return target.put(object_id, df, spill=spill)
+
     def _notify(self, note: Notification) -> None:
         for sub in self._subscribers:
             sub._q.put(note)

@@ -101,3 +101,63 @@ def test_wait_and_fetch(store, spark):
     assert avail == {"a": True, "zzz": False}
     assert "a" in store.list()
     assert store.get("a").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# hash + transfer (client.h:209 Hash, :298-304 Transfer)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_digest_stable_under_partitioning(spark, tmp_path):
+    from apache_arrow_spark.store import ObjectStore
+
+    store = ObjectStore(spark, spill_dir=str(tmp_path / "sp1"))
+    import os
+
+    os.makedirs(str(tmp_path / "sp1"), exist_ok=True)
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    store.put("obj", df)
+    d1 = store.hash("obj")
+    # same rows, different physical layout -> same digest
+    store2 = ObjectStore(spark, spill_dir=None)
+    store2.put("obj", df.repartition(7).sortWithinPartitions("v"))
+    assert store2.hash("obj") == d1
+    # different content -> different digest
+    store3 = ObjectStore(spark, spill_dir=None)
+    store3.put("obj", df.filter("id < 999"))
+    assert store3.hash("obj") != d1
+    # duplicate-row sensitivity (xor alone would cancel pairs)
+    store4 = ObjectStore(spark, spill_dir=None)
+    store4.put("obj", df.unionAll(df))
+    assert store4.hash("obj") != d1
+
+
+def test_transfer_cross_store(spark, tmp_path):
+    import os
+
+    from apache_arrow_spark.store import ObjectStore
+
+    src_dir, dst_dir = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src_dir)
+    os.makedirs(dst_dir)
+    src = ObjectStore(spark, spill_dir=src_dir)
+    dst = ObjectStore(spark, spill_dir=dst_dir)
+    df = spark.range(0, 100).selectExpr("id", "id % 7 AS g")
+    src.put("t1", df, spill=True)
+
+    sub = dst.subscribe()
+    out = src.transfer("t1", dst)
+    assert out.count() == 100
+    assert dst.contains("t1")
+    # integrity check the manager protocol performs: digests agree
+    assert src.hash("t1") == dst.hash("t1")
+    # the arrival was sealed -> notification fired in the TARGET store
+    notes = sub.drain()
+    assert any(n.object_id == "t1" and not n.deleted for n in notes)
+    # sealed = immutable: re-transfer refuses
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        src.transfer("t1", dst)
+    # target spill copy exists independently of the source store
+    assert os.path.exists(os.path.join(dst_dir, "t1.parquet"))
