@@ -1,0 +1,79 @@
+"""Two-point scaling law for the hottest headline queries.
+
+Runs each query at two scale factors (default sf0.01 and sf0.1 — a 10x
+data ratio), records wall time and EXECUTED-plan shuffle bytes
+(plans/inspect.shuffle_bytes_written), and prints the growth exponent
+alpha = log(ratio) / log(10) for each.  alpha ~ 1 is the linear-scaling
+claim SCALE.md makes for the winnowing/MinHash caps; alpha >= ~1.5 means
+a super-linear stage snuck in (candidate flood, uncapped pair join).
+
+Timings are only meaningful run ALONE (no concurrent pytest/oracle jobs).
+
+Usage: python tools/scaling_curves.py [sf_small_dir sf_big_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HOT = [
+    "q22_join_region_revenue",
+    "q26_ipc_roundtrip",
+    "q33_minhash_near_duplicates",
+    "q97_importance_weights",
+    "q119_winnow_fingerprints",
+]
+
+
+def measure(spark, name: str, sf_dir: str) -> dict:
+    from apache_arrow_spark.plans.inspect import shuffle_bytes_written
+    from apache_arrow_spark.queries import QUERIES
+
+    # untimed pass compiles the target-sf plan shapes (bench.py discipline)
+    QUERIES[name](spark, sf_dir).collect()
+    spark.sparkContext._jvm.System.gc()
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.collect()
+    wall = time.perf_counter() - t0
+    return {"wall_s": round(wall, 3), "shuffle_bytes": shuffle_bytes_written(df)}
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from apache_arrow_spark.session import get_spark
+
+    spark = get_spark()
+    out = {}
+    for name in HOT:
+        s = measure(spark, name, small)
+        b = measure(spark, name, big)
+        row = {"small": s, "big": b}
+        if s["shuffle_bytes"] > 0:
+            row["bytes_ratio"] = round(b["shuffle_bytes"] / s["shuffle_bytes"], 2)
+            row["bytes_alpha"] = round(math.log(row["bytes_ratio"]) / math.log(10), 3)
+        if s["wall_s"] > 0:
+            row["wall_ratio"] = round(b["wall_s"] / s["wall_s"], 2)
+        out[name] = row
+        print(name, json.dumps(row), flush=True)
+    print(json.dumps(out))
+    # markdown table for SCALE.md
+    print("\n| query | wall sf0.01 | wall sf0.1 | shuffle sf0.01 | shuffle sf0.1 | bytes ratio | alpha |")
+    print("|---|---|---|---|---|---|---|")
+    for name, r in out.items():
+        print(
+            f"| {name} | {r['small']['wall_s']} s | {r['big']['wall_s']} s "
+            f"| {r['small']['shuffle_bytes']:,} | {r['big']['shuffle_bytes']:,} "
+            f"| {r.get('bytes_ratio', '—')} | {r.get('bytes_alpha', '—')} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
