@@ -101,3 +101,24 @@ def shuffle_bytes_written(df: DataFrame) -> int:
     """Total shuffle bytes written by the (already executed) query — the
     measurable form of the 'digests shuffle, bodies don't' discipline."""
     return sum(v for _, name, v in executed_metrics(df) if name == "shuffleBytesWritten")
+
+
+def app_shuffle_bytes(spark) -> int:
+    """Sum of shuffle bytes written across ALL completed stages in the app
+    status store.  Unlike :func:`shuffle_bytes_written` this catches work
+    done INSIDE a query function (internal persists, eager counts) that
+    per-DataFrame executed-plan metrics miss — diff before/after a run to
+    measure its true shuffle volume."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = sc._jvm
+    # full Spark-4 signature: (statuses, details, withSummaries, quantiles,
+    # taskStatus) — empty filters mean "all stages"
+    seq = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    return sum(seq.apply(i).shuffleWriteBytes() for i in range(seq.size()))

@@ -284,3 +284,38 @@ def test_exact_dedup_shuffles_digests_not_bodies(spark, sf_dir):
     assert shuffled > 0
     # digests + ids are far smaller than the text corpus
     assert shuffled < corpus_bytes / 2, (shuffled, corpus_bytes)
+
+
+def test_shuffle_bytes_scale_linearly(spark):
+    """Two-point scaling guard (SCALE.md 'Measured scaling curves'): for
+    the hottest headline queries, shuffle bytes must grow ~linearly in the
+    corpus (alpha ~ 1) between sf0.001 and sf0.01.  A quadratic stage —
+    candidate flood, uncapped pair join — would show ratio ~100; the bound
+    of 30 (alpha ~ 1.5) catches that while tolerating small-sf noise and
+    per-partition constants.  q119's pair shuffle is additionally expected
+    to stay FLAT (the doc-frequency cap claim)."""
+    from apache_arrow_spark.plans.inspect import app_shuffle_bytes
+    from apache_arrow_spark.queries import QUERIES
+
+    hot = [
+        "q22_join_region_revenue",
+        "q33_minhash_near_duplicates",
+        "q97_importance_weights",
+        "q119_winnow_fingerprints",
+    ]
+    import time as _time
+
+    def run(name, sf):
+        _time.sleep(0.3)  # listener bus drain
+        before = app_shuffle_bytes(spark)
+        QUERIES[name](spark, f"/root/testdata/{sf}").collect()
+        _time.sleep(0.3)
+        return app_shuffle_bytes(spark) - before
+
+    for name in hot:
+        small = run(name, "sf0.001")
+        big = run(name, "sf0.01")
+        # floor the denominator: at sf0.001 a query may shuffle almost
+        # nothing, and a ratio over ~nothing is meaningless
+        ratio = big / max(small, 4096)
+        assert ratio < 30, (name, small, big, ratio)

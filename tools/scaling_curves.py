@@ -31,18 +31,25 @@ HOT = [
 ]
 
 
+from apache_arrow_spark.plans.inspect import app_shuffle_bytes as total_shuffle_bytes
+
+
 def measure(spark, name: str, sf_dir: str) -> dict:
-    from apache_arrow_spark.plans.inspect import shuffle_bytes_written
     from apache_arrow_spark.queries import QUERIES
 
     # untimed pass compiles the target-sf plan shapes (bench.py discipline)
     QUERIES[name](spark, sf_dir).collect()
     spark.sparkContext._jvm.System.gc()
-    df = QUERIES[name](spark, sf_dir)
+    time.sleep(0.5)  # let the listener bus drain before the baseline read
+    before = total_shuffle_bytes(spark)
     t0 = time.perf_counter()
-    df.collect()
+    QUERIES[name](spark, sf_dir).collect()  # timed END-TO-END, call included
     wall = time.perf_counter() - t0
-    return {"wall_s": round(wall, 3), "shuffle_bytes": shuffle_bytes_written(df)}
+    time.sleep(0.5)
+    return {
+        "wall_s": round(wall, 3),
+        "shuffle_bytes": total_shuffle_bytes(spark) - before,
+    }
 
 
 def main() -> None:
