@@ -116,11 +116,14 @@ def _anchor_sort(spark) -> float:
     df = spark.range(n, numPartitions=32).select((F.rand(seed=7) * 1e9).alias("x")).cache()
     df.count()
     rates = []
-    for _ in range(10):
+    # JIT keeps warming through ~rep 7 (measured: best-so-far still climbing
+    # at rep 5-8), so the old 3-reps/20.0 early stop understated the rate by
+    # ~10%.  Stop only at the reference bar itself, else run the full 12.
+    for _ in range(12):
         t0 = time.time()
         df.orderBy("x").write.format("noop").mode("overwrite").save()
         rates.append(n / (time.time() - t0) / 1e6)
-        if len(rates) >= 3 and max(rates) >= 20.0:
+        if max(rates) >= 22.7:
             break
     df.unpersist()
     return round(max(rates), 1)
