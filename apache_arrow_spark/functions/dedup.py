@@ -686,3 +686,95 @@ def exact_dedup_incremental(
     return new_df.join(
         winners.withColumnRenamed("__id", id_col), on=id_col, how="left_semi"
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-duplicate pairs via prefix-filtered
+    set-similarity self-join (the PPJoin family's blocking, public
+    literature) — the deterministic counterpart of MinHash (q33): no
+    probability of a miss, same (id_a, id_b, jaccard) contract.
+
+    Prefix-filter theorem: order every doc's gram set by one global
+    canonical order; if J(A,B) >= t, the first ``|A| - ceil(t*|A|) + 1``
+    grams of A and of B must intersect.  Candidate generation therefore
+    equi-joins PREFIX grams only.  Ordering ascending by global document
+    frequency (ties by gram) puts the RAREST grams in prefixes, so join
+    buckets stay small by construction — the hot-gram flood that forces a
+    frequency cap in winnowing (q120) is structurally avoided here, which
+    is what makes the blocking exact rather than capped.
+
+    Cost shape at scale: one explode to gram cells (corpus-proportional,
+    the biggest shuffle), one gram-frequency aggregate (Zipf-sublinear),
+    one per-doc sort to take prefixes (window over doc id), an equi-join
+    on prefix grams, then exact verify joined back by id.  Never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    grams_expr = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            )
+        )
+    )
+    sets = (
+        df.select(F.col(id_col).alias("id"), grams_expr.alias("g"))
+        .withColumn("ls", F.size("g"))
+        .filter(F.col("ls") > 0)
+        .persist()
+    )
+    sets.count()
+    cells = sets.select("id", "ls", F.explode("g").alias("gram"))
+    freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+    t = float(jaccard_threshold)
+    prefix_len = (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int")
+    ranked = (
+        cells.join(freq, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("df_"), F.col("gram"))
+            ),
+        )
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "ls", "gram")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        # length filter: J >= t forces t*la <= lb <= la/t
+        .filter(
+            (F.col("b.ls") >= F.lit(t) * F.col("a.ls"))
+            & (F.col("a.ls") >= F.lit(t) * F.col("b.ls"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.col("la") + F.col("lb") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    out = (
+        candidates.join(
+            sets.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("ls").alias("la")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), F.col("ls").alias("lb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .persist()
+    )
+    out.count()
+    sets.unpersist()
+    return out

@@ -303,3 +303,120 @@ def frame_sample_stub(media_df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media_df.mapInPandas(_frames, "doc_id bigint, frame_no int, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec (pure numpy): WAV RIFF, 16-bit PCM
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM -> WAV (RIFF) bytes."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, (n,) int16 mono samples).  Walks RIFF
+    chunks (tolerates extra chunks like LIST/fact); PCM 16-bit mono only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV fmt={audio_fmt} ch={channels} bits={bits} unsupported "
+                    "(PCM 16-bit mono only)"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+def attach_real_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL WAV payloads with closed-form sample content:
+    sample k of doc i is ``((i * 31 + k * 7) % 2003) - 1001`` (int16-range
+    sawtooth-ish), n_samples = 800 + (i % 5) * 160 at 16 kHz — recomputable
+    by an external oracle with no codec.  One mapInPandas stage."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads, ns = [], []
+            for i in ids:
+                i = int(i)
+                n = 800 + (i % 5) * 160
+                k = np.arange(n, dtype=np.int64)
+                s = ((i * 31 + k * 7) % 2003 - 1001).astype(np.int16)
+                payloads.append(encode_wav(s, 16000))
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(ids),
+                    "n_samples": np.array(ns, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _gen, "doc_id bigint, payload binary, media_type string, n_samples int"
+    )
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """REAL WAV decode -> per-clip features in exact integer units:
+    (doc_id, sample_rate, n_samples, energy_micro, zero_crossings) where
+    energy_micro = floor(sum(s^2) * 1e6 / n) — mean square power in
+    micro-units — and zero_crossings counts adjacent sign products < 0.
+    Integer-exact end-to-end (the q138 channel_stats discipline); decode
+    runs batch-wise in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, energies, zcs = [], [], [], []
+            for p in pdf["payload"]:
+                rate, s = decode_wav(bytes(p))
+                s64 = s.astype(np.int64)
+                n = s64.size
+                rates.append(rate)
+                ns.append(n)
+                energies.append(int((s64 * s64).sum()) * 1_000_000 // max(n, 1))
+                zcs.append(int((s64[1:] * s64[:-1] < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": np.array(rates, dtype="int32"),
+                    "n_samples": np.array(ns, dtype="int32"),
+                    "energy_micro": np.array(energies, dtype="int64"),
+                    "zero_crossings": np.array(zcs, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        _stats,
+        "doc_id bigint, sample_rate int, n_samples int, "
+        "energy_micro bigint, zero_crossings bigint",
+    )

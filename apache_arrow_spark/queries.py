@@ -4845,6 +4845,88 @@ def q139_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q140_ngram_jaccard_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    tk AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(t, '\\s+') END AS toks
+      FROM d),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM tk WHERE len(toks) >= 2),
+    s2 AS (SELECT doc_id, g, len(g) AS ls FROM s WHERE len(g) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / greatest(a.ls + b.ls - len(list_intersect(a.g, b.g)), 1), 6) AS jaccard
+    FROM s2 a JOIN s2 b
+      ON a.doc_id < b.doc_id
+     AND b.ls >= 0.4 * a.ls AND a.ls >= 0.4 * b.ls
+    WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / greatest(a.ls + b.ls - len(list_intersect(a.g, b.g)), 1), 6) >= 0.4
+    """,
+)
+def q140_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-bigram Jaccard near-dup pairs via prefix-filtered
+    set-similarity self-join (dedup.ngram_jaccard_pairs) — the
+    deterministic counterpart of q33's MinHash: rarest-grams-first
+    prefixes make candidate buckets small by construction and the prefix
+    filter is an exact theorem, so unlike LSH there is NO miss
+    probability.  The oracle is the brute-force all-pairs form; blocking
+    is purely a pruning layer."""
+    from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, jaccard_threshold=0.4)
+
+
+@register(
+    "q141_audio_features",
+    """
+    WITH d AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents),
+    k AS (
+      SELECT doc_id, n, kk.k AS k,
+             (doc_id * 31 + kk.k * 7) % 2003 - 1001 AS s
+      FROM d, LATERAL (SELECT unnest(range(n)) AS k) kk),
+    z AS (
+      SELECT doc_id, n, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS sp
+      FROM k)
+    SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+           CAST(sum(s * s) * 1000000 // n AS BIGINT) AS energy_micro,
+           CAST(sum(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM z GROUP BY doc_id, n
+    """,
+)
+def q141_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize 16-bit PCM WAV clips with
+    closed-form sample content (multimodal.attach_real_audio), round-trip
+    the binary column through parquet, decode the actual RIFF bytes with
+    the pure-numpy WAV codec, and compute exact integer features (mean
+    square power in micro-units, zero crossings).  The audio twin of
+    q138's image proof: the formula-only oracle matches only if
+    encode -> store -> decode is sample-faithful.  Both stages are
+    mapInPandas — embarrassingly parallel over the binary scan at scale."""
+    import tempfile
+
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_audio,
+        audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_real_audio(d)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q141_", dir=shm)
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return audio_features(back)
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never
@@ -4859,6 +4941,8 @@ def q139_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
+    "q76_streaming_dedup",  # r02-green; slot traded for q140 (new operator)
+    "q77_stream_funnel_join",  # r02-green; slot traded for q141 (new operator)
     "q01_pricing_summary",
     "q02_filter_and",
     "q03_filter_or_countby",

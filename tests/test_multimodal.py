@@ -140,3 +140,56 @@ def test_channel_stats_matches_formula(spark):
         s = sum((i * 31 + x * 7 + y * 13) % 256 for x in range(w) for y in range(h))
         assert rows[i]["width"] == w and rows[i]["height"] == h
         assert rows[i]["mean_r_micro"] == s * 1_000_000 // (w * h)
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec (WAV RIFF 16-bit PCM, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from apache_arrow_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(9)
+    s = rng.randint(-32768, 32768, size=1234, dtype=np.int16)
+    payload = encode_wav(s, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, back = decode_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_wav_extra_chunks_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from apache_arrow_spark.functions.multimodal import decode_wav, encode_wav
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    payload = encode_wav(s, 16000)
+    # splice a LIST chunk between fmt and data: decoder must skip it
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    rate, back = decode_wav(spliced)
+    assert rate == 16000 and np.array_equal(back, s)
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS1234")
+
+
+def test_audio_features_match_formula(spark):
+    from apache_arrow_spark.functions.multimodal import attach_real_audio, audio_features
+
+    df = spark.range(7).select(F.col("id").alias("doc_id"))
+    rows = {r["doc_id"]: r for r in audio_features(attach_real_audio(df)).collect()}
+    for i in range(7):
+        n = 800 + (i % 5) * 160
+        s = [((i * 31 + k * 7) % 2003) - 1001 for k in range(n)]
+        assert rows[i]["n_samples"] == n
+        assert rows[i]["energy_micro"] == sum(v * v for v in s) * 1_000_000 // n
+        assert rows[i]["zero_crossings"] == sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        )
