@@ -778,3 +778,84 @@ def ngram_jaccard_pairs(
     out.count()
     sets.unpersist()
     return out
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: quote/contamination detection.  Returns ordered
+    pairs (id_a, id_b, containment) where containment = |A∩B| / |A| >=
+    threshold and |A| <= |B| — doc A's shingle set is (mostly) CONTAINED in
+    B's, the relation Jaccard misses when B is much larger (a paragraph
+    quoted inside a long page has J ~ |A|/|B| ~ 0, containment ~ 1).
+
+    Blocking mirrors :func:`ngram_jaccard_pairs`' prefix filter, adapted to
+    containment's asymmetry: only the A side can be prefix-pruned (if
+    C(A,B) >= t, at least one of A's first ``|A| - ceil(t*|A|) + 1``
+    grams in rarest-first order must be in B — B's side cannot skip
+    anything, since any of B's grams might be the match).  So A prefixes
+    (few, rare grams) equi-join the FULL B-side gram index — an inverted-
+    index probe whose bucket sizes are bounded by the prefix grams' low
+    document frequency.  Verification joins shingle sets back by id.
+    """
+    norm = normalize_text(F.col(text_col))
+    sets = (
+        df.select(F.col(id_col).alias("id"), norm.alias("t"))
+        .select("id", shingles_of_normalized(F.col("t"), k).alias("g"))
+        .withColumn("ls", F.size("g"))
+        .filter(F.col("ls") > 0)
+        .persist()
+    )
+    sets.count()
+    cells = sets.select("id", "ls", F.explode("g").alias("gram"))
+    freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+    t = float(containment_threshold)
+    from pyspark.sql import Window
+
+    prefix_len = (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int")
+    a_prefix = (
+        cells.join(freq, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("df_"), F.col("gram"))
+            ),
+        )
+        .filter(F.col("rk") <= prefix_len)
+        .select(F.col("id").alias("id_a"), F.col("ls").alias("la"), "gram")
+    )
+    b_index = cells.select(
+        F.col("id").alias("id_b"), F.col("ls").alias("lb"), "gram"
+    )
+    candidates = (
+        a_prefix.join(b_index, "gram")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("la") <= F.col("lb"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    cont = F.round(inter / F.greatest(F.col("la"), F.lit(1)), 6)
+    out = (
+        candidates.join(
+            sets.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("ls").alias("la")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("g").alias("gb")),
+            "id_b",
+        )
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", "containment")
+        .persist()
+    )
+    out.count()
+    sets.unpersist()
+    return out

@@ -94,3 +94,36 @@ def bm25_topk(
             (F.col("score_q").cast("double") / F.lit(scale)).alias("score"),
         )
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index: (id,
+    n_matches) for every doc containing the consecutive token sequence
+    ``phrase``.  The index is (term, doc, position) postings from one
+    posexplode; the phrase is an equi-join chain — term_i's postings join
+    term_{i+1}'s on (doc, pos + 1).
+
+    The q98/BM25 shuffle discipline, positional edition: postings FILTER
+    to the phrase's terms BEFORE any join, so the shuffle carries only
+    those terms' postings (sum of their document frequencies), never the
+    corpus token stream.  Join fan-out is bounded by per-doc term
+    positions.  This is how phrase queries run on any web-scale positional
+    index; Spark's join chain is the batch analog."""
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    postings = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term").isin(list(set(phrase))))
+    chain = postings.filter(F.col("term") == phrase[0]).select("id", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        chain = chain.join(nxt, ["id", "pos"])
+    return chain.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

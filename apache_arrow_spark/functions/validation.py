@@ -52,3 +52,39 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.round(F.col("n_violations") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
         )
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier report via median/MAD (the
+    median-absolute-deviation rule — resistant to the very outliers it
+    flags, unlike mean/stddev z-scores): (group, n, median, mad,
+    n_outliers) where an outlier is ``|x - median| > k * MAD``.
+
+    Two grouped aggregates (exact interpolated percentile is a full-group
+    aggregate, so this is two shuffles on the group key) + one broadcast
+    join of the tiny stats table back onto the rows.  At 100 TB exact
+    per-group medians want the GK sketch (functions/sketches.py) instead;
+    this is the exact form the sketch approximates."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col, "median", "n").agg(
+        F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad")
+    )
+    flagged = df.join(F.broadcast(mad), group_col).groupBy(
+        group_col, "n", "median", "mad"
+    ).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col(value_col) - F.col("median")) > F.lit(k) * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return flagged.select(group_col, "n", "median", "mad", "n_outliers")

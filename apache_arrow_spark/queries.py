@@ -4927,6 +4927,107 @@ def q141_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(back)
 
 
+@register(
+    "q142_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority),
+    mad AS (
+      SELECT o.o_orderpriority, m.median, m.n,
+             quantile_cont(abs(o.o_totalprice - m.median), 0.5) AS mad
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+      GROUP BY o.o_orderpriority, m.median, m.n)
+    SELECT d.o_orderpriority, d.n,
+           CAST(floor(d.median * 1000000) AS BIGINT) AS median_micro,
+           CAST(floor(d.mad * 1000000) AS BIGINT) AS mad_micro,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - d.median) > 3.0 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN mad d ON o.o_orderpriority = d.o_orderpriority
+    GROUP BY d.o_orderpriority, d.n, d.median, d.mad
+    """,
+)
+def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (validation.robust_outlier_stats):
+    median/MAD is resistant to the outliers it flags, unlike mean/stddev
+    z-scores — the data-quality gate run before training-set stats are
+    trusted.  Exact interpolated percentiles in both engines (Spark
+    percentile == DuckDB quantile_cont); stats broadcast back onto rows,
+    outputs floor-quantized micro-units per the s_micro discipline."""
+    from apache_arrow_spark.functions.validation import robust_outlier_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    out = robust_outlier_stats(o, "o_totalprice", "o_orderpriority", k=3.0)
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.floor(F.col("median") * 1e6).cast("bigint").alias("median_micro"),
+        F.floor(F.col("mad") * 1e6).cast("bigint").alias("mad_micro"),
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )
+
+
+@register(
+    "q143_containment_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS g
+      FROM d),
+    s AS (SELECT doc_id, g, len(g) AS ls FROM sh WHERE len(g) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / greatest(a.ls, 1), 6) AS containment
+    FROM s a JOIN s b
+      ON a.doc_id <> b.doc_id AND a.ls <= b.ls
+    WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / greatest(a.ls, 1), 6) >= 0.8
+    """,
+)
+def q143_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/contamination detection (dedup.shingle_containment_pairs):
+    asymmetric containment |A∩B|/|A| catches a small doc embedded in a
+    large one — the relation Jaccard structurally misses (J ~ |A|/|B| ~ 0
+    for a quoted paragraph).  A-side-only prefix filter (exact theorem)
+    probes the full B-side inverted gram index; brute-force oracle."""
+    from apache_arrow_spark.functions.dedup import shingle_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(d, containment_threshold=0.8)
+
+
+@register(
+    "q144_phrase_match",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, u.t AS term, u.i AS pos
+      FROM tk, LATERAL (SELECT unnest(toks) AS t,
+                               generate_subscripts(toks, 1) AS i) u
+      WHERE u.t IN ('scan', 'query')),
+    a AS (SELECT doc_id, pos FROM p WHERE term = 'scan'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'query')
+    SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+    GROUP BY a.doc_id
+    """,
+)
+def q144_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search on a positional inverted index
+    (retrieval.phrase_match): postings filter to the phrase's terms BEFORE
+    the position-chain equi-join, so the shuffle carries only those
+    terms' postings — the positional edition of q98's BM25 discipline."""
+    from apache_arrow_spark.functions.retrieval import phrase_match
+
+    d = load_table(spark, sf_dir, "documents")
+    out = phrase_match(d, ["scan", "query"])
+    return out.select(F.col("id").alias("doc_id"), "n_matches")
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never
@@ -4941,6 +5042,9 @@ def q141_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
+    "q33_minhash_near_duplicates",  # r02-green; slot traded for q142 (new operator)
+    "q38_multimodal_features",  # r01-green, fake-path rewrite pinned by pytest; slot traded for q143
+    "q78_curation_funnel",  # r02-green; slot traded for q144 (new operator)
     "q76_streaming_dedup",  # r02-green; slot traded for q140 (new operator)
     "q77_stream_funnel_join",  # r02-green; slot traded for q141 (new operator)
     "q01_pricing_summary",

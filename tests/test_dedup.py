@@ -228,3 +228,61 @@ def test_triangle_stats_known_graph(spark):
     # degrees: 0,1,2 -> 3; 3 -> 4; 9 -> 1  => wedges 3*3 + 6 + 0 = 15
     assert r.n_edges == 7 and r.n_wedges == 15 and r.n_triangles == 4
     assert abs(r.clustering_coefficient - 3 * 4 / 15) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (prefix filter) + containment (quote detection)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_exactness_vs_bruteforce(spark):
+    """The prefix filter is a theorem, not a heuristic: results equal the
+    brute-force all-pairs on a corpus with planted near-dups."""
+    from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "a completely different document about spark engines"),
+        (3, "a completely different document about spark pipelines"),  # near-dup of 2
+        (4, "short text"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.4).collect()
+    }
+
+    def bigrams(t):
+        w = t.split()
+        return set(f"{a} {b}" for a, b in zip(w, w[1:]))
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = bigrams(docs[i][1]), bigrams(docs[j][1])
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= 0.4:
+                want[(docs[i][0], docs[j][0])] = jac
+    assert got == want and len(want) >= 3
+
+
+def test_containment_finds_quotes_jaccard_misses(spark):
+    from apache_arrow_spark.functions.dedup import shingle_containment_pairs
+
+    quoted = "unique snippet of quoted text here"
+    big = ("lots of completely unrelated filler words surround it " * 5
+           + quoted + " and then even more unrelated filler follows this " * 5)
+    df = spark.createDataFrame(
+        [(1, quoted), (2, big), (3, "nothing in common at all")],
+        "doc_id long, text string",
+    )
+    rows = shingle_containment_pairs(df, containment_threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs  # the small doc is contained in the big one
+    assert all(a != 3 and b != 3 for a, b in pairs)
+    cont = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    assert cont[(1, 2)] >= 0.9

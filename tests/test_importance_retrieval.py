@@ -144,3 +144,22 @@ def test_importance_weights_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert importance_weights(empty, target=F.col("source") == "t").count() == 0
     assert bm25_topk(empty, ["a"], k=3).count() == 0
+
+
+def test_phrase_match_positions(spark):
+    from apache_arrow_spark.functions.retrieval import phrase_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "gamma gamma gamma"),
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["n_matches"] for r in phrase_match(df, ["alpha", "beta"]).collect()}
+    assert got == {1: 2, 2: 1, 4: 1}
+    # three-term chain
+    got3 = {r["id"]: r["n_matches"] for r in phrase_match(df, ["alpha", "beta", "gamma"]).collect()}
+    assert got3 == {1: 1, 2: 1}

@@ -94,3 +94,14 @@ def test_weighted_sample_null_weight_rows_drop(spark):
     # null/non-positive weights are dropped by contract (a null sort key
     # would order FIRST ascending and poison the sample)
     assert set(got) == {1, 3}
+
+
+def test_robust_outlier_stats_flags_planted_outliers(spark):
+    from apache_arrow_spark.functions.validation import robust_outlier_stats
+
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", 1e9), ("g", -1e9)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = robust_outlier_stats(df, "x", "grp", k=3.0).collect()[0]
+    assert out["n"] == 101
+    assert out["n_outliers"] == 2  # the two planted extremes, nothing else
+    assert out["median"] == 50.0
