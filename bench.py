@@ -73,6 +73,12 @@ HEADLINE = [
     "q122_price_histogram",
     "q125_chi_square_drift",
     "q126_transition_matrix",
+    # round 3: real codecs + exact similarity joins
+    "q138_image_channel_stats",
+    "q140_ngram_jaccard_pairs",
+    "q141_audio_features",
+    "q143_containment_pairs",
+    "q144_phrase_match",
 ]
 
 
