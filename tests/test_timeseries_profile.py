@@ -69,3 +69,26 @@ def test_weighted_sample_plan_is_takeordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_matches_reference_weights(spark):
+    from apache_arrow_spark.functions.timeseries import ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])] + [
+        (2, 0, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    out = {
+        (r["user_id"], r["seq"]): r["__ewma"]
+        for r in ewma(df, "value", "user_id", ["seq"], alpha=0.5, horizon=16).collect()
+    }
+
+    def ref(xs):
+        num = sum(x * 0.5**j for j, x in enumerate(reversed(xs)))
+        den = sum(0.5**j for j in range(len(xs)))
+        return num / den
+
+    assert abs(out[(1, 0)] - 10.0) < 1e-12
+    assert abs(out[(1, 1)] - ref([10, 20])) < 1e-12
+    assert abs(out[(1, 3)] - ref([10, 20, 30, 40])) < 1e-12
+    assert out[(2, 0)] == 100.0  # singleton key: ewma == the value
