@@ -56,3 +56,43 @@ def salted_agg(
         for name, (fn, _col) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Join-skew diagnosis: the top-``k`` heaviest keys with their row
+    counts, self-join fan-out (n^2 — the row product a key contributes to
+    an equi-self-join), and share of total fan-out in exact micro-units.
+    This is the report run BEFORE a big join to decide between salting
+    (q53), AQE skew splitting, or a broadcast rewrite; at 100 TB it is one
+    map-side-combinable count aggregate + a TakeOrdered of k rows —
+    diagnosis never costs more than a scan."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # decimal fan-out sum: ANSI bigint sum would raise on overflow at
+    # extreme skew; decimal(38,0) is exact to ~10^38 total row products
+    tot = counts.agg(
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("total_fanout")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            (F.col("n") * F.col("n")).alias("fanout"),
+            F.floor(
+                F.col("n")
+                * F.col("n")
+                * F.lit(1_000_000)
+                / F.col("total_fanout").cast("double")
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy(F.col("fanout").desc(), F.col("key").asc())
+        .limit(k)
+    )

@@ -5131,6 +5131,53 @@ def q146_scalar_quant_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q147_skew_report",
+    """
+    WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT sum(n * n) AS total_fanout FROM c)
+    SELECT key, n, n * n AS fanout,
+           CAST(floor(n * n * 1000000 / CAST(t.total_fanout AS DOUBLE)) AS BIGINT) AS share_micro
+    FROM c CROSS JOIN t
+    ORDER BY fanout DESC, key ASC
+    LIMIT 20
+    """,
+)
+def q147_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnosis (skew.skew_report): the top-20 heaviest keys
+    with self-join fan-out (n^2 row products) and exact micro-unit share —
+    the report run before a big join to choose salting (q53) vs AQE skew
+    split vs broadcast.  One map-side-combinable count + TakeOrdered;
+    never costs more than a scan."""
+    from apache_arrow_spark.functions.skew import skew_report
+
+    e = load_table(spark, sf_dir, "events")
+    return skew_report(e, "user_id", k=20)
+
+
+@register(
+    "q148_hll_intersection",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT count(*) AS exact_intersection, CAST(true AS BOOLEAN) AS within_tol
+    FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    """,
+)
+def q148_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HLL sketch algebra
+    (sketches.intersection_estimate): |A ∩ B| by inclusion-exclusion over
+    mergeable sketches — the set question a distinct-count sketch can't
+    answer alone, computed without any exact-distinct shuffle.  The q60
+    oracle discipline: the exact intersection is the graded value and
+    within_tol pins the estimate to it (sketches are exact below 2^lgk;
+    at corpus scale the tolerance is the contract)."""
+    from apache_arrow_spark.functions.sketches import intersection_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    return intersection_estimate(e, "user_id", "event_type", "click", "purchase")
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never

@@ -151,3 +151,17 @@ def test_quantile_sketch_within_tolerance(spark, sf_dir):
         grp = vals[vals.event_type == r["event_type"]]["value"].to_numpy()
         assert abs(r["p50"] - round(float(np.quantile(grp, 0.5)), 6)) < 1e-6
         assert abs(r["p95"] - round(float(np.quantile(grp, 0.95)), 6)) < 1e-6
+
+
+def test_intersection_estimate_exact_below_sketch_capacity(spark):
+    from apache_arrow_spark.functions.sketches import intersection_estimate
+
+    rows = (
+        [(u, "a") for u in range(100)]
+        + [(u, "b") for u in range(50, 130)]
+        + [(u, "c") for u in range(1000)]  # noise tag, filtered out
+    )
+    df = spark.createDataFrame(rows, "user_id long, tag string")
+    out = intersection_estimate(df, "user_id", "tag", "a", "b").collect()[0]
+    assert out["exact_intersection"] == 50
+    assert out["within_tol"]

@@ -41,3 +41,15 @@ def test_non_decomposable_rejected(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], {"a": ("avg", "l_quantity")})
+
+
+def test_skew_report_orders_and_shares(spark):
+    from apache_arrow_spark.functions.skew import skew_report
+
+    rows = [(1,)] * 10 + [(2,)] * 5 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", k=2).collect()
+    assert [r["key"] for r in out] == [1, 2]
+    assert out[0]["fanout"] == 100 and out[1]["fanout"] == 25
+    total = 100 + 25 + 1
+    assert out[0]["share_micro"] == 100 * 1_000_000 // total
