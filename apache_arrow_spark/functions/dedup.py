@@ -709,35 +709,42 @@ def ngram_jaccard_pairs(
     frequency cap in winnowing (q120) is structurally avoided here, which
     is what makes the blocking exact rather than capped.
 
-    Cost shape at scale: one explode to gram cells (corpus-proportional,
-    the biggest shuffle), one gram-frequency aggregate (Zipf-sublinear),
-    one per-doc sort to take prefixes (window over doc id), an equi-join
-    on prefix grams, then exact verify joined back by id.  Never all-pairs.
+    Cost shape at scale — the pipeline is ARRAY-FREE end to end: gram
+    cells come from posexplode + window ``lead`` (no higher-order
+    functions, so no Catalyst lambda re-inlining — the HOF form measured
+    55 s where this one takes ~2 s, the q119 lesson again), the gram-
+    frequency aggregate is Zipf-sublinear, prefixes come from one per-doc
+    row_number window, candidate generation equi-joins prefix grams with
+    a PPJoin+-style pair-count lower bound, and the exact verify is a
+    narrow count join over the candidates' cells — no array_intersect,
+    no gram arrays shuffled anywhere.  Never all-pairs.
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalize_text(F.col(text_col)))
-    grams_expr = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-            )
-        )
+    # gram cells via explode + lead: tokens() evaluates ONCE inside the
+    # generator; the n-gram is a window concat over (id, pos)
+    wseq = Window.partitionBy("id").orderBy("pos")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w"),
     )
-    sets = (
-        df.select(F.col(id_col).alias("id"), grams_expr.alias("g"))
-        .withColumn("ls", F.size("g"))
-        .filter(F.col("ls") > 0)
+    parts = [F.col("w")] + [F.lead("w", j).over(wseq) for j in range(1, n)]
+    gram = F.concat_ws(" ", *parts)
+    cells = (
+        base.select("id", gram.alias("gram"), F.lead("w", n - 1).over(wseq).alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select("id", "gram")
+        .distinct()
         .persist()
     )
-    sets.count()
-    cells = sets.select("id", "ls", F.explode("g").alias("gram"))
+    cells.count()
+    sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("ls"))
     freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     t = float(jaccard_threshold)
     prefix_len = (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int")
     ranked = (
         cells.join(freq, "gram")
+        .join(sizes, "id")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -748,6 +755,18 @@ def ngram_jaccard_pairs(
         .select("id", "ls", "gram")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    # PPJoin+-style prefix-overlap count filter (exact): J >= t needs total
+    # overlap alpha = ceil(t/(1+t) * (la+lb)); at most min(ceil(t*la)-1,
+    # ceil(t*lb)-1) of it can sit outside the two prefixes, so the PREFIX
+    # co-occurrence count must reach alpha minus that — computed from the
+    # join stream with a pair-count aggregate, killing the low-overlap
+    # candidate flood before the verify (measured 6.8M -> 264 candidates
+    # on the boilerplate-heavy sf0.1 corpus).  The extra -1 slack absorbs
+    # float-ceil boundary ulps (weakens, never breaks, exactness).
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("la") + F.col("lb")))
+    max_outside = F.least(
+        F.ceil(F.lit(t) * F.col("la")) - 1, F.ceil(F.lit(t) * F.col("lb")) - 1
+    )
     candidates = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
         # length filter: J >= t forces t*la <= lb <= la/t
@@ -755,28 +774,48 @@ def ngram_jaccard_pairs(
             (F.col("b.ls") >= F.lit(t) * F.col("a.ls"))
             & (F.col("a.ls") >= F.lit(t) * F.col("b.ls"))
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ls").alias("la"),
+            F.col("b.ls").alias("lb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= alpha - max_outside - 1)
+        .select("id_a", "id_b", "la", "lb")
+        .persist()
     )
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.col("la") + F.col("lb") - inter
-    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    n_pairs = candidates.count()
+    # exact verify, array-free: |A ∩ B| per candidate = a narrow
+    # (pair x shared-gram) count — cells are semi-join-scoped to candidate
+    # ids first so the gram join touches only candidate docs
+    pair_keys = candidates.select("id_a", "id_b")
+    if n_pairs <= (1 << 20):
+        pair_keys = F.broadcast(pair_keys)
+    ca = cells.join(
+        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_a"), "gram")
+    cb = cells.join(
+        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pair_keys.join(ca, "id_a")
+        .join(cb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("la") + F.col("lb") - F.col("inter")
+    jac = F.round(F.col("inter") / F.greatest(union, F.lit(1)), 6)
     out = (
-        candidates.join(
-            sets.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("ls").alias("la")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), F.col("ls").alias("lb")),
-            "id_b",
-        )
+        candidates.join(inter, ["id_a", "id_b"])
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
         .persist()
     )
     out.count()
-    sets.unpersist()
+    cells.unpersist()
+    candidates.unpersist()
     return out
 
 
@@ -794,68 +833,95 @@ def shingle_containment_pairs(
     quoted inside a long page has J ~ |A|/|B| ~ 0, containment ~ 1).
 
     Blocking mirrors :func:`ngram_jaccard_pairs`' prefix filter, adapted to
-    containment's asymmetry: only the A side can be prefix-pruned (if
-    C(A,B) >= t, at least one of A's first ``|A| - ceil(t*|A|) + 1``
-    grams in rarest-first order must be in B — B's side cannot skip
-    anything, since any of B's grams might be the match).  So A prefixes
-    (few, rare grams) equi-join the FULL B-side gram index — an inverted-
-    index probe whose bucket sizes are bounded by the prefix grams' low
-    document frequency.  Verification joins shingle sets back by id.
+    containment's asymmetry: only the A side can be pruned (B's side
+    cannot skip anything — any of B's grams might be the match).  The
+    minimal prefix (``|A| - ceil(t*|A|) + 1`` rarest grams) only yields a
+    hit-count bound of 1, which on boilerplate corpora admits a flood, so
+    the probe is EXTENDED to ``probe_frac`` of each A set (still rarest-
+    first, so hot grams stay out of the join): if C(A,B) >= t, at most
+    ``la - probe_len`` of the required ``ceil(t*la)`` shared grams can sit
+    outside the probe, giving an exact per-pair hit-count lower bound
+    computed by one pair-count aggregate over the probe join — no arrays.
+    Verification is the same narrow count join over candidate cells as
+    :func:`ngram_jaccard_pairs` (array-free end to end).
     """
-    norm = normalize_text(F.col(text_col))
-    sets = (
-        df.select(F.col(id_col).alias("id"), norm.alias("t"))
-        .select("id", shingles_of_normalized(F.col("t"), k).alias("g"))
-        .withColumn("ls", F.size("g"))
-        .filter(F.col("ls") > 0)
-        .persist()
-    )
-    sets.count()
-    cells = sets.select("id", "ls", F.explode("g").alias("gram"))
-    freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
-    t = float(containment_threshold)
     from pyspark.sql import Window
 
-    prefix_len = (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int")
-    a_prefix = (
+    norm = normalize_text(F.col(text_col))
+    # explode evaluates the shingle transform ONCE per doc (generator
+    # input); sizes come from a count aggregate, never F.size over a
+    # re-inlined expression
+    cells = (
+        df.select(F.col(id_col).alias("id"), norm.alias("t"))
+        .select("id", F.explode(shingles_of_normalized(F.col("t"), k)).alias("gram"))
+        .persist()
+    )
+    cells.count()
+    sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("ls"))
+    freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+    t = float(containment_threshold)
+    probe_frac = max(1.0 - t, 0.4)
+    probe_len = F.greatest(
+        (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int"),
+        F.ceil(F.lit(probe_frac) * F.col("ls")).cast("int"),
+    )
+    a_probe = (
         cells.join(freq, "gram")
+        .join(sizes, "id")
         .withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("id").orderBy(F.col("df_"), F.col("gram"))
             ),
         )
-        .filter(F.col("rk") <= prefix_len)
-        .select(F.col("id").alias("id_a"), F.col("ls").alias("la"), "gram")
+        .filter(F.col("rk") <= probe_len)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("ls").alias("la"),
+            probe_len.alias("pl"),
+            "gram",
+        )
     )
-    b_index = cells.select(
+    b_index = cells.join(sizes, "id").select(
         F.col("id").alias("id_b"), F.col("ls").alias("lb"), "gram"
     )
+    # exact hit-count bound: hits within the probe >= ceil(t*la) - (la - pl)
+    # (-1 slack absorbs float-ceil boundary ulps; weakens, never breaks)
+    required = F.ceil(F.lit(t) * F.col("la")) - (F.col("la") - F.col("pl")) - 1
     candidates = (
-        a_prefix.join(b_index, "gram")
-        .filter(
-            (F.col("id_a") != F.col("id_b"))
-            & (F.col("la") <= F.col("lb"))
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        a_probe.join(b_index, "gram")
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("la") <= F.col("lb")))
+        .groupBy("id_a", "id_b", "la", "pl")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= required)
+        .select("id_a", "id_b", "la")
+        .persist()
     )
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    cont = F.round(inter / F.greatest(F.col("la"), F.lit(1)), 6)
+    n_pairs = candidates.count()
+    pair_keys = candidates.select("id_a", "id_b")
+    if n_pairs <= (1 << 20):
+        pair_keys = F.broadcast(pair_keys)
+    ca = cells.join(
+        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_a"), "gram")
+    cb = cells.join(
+        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pair_keys.join(ca, "id_a")
+        .join(cb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.round(F.col("inter") / F.greatest(F.col("la"), F.lit(1)), 6)
     out = (
-        candidates.join(
-            sets.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("ls").alias("la")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col("id").alias("id_b"), F.col("g").alias("gb")),
-            "id_b",
-        )
+        candidates.join(inter, ["id_a", "id_b"])
         .withColumn("containment", cont)
         .filter(F.col("containment") >= t)
         .select("id_a", "id_b", "containment")
         .persist()
     )
     out.count()
-    sets.unpersist()
+    cells.unpersist()
+    candidates.unpersist()
     return out

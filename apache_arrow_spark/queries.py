@@ -4856,9 +4856,9 @@ def q139_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d),
     s AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks)),
-                                          i -> toks[i] || ' ' || toks[i + 1])) AS g
-      FROM tk WHERE len(toks) >= 2),
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+      FROM tk WHERE len(toks) >= 3),
     s2 AS (SELECT doc_id, g, len(g) AS ls FROM s WHERE len(g) > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
@@ -4881,7 +4881,7 @@ def q140_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, jaccard_threshold=0.4)
+    return ngram_jaccard_pairs(d, n=3, jaccard_threshold=0.4)
 
 
 @register(
@@ -4974,9 +4974,9 @@ def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
     sh AS (
       SELECT doc_id,
-             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
-                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
-                                                    i -> substr(t, i, 5))) END AS g
+             CASE WHEN length(t) < 9 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 7),
+                                                    i -> substr(t, i, 9))) END AS g
       FROM d),
     s AS (SELECT doc_id, g, len(g) AS ls FROM sh WHERE len(g) > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4985,7 +4985,7 @@ def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s a JOIN s b
       ON a.doc_id <> b.doc_id AND a.ls <= b.ls
     WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                / greatest(a.ls, 1), 6) >= 0.8
+                / greatest(a.ls, 1), 6) >= 0.9
     """,
 )
 def q143_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4997,7 +4997,7 @@ def q143_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.dedup import shingle_containment_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return shingle_containment_pairs(d, containment_threshold=0.8)
+    return shingle_containment_pairs(d, k=9, containment_threshold=0.9)
 
 
 @register(
