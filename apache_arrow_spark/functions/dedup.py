@@ -848,19 +848,35 @@ def shingle_containment_pairs(
     from pyspark.sql import Window
 
     norm = normalize_text(F.col(text_col))
-    # explode evaluates the shingle transform ONCE per doc (generator
-    # input); sizes come from a count aggregate, never F.size over a
-    # re-inlined expression
+    # shingle cells WITHOUT building per-row arrays: explode character
+    # positions and substring on the materialized attribute, deduping
+    # distributed.  The array form (array_distinct over ~len substrings)
+    # is per-row QUADRATIC in doc length — measured as the dominant cost
+    # of this operator before the rewrite.
     cells = (
         df.select(F.col(id_col).alias("id"), norm.alias("t"))
-        .select("id", F.explode(shingles_of_normalized(F.col("t"), k)).alias("gram"))
+        .filter(F.length("t") >= k)
+        .select(
+            "id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select("id", F.col("t").substr(F.col("pos"), F.lit(k)).alias("gram"))
+        .distinct()
         .persist()
     )
     cells.count()
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("ls"))
     freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     t = float(containment_threshold)
-    probe_frac = max(1.0 - t, 0.4)
+    # probe size trades join volume against bound strength: required hits
+    # = ceil(t*la) - (la - pl), so pl = 0.15*la at t=0.9 still demands
+    # ~0.05*la shared probe grams — far above the ~la*lb/|vocab| overlap
+    # of unrelated docs — while keeping the probe join ~3x smaller than a
+    # 0.4*la probe (measured 27M -> ~8M rows on the sf0.1 corpus)
+    probe_frac = max(1.0 - t + 0.05, 0.15)
     probe_len = F.greatest(
         (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int"),
         F.ceil(F.lit(probe_frac) * F.col("ls")).cast("int"),
