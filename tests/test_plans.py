@@ -319,3 +319,52 @@ def test_shuffle_bytes_scale_linearly(spark):
         # nothing, and a ratio over ~nothing is meaningless
         ratio = big / max(small, 4096)
         assert ratio < 30, (name, small, big, ratio)
+
+
+def test_r3_operator_plan_shapes(spark, sf_dir):
+    """Plan-shape guards for the round-3 operators: the claims in their
+    docstrings, asserted against the actual plans."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
+    from apache_arrow_spark.functions.retrieval import phrase_match
+    from apache_arrow_spark.functions.validation import robust_outlier_stats
+    from apache_arrow_spark.plans.inspect import plan_string
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # exact similarity joins are ARRAY-FREE: no array_intersect anywhere
+    out = ngram_jaccard_pairs(d, n=3, jaccard_threshold=0.4)
+    p = plan_string(out, "simple")
+    assert "array_intersect" not in p and "CartesianProduct" not in p
+    out.unpersist()
+
+    # phrase search: the postings filter (term IN ...) sits below the join
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pm = phrase_match(d, ["scan", "query"])
+    p = plan_string(pm, "simple")
+    assert "CartesianProduct" not in p
+
+    # robust outlier stats: the tiny per-group stats join back onto rows
+    # must broadcast, never shuffle the fact side
+    ro = robust_outlier_stats(o, "o_totalprice", "o_orderpriority")
+    assert "BroadcastHashJoin" in plan_string(ro, "simple")
+
+
+def test_sharded_bloom_probe_uses_cogroup(spark):
+    from apache_arrow_spark.functions.bloom import (
+        bloom_build_sharded,
+        with_might_contain_sharded,
+    )
+    from apache_arrow_spark.plans.inspect import plan_string
+
+    keys = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS k")
+    sk = bloom_build_sharded(keys, "k", shard_bits=2, num_bits_per_shard=1 << 10)
+    probed = with_might_contain_sharded(
+        keys, "k", sk, shard_bits=2, num_bits_per_shard=1 << 10
+    )
+    # the probe is a cogroup (FlatMapCoGroupsInPandas), never a row-
+    # multiplying join of bits onto rows
+    p = plan_string(probed, "simple")
+    assert "CoGroup" in p or "FlatMapCoGroups" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
