@@ -220,7 +220,13 @@ def with_might_contain_sharded(
         if not len(sketch_pdf):
             res[out] = False
             return res
-        bits = np.frombuffer(sketch_pdf["bits"].iloc[0], dtype=np.uint8)
+        # OR all rows for this shard: a sketch table may be the UNION of
+        # per-batch builds (the amortization the build docstring invites);
+        # reading only one row would turn the other rows' keys into false
+        # NEGATIVES — the one failure mode a Bloom layer must never have.
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        for raw in sketch_pdf["bits"]:
+            bits = bits | np.frombuffer(raw, dtype=np.uint8)
         hv = batch_pdf["__h"].to_numpy(dtype=np.int64).view(np.uint64)
         pos = _positions(hv, nb, nh)
         ok = np.ones(hv.shape[0], dtype=bool)

@@ -688,6 +688,48 @@ def exact_dedup_incremental(
     )
 
 
+def _verify_pairs(
+    cells: DataFrame,
+    candidates: DataFrame,
+    score: Column,
+    score_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact verify shared by the set-similarity joins, array-free:
+    |A ∩ B| per candidate pair = a narrow (pair x shared-gram) count —
+    cells are semi-join-scoped to candidate ids so the gram join touches
+    only candidate docs; ``score`` is any expression over the candidate
+    columns plus ``inter``.  Unpersists ``cells`` and ``candidates``;
+    returns the persisted (id_a, id_b, score_col) result."""
+    n_pairs = candidates.count()
+    pair_keys = candidates.select("id_a", "id_b")
+    if n_pairs <= (1 << 20):
+        pair_keys = F.broadcast(pair_keys)
+    ca = cells.join(
+        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_a"), "gram")
+    cb = cells.join(
+        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pair_keys.join(ca, "id_a")
+        .join(cb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        candidates.join(inter, ["id_a", "id_b"])
+        .withColumn(score_col, score)
+        .filter(F.col(score_col) >= threshold)
+        .select("id_a", "id_b", score_col)
+        .persist()
+    )
+    out.count()
+    cells.unpersist()
+    candidates.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -756,16 +798,24 @@ def ngram_jaccard_pairs(
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     # PPJoin+-style prefix-overlap count filter (exact): J >= t needs total
-    # overlap alpha = ceil(t/(1+t) * (la+lb)); at most min(ceil(t*la)-1,
-    # ceil(t*lb)-1) of it can sit outside the two prefixes, so the PREFIX
-    # co-occurrence count must reach alpha minus that — computed from the
-    # join stream with a pair-count aggregate, killing the low-overlap
-    # candidate flood before the verify (measured 6.8M -> 264 candidates
-    # on the boilerplate-heavy sf0.1 corpus).  The extra -1 slack absorbs
-    # float-ceil boundary ulps (weakens, never breaks, exactness).
+    # overlap alpha = ceil(t/(1+t) * (la+lb)) and (via the length filter)
+    # alpha >= ceil(t*la), ceil(t*lb).  Theorem: the i smallest shared
+    # grams in canonical order each lie within BOTH prefixes for
+    # i = 1 + alpha - max(ceil(t*la), ceil(t*lb)) — shared gram g_j has
+    # >= alpha - j shared grams after it, pinning its position to the
+    # first l - alpha + j of each doc, and prefix length l - ceil(t*l) + 1
+    # = l - alpha + i_side admits every j <= i.  So the prefix
+    # co-occurrence count must reach that i — computed from the join
+    # stream with a pair-count aggregate, killing the low-overlap
+    # candidate flood before the verify (measured 6.8M -> ~300 candidates
+    # on the boilerplate-heavy sf0.1 corpus).  NOTE: a min() over the two
+    # per-side slacks is NOT a valid bound (it dropped a true J=0.43 pair
+    # of sizes 10/20 in review); the max() form is proven above.  The
+    # extra -1 slack absorbs float-ceil boundary ulps (weakens, never
+    # breaks, exactness).
     alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("la") + F.col("lb")))
-    max_outside = F.least(
-        F.ceil(F.lit(t) * F.col("la")) - 1, F.ceil(F.lit(t) * F.col("lb")) - 1
+    max_side = F.greatest(
+        F.ceil(F.lit(t) * F.col("la")), F.ceil(F.lit(t) * F.col("lb"))
     )
     candidates = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
@@ -781,42 +831,14 @@ def ngram_jaccard_pairs(
             F.col("b.ls").alias("lb"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= alpha - max_outside - 1)
+        .filter(F.col("c") >= alpha - max_side)  # = (1 + alpha - max) - 1 slack
         .select("id_a", "id_b", "la", "lb")
         .persist()
     )
-    n_pairs = candidates.count()
-    # exact verify, array-free: |A ∩ B| per candidate = a narrow
-    # (pair x shared-gram) count — cells are semi-join-scoped to candidate
-    # ids first so the gram join touches only candidate docs
-    pair_keys = candidates.select("id_a", "id_b")
-    if n_pairs <= (1 << 20):
-        pair_keys = F.broadcast(pair_keys)
-    ca = cells.join(
-        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_a"), "gram")
-    cb = cells.join(
-        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        pair_keys.join(ca, "id_a")
-        .join(cb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    candidates.count()
     union = F.col("la") + F.col("lb") - F.col("inter")
     jac = F.round(F.col("inter") / F.greatest(union, F.lit(1)), 6)
-    out = (
-        candidates.join(inter, ["id_a", "id_b"])
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= t)
-        .select("id_a", "id_b", "jaccard")
-        .persist()
-    )
-    out.count()
-    cells.unpersist()
-    candidates.unpersist()
-    return out
+    return _verify_pairs(cells, candidates, jac, "jaccard", t)
 
 
 def shingle_containment_pairs(
@@ -913,31 +935,5 @@ def shingle_containment_pairs(
         .select("id_a", "id_b", "la")
         .persist()
     )
-    n_pairs = candidates.count()
-    pair_keys = candidates.select("id_a", "id_b")
-    if n_pairs <= (1 << 20):
-        pair_keys = F.broadcast(pair_keys)
-    ca = cells.join(
-        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_a"), "gram")
-    cb = cells.join(
-        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        pair_keys.join(ca, "id_a")
-        .join(cb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     cont = F.round(F.col("inter") / F.greatest(F.col("la"), F.lit(1)), 6)
-    out = (
-        candidates.join(inter, ["id_a", "id_b"])
-        .withColumn("containment", cont)
-        .filter(F.col("containment") >= t)
-        .select("id_a", "id_b", "containment")
-        .persist()
-    )
-    out.count()
-    cells.unpersist()
-    candidates.unpersist()
-    return out
+    return _verify_pairs(cells, candidates, cont, "containment", t)

@@ -274,9 +274,15 @@ def intersection_estimate(
     sk = tagged.groupBy("t").agg(
         F.hll_sketch_agg(F.col("k"), F.lit(lgk)).alias("sketch")
     )
+    # coalesce: aggregates over ZERO sketch rows (neither tag present) are
+    # NULL — an empty input must report est 0, not poison within_tol
     est = sk.agg(
-        F.sum(F.hll_sketch_estimate(F.col("sketch"))).alias("sum_each"),
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est_union"),
+        F.coalesce(
+            F.sum(F.hll_sketch_estimate(F.col("sketch"))), F.lit(0.0)
+        ).alias("sum_each"),
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))), F.lit(0)
+        ).alias("est_union"),
     ).select((F.col("sum_each") - F.col("est_union")).alias("est_inter"))
     a = tagged.filter(F.col("t") == tag_a).select("k")
     b = tagged.filter(F.col("t") == tag_b).select("k")
@@ -284,12 +290,18 @@ def intersection_estimate(
         a.intersect(b)
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    return exact.crossJoin(est).select(
+    # the inclusion-exclusion error scales with the UNION (each sketch's
+    # ~0.8% relative error applies to its own ~union-sized operand), so
+    # the tolerance must be union-relative — an intersection-relative
+    # tolerance would flag correct estimates whenever the overlap is a
+    # small fraction of two large sets
+    exact_u = (
+        a.unionByName(b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    return exact.crossJoin(est).crossJoin(exact_u).select(
         "exact_intersection",
         (
             F.abs(F.col("est_inter") - F.col("exact_intersection"))
-            <= F.greatest(
-                F.col("exact_intersection") * F.lit(0.05), F.lit(1.0)
-            )
+            <= F.greatest(F.col("exact_union") * F.lit(0.05), F.lit(1.0))
         ).alias("within_tol"),
     )

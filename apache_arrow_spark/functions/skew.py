@@ -78,18 +78,19 @@ def skew_report(
     tot = counts.agg(
         F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("total_fanout")
     )
+    # share in double space: n*n*1e6 in bigint overflows (ANSI raise) at
+    # n ~ 3.04M rows per key — routine for the very skewed keys this
+    # report exists to find.  fanout itself stays exact bigint to
+    # n <= ~3.03e9 rows/key (beyond that the count column has already
+    # told the story).
+    n_d = F.col("n").cast("double")
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
             "key",
             "n",
             (F.col("n") * F.col("n")).alias("fanout"),
-            F.floor(
-                F.col("n")
-                * F.col("n")
-                * F.lit(1_000_000)
-                / F.col("total_fanout").cast("double")
-            )
+            F.floor(n_d * n_d * F.lit(1e6) / F.col("total_fanout").cast("double"))
             .cast("bigint")
             .alias("share_micro"),
         )

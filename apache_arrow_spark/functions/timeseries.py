@@ -24,18 +24,20 @@ def ewma(
     order_cols: list[str],
     alpha: float = 0.5,
     horizon: int = 16,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Append ``__ewma``: exponentially-weighted moving average of
     ``value_col`` per ``key_col`` over the last ``horizon`` rows in
     ``order_cols`` order (ties must be broken by the caller's order
-    columns for determinism).  Weights ``alpha^j`` for lag j, normalized
+    columns for determinism).  Weights follow the pandas ``ewm``
+    convention — lag j carries ``(1-alpha)^j`` (alpha is the CURRENT
+    observation's weight; larger alpha = faster tracking) — normalized
     over the terms actually present (sequence starts use fewer terms)."""
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     num = None
     den = None
     for j in range(horizon):
         lagged = F.lag(F.col(value_col), j).over(w)
-        weight = float(alpha**j)
+        weight = float((1.0 - alpha) ** j)
         term = F.coalesce(lagged * F.lit(weight), F.lit(0.0))
         present = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
         num = term if num is None else num + term

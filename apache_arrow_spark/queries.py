@@ -5137,7 +5137,8 @@ def q146_scalar_quant_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
     t AS (SELECT sum(n * n) AS total_fanout FROM c)
     SELECT key, n, n * n AS fanout,
-           CAST(floor(n * n * 1000000 / CAST(t.total_fanout AS DOUBLE)) AS BIGINT) AS share_micro
+           CAST(floor(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000
+                      / CAST(t.total_fanout AS DOUBLE)) AS BIGINT) AS share_micro
     FROM c CROSS JOIN t
     ORDER BY fanout DESC, key ASC
     LIMIT 20

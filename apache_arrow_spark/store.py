@@ -229,7 +229,18 @@ class ObjectStore:
             and self._path(object_id)
             and os.path.exists(self._path(object_id))
         )
-        return target.put(object_id, df, spill=spill)
+        # The copy must be INDEPENDENT: put() on the source's cached
+        # DataFrame object would share one cache entry between the stores,
+        # so evict in either would unpersist the other's "sealed" copy.
+        # Prefer re-reading the sealed parquet (fresh lineage); for a
+        # hot-only object, localCheckpoint materializes an independent
+        # physical copy.
+        src_path = self._path(object_id)
+        if src_path and os.path.exists(src_path):
+            copy = self.spark.read.parquet(src_path)
+        else:
+            copy = df.localCheckpoint(eager=True)
+        return target.put(object_id, copy, spill=spill)
 
     def _notify(self, note: Notification) -> None:
         for sub in self._subscribers:

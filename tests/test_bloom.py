@@ -182,3 +182,21 @@ def test_sharded_vs_monolithic_dedup_equivalence(spark, sf_dir):
         .collect()
     )
     assert sharded == exact and mono == exact
+
+
+def test_sharded_probe_ors_unioned_sketch_tables(spark):
+    """A sketch table that is the UNION of two per-batch builds (two rows
+    per shard) must probe with the OR of both — no false negatives."""
+    from apache_arrow_spark.functions.bloom import (
+        bloom_build_sharded,
+        with_might_contain_sharded,
+    )
+
+    b1 = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    b2 = spark.range(500, 1000).select(F.col("id").cast("string").alias("k"))
+    sk = bloom_build_sharded(b1, "k", 3, 1 << 12).unionByName(
+        bloom_build_sharded(b2, "k", 3, 1 << 12)
+    )
+    both = b1.unionByName(b2)
+    probed = with_might_contain_sharded(both, "k", sk, 3, 1 << 12, out="maybe")
+    assert probed.filter(~F.col("maybe")).count() == 0

@@ -286,3 +286,24 @@ def test_containment_finds_quotes_jaccard_misses(spark):
     assert all(a != 3 and b != 3 for a, b in pairs)
     cont = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
     assert cont[(1, 2)] >= 0.9
+
+
+def test_ngram_jaccard_asymmetric_lengths(spark):
+    """Regression for the count-filter bound: a true pair of ASYMMETRIC
+    sizes (10 vs 20 unigrams sharing 9, J = 9/21 ~ 0.43) whose shared
+    grams sort LAST in rarest-first order (df=2 > df=1) — a min()-based
+    prefix-overlap bound drops it; the proven max()-based bound keeps it."""
+    from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
+
+    shared = [f"s{i}" for i in range(9)]
+    doc_a = " ".join(shared + ["aonly0"])
+    doc_b = " ".join(shared + [f"bonly{i}" for i in range(11)])
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "x0 x1 x2 x3")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, n=1, jaccard_threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert (1, 2) in got, got
+    assert abs(got[(1, 2)] - round(9 / 21, 6)) < 1e-9
+    assert all(3 not in pair for pair in got)

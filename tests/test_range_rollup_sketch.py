@@ -165,3 +165,17 @@ def test_intersection_estimate_exact_below_sketch_capacity(spark):
     out = intersection_estimate(df, "user_id", "tag", "a", "b").collect()[0]
     assert out["exact_intersection"] == 50
     assert out["within_tol"]
+
+
+def test_intersection_estimate_empty_and_small_overlap(spark):
+    from apache_arrow_spark.functions.sketches import intersection_estimate
+
+    # neither tag present: defined zeros, not NULL poisoning
+    df = spark.createDataFrame([(1, "z")], "user_id long, tag string")
+    out = intersection_estimate(df, "user_id", "tag", "a", "b").collect()[0]
+    assert out["exact_intersection"] == 0 and out["within_tol"] is True
+    # small overlap of two large sets: tolerance is union-relative
+    rows = [(u, "a") for u in range(5000)] + [(u, "b") for u in range(4990, 9990)]
+    big = spark.createDataFrame(rows, "user_id long, tag string")
+    out = intersection_estimate(big, "user_id", "tag", "a", "b").collect()[0]
+    assert out["exact_intersection"] == 10 and out["within_tol"] is True

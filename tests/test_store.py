@@ -161,3 +161,18 @@ def test_transfer_cross_store(spark, tmp_path):
         src.transfer("t1", dst)
     # target spill copy exists independently of the source store
     assert os.path.exists(os.path.join(dst_dir, "t1.parquet"))
+
+
+def test_transfer_copy_is_independent_of_source_cache(spark):
+    from apache_arrow_spark.store import ObjectStore
+
+    src = ObjectStore(spark, spill_dir=None)
+    dst = ObjectStore(spark, spill_dir=None)
+    df = spark.range(0, 50).selectExpr("id", "id * 3 AS v")
+    src.put("x", df)
+    src.transfer("x", dst)
+    # evicting the SOURCE must not unpersist the target's sealed copy
+    src.evict("x")
+    got = dst.get("x")
+    assert got.count() == 50
+    assert got.storageLevel.useMemory  # still materialized in the target
