@@ -46,6 +46,7 @@ __all__ = [
     "with_might_contain",
     "with_might_contain_sharded",
     "exact_dedup_bloom",
+    "bloom_join",
 ]
 
 
@@ -336,3 +337,30 @@ def exact_dedup_bloom(
     return new_df.join(
         winners.withColumnRenamed("__id", id_col), on=id_col, how="left_semi"
     )
+
+
+def bloom_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-pruned equi-join — the RUNTIME-FILTER pattern Spark applies
+    to parquet row groups, made explicit for any join: build a bitset
+    over the (small) dim side's keys, prune the fact side MAP-SIDE before
+    its shuffle, then run the normal join.  Output is row-identical to
+    ``fact.join(dim, ...)`` (false positives are eliminated by the join
+    itself; false negatives cannot occur), but the fact shuffle carries
+    only rows whose key might match — on a selective dim this cuts the
+    dominant shuffle by orders of magnitude.  At 10^10+ dim keys switch
+    the build/probe to the sharded pair (:func:`bloom_build_sharded`).
+    """
+    sketch = bloom_build(dim.select(dim_key), dim_key, num_bits, num_hashes)
+    pruned = (
+        with_might_contain(fact, fact_key, sketch, "__maybe")
+        .filter(F.col("__maybe"))
+        .drop("__maybe")
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

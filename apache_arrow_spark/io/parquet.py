@@ -118,3 +118,53 @@ def write_clustered(
         .option("compression", compression)
         .parquet(where)
     )
+
+
+def compact_dataset(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+    compression: str = "snappy",
+) -> int:
+    """Small-file compaction — the maintenance pass every incremental
+    pipeline needs: streaming/micro-batch sinks and per-batch ingests
+    accumulate thousands of KB-scale files whose open/footer costs
+    eventually dominate scans.  Re-reads the dataset, sizes the output
+    file count from the measured input bytes (never a hardcoded
+    partition count), optionally re-clusters (the write_clustered layout)
+    so compaction also restores pruning locality, and writes one
+    generation of right-sized files.  Returns the output file count.
+
+    At 100 TB this runs per-partition-directory (compact only the
+    partitions a batch touched), and file sizing via the input's actual
+    bytes keeps output files near ``target_file_bytes`` regardless of
+    schema width or compression ratio.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(in_path)
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if cluster_cols:
+        write_clustered(df, out_path, cluster_cols, num_files=n_files,
+                        compression=compression)
+    else:
+        (
+            df.coalesce(n_files)
+            .write.mode("errorifexists")
+            .option("compression", compression)
+            .parquet(out_path)
+        )
+    return sum(
+        1
+        for root, _dirs, files in os.walk(out_path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -5179,6 +5179,114 @@ def q148_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intersection_estimate(e, "user_id", "event_type", "click", "purchase")
 
 
+@register(
+    "q149_bloom_join",
+    """
+    WITH dim AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+    )
+    SELECT d.o_orderpriority,
+           count(*) AS n_items,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+    GROUP BY d.o_orderpriority
+    """,
+)
+def q149_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned equi-join (bloom.bloom_join) — the runtime-filter
+    pattern made explicit: the selective dim side's keys build a bitset,
+    the fact side prunes MAP-SIDE before its shuffle, the normal join
+    eliminates false positives, so output is row-identical to the plain
+    join while the dominant fact shuffle carries only might-match rows
+    (here the dim keeps ~2% of orders, so ~98% of lineitem never
+    shuffles).  Oracle is the plain SQL join — the filter is pure
+    pruning."""
+    from apache_arrow_spark.functions.bloom import bloom_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 10 == 0)
+    ).select("o_orderkey", "o_orderpriority")
+    joined = bloom_join(li, dim, "l_orderkey", "o_orderkey", num_bits=1 << 20)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("l_extendedprice"), 18, 4).alias("revenue"),
+    )
+
+
+@register(
+    "q150_compaction",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q150_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (io.parquet.compact_dataset): fragment the
+    documents table into 64 micro-files (the shape a micro-batch sink
+    leaves behind), compact to byte-sized output files (count derived
+    from measured input bytes, never hardcoded), read the compacted
+    generation back and aggregate-compare against the source — value
+    fidelity across the rewrite is the oracle; the file-count shrink is
+    asserted in pytest."""
+    import tempfile
+
+    from apache_arrow_spark.io.parquet import compact_dataset
+
+    d = load_table(spark, sf_dir, "documents")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="aas_q150_", dir=shm)
+    frag, out = f"{base}/frag", f"{base}/compact"
+    d.repartition(64).write.parquet(frag)
+    compact_dataset(spark, frag, out, target_file_bytes=8 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "q151_scd2_history",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS effective_to
+      FROM orders)
+    SELECT o_custkey, o_orderkey, CAST(version AS INT) AS version,
+           CAST(o_orderdate AS VARCHAR) AS effective_from,
+           CAST(effective_to AS VARCHAR) AS effective_to,
+           effective_to IS NULL AS is_current
+    FROM w
+    """,
+)
+def q151_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history building (operators.scd.scd2_intervals): a
+    changelog becomes a validity-interval table in ONE window pass per
+    business key (lead over the change order) — the set-based form of the
+    row-at-a-time MERGE loops legacy ETL runs.  Temporal outputs cast to
+    string per the engine-neutral rendering rule."""
+    from apache_arrow_spark.operators.scd import scd2_intervals
+
+    o = load_table(spark, sf_dir, "orders")
+    out = scd2_intervals(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("version").cast("int").alias("version"),
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
+        "is_current",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never

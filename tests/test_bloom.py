@@ -200,3 +200,15 @@ def test_sharded_probe_ors_unioned_sketch_tables(spark):
     both = b1.unionByName(b2)
     probed = with_might_contain_sharded(both, "k", sk, 3, 1 << 12, out="maybe")
     assert probed.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_join_matches_plain_join(spark, sf_dir):
+    from apache_arrow_spark.functions.bloom import bloom_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = o.filter(F.col("o_orderkey") % 17 == 0).select("o_orderkey")
+    plain = li.join(dim, li["l_orderkey"] == dim["o_orderkey"]).count()
+    # tiny bitset forces false positives through the join's own filter
+    pruned = bloom_join(li, dim, "l_orderkey", "o_orderkey", num_bits=4096)
+    assert pruned.count() == plain

@@ -273,3 +273,49 @@ def test_write_clustered_prunes_row_groups(spark, sf_dir, tmp_path):
     assert overlapping <= 1, spans  # globally (near-)disjoint file ranges
     # the predicate l_orderkey < 100 is coverable by the first span only
     assert sum(1 for lo, hi in spans if lo < 100) == 1, spans
+
+
+def test_compact_dataset_shrinks_file_count(spark, tmp_path):
+    from apache_arrow_spark.io.parquet import compact_dataset
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS g", "id * 1.5 AS v")
+    df.repartition(32).write.parquet(frag)
+    import os
+
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    n_out = compact_dataset(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    assert n_in == 32 and n_out < n_in
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
+
+
+def test_compact_dataset_clustered_restores_pruning(spark, tmp_path):
+    from apache_arrow_spark.io.parquet import compact_dataset
+
+    frag = str(tmp_path / "fragc")
+    out = str(tmp_path / "compactc")
+    df = spark.range(0, 20000).selectExpr("id", "id % 100 AS k")
+    df.repartition(16).write.parquet(frag)  # k scattered across every file
+    compact_dataset(
+        spark, frag, out, target_file_bytes=32 * 1024, cluster_cols=["k"]
+    )
+    import pyarrow.parquet as pq
+    import os
+
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 1
+    # clustered compaction -> disjoint k ranges across files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(i).column(1).statistics.min,
+             md.row_group(i).column(1).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    ranges.sort()
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))

@@ -164,3 +164,25 @@ def test_dimension_stats_matches_pandas(spark):
         assert out[d].n == n
         assert out[d].mean == pytest.approx(mean, abs=1e-6)
         assert out[d].std == pytest.approx(math.sqrt(max(var, 0.0)), abs=1e-6)
+
+
+def test_scd2_intervals_contiguous_and_current(spark):
+    from apache_arrow_spark.operators.scd import scd2_intervals
+
+    rows = [
+        (1, "2020-01-01", "a"),
+        (1, "2020-03-01", "b"),
+        (1, "2020-02-01", "c"),
+        (2, "2021-01-01", "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, attr string")
+    out = scd2_intervals(df, "k", ["ts"]).orderBy("k", "version").collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert [r["attr"] for r in k1] == ["a", "c", "b"]  # ordered by ts
+    # intervals chain: each effective_to == next effective_from
+    assert k1[0]["effective_to"] == k1[1]["effective_from"]
+    assert k1[1]["effective_to"] == k1[2]["effective_from"]
+    assert k1[2]["effective_to"] is None and k1[2]["is_current"]
+    assert sum(1 for r in k1 if r["is_current"]) == 1
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["version"] == 1
