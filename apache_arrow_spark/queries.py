@@ -5287,6 +5287,77 @@ def q151_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q152_pit_lookup",
+    """
+    WITH v AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version
+      FROM orders),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, v0.o_custkey,
+             v0.version AS own_version
+      FROM lineitem l JOIN v v0 ON l.l_orderkey = v0.o_orderkey
+      WHERE v0.o_orderdate <= l.l_shipdate),
+    pit AS (
+      SELECT f.own_version,
+             (SELECT max(version) FROM v
+              WHERE v.o_custkey = f.o_custkey AND v.o_orderdate <= f.l_shipdate) AS pit_version
+      FROM f)
+    SELECT CAST(pit_version - own_version AS INT) AS version_lag,
+           count(*) AS n
+    FROM pit GROUP BY version_lag
+    """,
+)
+def q152_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the canonical CONSUMER of q151's
+    SCD2 history: each lineitem resolves the customer's order-version in
+    effect at SHIP time via the as-of join (operators.asof) against the
+    version table (match = latest effective_from <= ship date; interval
+    containment follows from q151's contiguous chaining).  The report
+    histograms how many versions elapsed between order and shipment.
+    One window pass builds versions, one as-of shuffle resolves facts —
+    never a per-fact correlated probe (that is the ORACLE's formulation)."""
+    from apache_arrow_spark.operators.asof import asof_join
+    from apache_arrow_spark.operators.scd import scd2_intervals
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    history = scd2_intervals(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+    )
+    versions = history.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("v_date"),
+        F.col("version").alias("pit_version"),
+    )
+    # enrich facts with their own order's custkey + version (by orderkey)
+    own = history.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        F.col("version").alias("own_version"),
+        F.col("o_orderdate").alias("own_date"),
+    )
+    facts = (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(own, "l_orderkey")
+        .filter(F.col("own_date") <= F.col("l_shipdate"))
+        .select("o_custkey", "l_orderkey", "l_linenumber", "l_shipdate", "own_version")
+    )
+    resolved = asof_join(
+        facts,
+        versions,
+        on="o_custkey",
+        left_time="l_shipdate",
+        right_time="v_date",
+    )
+    return resolved.groupBy(
+        (F.col("pit_version") - F.col("own_version")).cast("int").alias("version_lag")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never

@@ -79,6 +79,9 @@ HEADLINE = [
     "q141_audio_features",
     "q143_containment_pairs",
     "q144_phrase_match",
+    "q149_bloom_join",
+    "q151_scd2_history",
+    "q152_pit_lookup",
 ]
 
 
