@@ -5359,6 +5359,294 @@ def q152_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q153-q158 — classic decision-support pack (TPC-H Q3/Q10/Q12-analog/Q14/
+# Q18/Q6 shapes on the synthetic star schema).  SURVEY §2.3/§2.4 superset:
+# these are the bread-and-butter multi-join analytics a reference user runs
+# daily; each one is planned for the 100 TB case (aggregate-below-join to
+# shrink the orderkey shuffle, key-only semi-join projections, broadcast
+# only for true dims, pushdown-able scan filters).
+# --------------------------------------------------------------------------
+@register(
+    "q153_shipping_priority",
+    """
+    WITH liagg AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey)
+    SELECT o.o_orderkey,
+           CAST(CAST(liagg.rev AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM liagg
+    JOIN orders o ON liagg.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    ORDER BY liagg.rev DESC, o.o_orderkey LIMIT 10
+    """,
+)
+def q153_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one segment.
+    Scale plan: the l_shipdate filter pushes into the parquet scan;
+    lineitem collapses to one row per order BEFORE the join (decimal sums
+    reassociate exactly), so the orderkey shuffle carries |orders| rows;
+    customer contributes only a key-selective filter, joined key-only.
+    Final top-10 is TakeOrdered (no global sort materialization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    liagg = (
+        li.filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    bc = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        liagg.join(o, liagg.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        .join(bc, o.o_custkey == bc.c_custkey)
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("rev").cast("decimal(18,6)").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q154_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           c.c_acctbal AS acctbal,
+           n.n_name AS nation
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q154_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer for
+    one quarter.  Scale plan: returnflag filter pushes to the lineitem
+    scan; the quarter filter prunes orders before the fact join;
+    aggregation keys on c_custkey AFTER collapsing lineitem per order
+    (one orderkey shuffle at |orders| granularity); nation broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    liagg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("orev"))
+    )
+    oq = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        liagg.join(oq, liagg.l_orderkey == oq.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("orev").alias("crev"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("crev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("crev").cast("decimal(18,6)").cast("double").alias("revenue"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+@register(
+    "q155_priority_lateness",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY) AS fast_30d,
+           count(*) FILTER (WHERE l.l_shipdate >  o.o_orderdate + INTERVAL 90 DAY) AS late_90d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q155_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog on available columns: ship-latency SLA counts per
+    order priority (the schema has no shipmode/commitdate, so the lateness
+    predicate is shipdate vs orderdate + interval).  Scale plan: the
+    orderkey equi-join shuffles both sides once; conditional counts are
+    map-side-combinable; output is 5 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    fast = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_if(fast).alias("fast_30d"),
+        F.count_if(late).alias("late_90d"),
+    )
+
+
+@register(
+    "q156_promo_revenue",
+    """
+    SELECT
+      CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue,
+      CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue,
+      round(100.0 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,6)) AS DOUBLE)
+        / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q156_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    Scale plan: the month filter pushes to the scan (a day-partitioned
+    100 TB lineitem would partition-prune to ~30 files); part is a true
+    dimension -> broadcast hash join, no shuffle at all; single-row
+    decimal-exact output, ratio as one double division + round(6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("decimal(18,6)").cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "q157_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice AS totalprice,
+           CAST(CAST(big.qty AS DECIMAL(18,6)) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY big.qty DESC, o.o_orderkey LIMIT 25
+    """,
+)
+def q157_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed 300 total units.
+    Scale plan: the HAVING collapse runs FIRST (map-side partial sums on
+    the scan partitioning, one orderkey shuffle), so only the tiny
+    qualifying set joins orders/customer — the classic group-then-
+    semi-join shape that avoids carrying full lineitem through joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(to_decimal(F.col("l_quantity"), 18, 4)).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("qty").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("qty").cast("decimal(18,6)").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q158_forecast_revenue_change",
+    """
+    SELECT
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue_delta,
+      count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+    """,
+)
+def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from eliminating small discounts.
+    Pure scan-side query — every predicate (date range, discount band,
+    quantity cap) pushes into the parquet reader, the projection is two
+    columns, and the aggregate is a single map-side-combinable decimal
+    sum: the plan is one scan stage with no shuffle beyond the final
+    1-row combine.  The 100 TB story is entirely pushdown + pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.sum(
+                to_decimal(F.col("l_extendedprice"), 18, 4)
+                * to_decimal(F.col("l_discount"), 18, 4)
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never
 # had a driver-grade row (q54, q57, q84, q86, q99-q136 — the full round-2
