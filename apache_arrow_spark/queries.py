@@ -5647,6 +5647,64 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q159 — bucketed co-located join (io/bucketed.py).  The recurring
+# fact⋈fact join with BOTH shuffles eliminated by storage layout.
+# --------------------------------------------------------------------------
+@register(
+    "q159_bucketed_join",
+    """
+    SELECT o.o_orderstatus,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders hash-clustered on orderkey (8 buckets
+    each), then join them through the catalog: the sort-merge join reads
+    bucket i vs bucket i with ZERO Exchange on either side — the layout,
+    not the shuffle service, co-locates the keys.  The ``merge`` hint pins
+    the demo plan (at sf0.01 AQE would broadcast orders; at 100 TB it
+    could not), and test_plans asserts Bucketed scans + no join-side
+    exchange.  This is the production answer for any join run more often
+    than the tables change."""
+    import tempfile
+
+    from apache_arrow_spark.io.bucketed import read_bucketed, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q159_", dir=shm)
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "aas_q159_lineitem",
+        os.path.join(root, "lineitem"),
+        "l_orderkey",
+    )
+    write_bucketed(
+        o.select("o_orderkey", "o_orderstatus"),
+        "aas_q159_orders",
+        os.path.join(root, "orders"),
+        "o_orderkey",
+    )
+    a = read_bucketed(spark, "aas_q159_lineitem")
+    b = read_bucketed(spark, "aas_q159_orders")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    return (
+        a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-3 window = every query that has never
 # had a driver-grade row (q54, q57, q84, q86, q99-q136 — the full round-2

@@ -368,3 +368,14 @@ def test_sharded_bloom_probe_uses_cogroup(spark):
     p = plan_string(probed, "simple")
     assert "CoGroup" in p or "FlatMapCoGroups" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q159_bucketed_join_no_join_side_exchange(spark, sf_dir):
+    df = QUERIES["q159_bucketed_join"](spark, sf_dir)
+    p = plan_string(df, "formatted")
+    # both scans carry catalog bucketing metadata
+    assert p.count("Bucketed: true") == 2
+    # the join is the merge join, co-located by layout:
+    assert "SortMergeJoin" in p
+    # ...so the ONLY exchange left is the final 3-group aggregate
+    assert shuffle_count(df) <= 1
