@@ -550,6 +550,39 @@ def cluster_assignments(
     return out
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_by: list,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse each near-duplicate cluster to its BEST representative —
+    the retained-corpus step after pair generation + clustering.  Unlike
+    ``cluster_assignments``'s min-id canonical, the kept row is the
+    argmax of ``order_by`` (e.g. longest text, highest quality score),
+    which is what a curation pipeline actually wants: drop the noisy
+    near-copies, keep the richest one.
+
+    Scale: the cluster table is pair-scale (broadcast); the argmax is one
+    row_number window partitioned by cluster — clusters are near-dup
+    groups, so partitions are tiny and the single shuffle is on
+    cluster_id, never a corpus self-join.  ``order_by`` must be a total
+    order (append the id column) so the kept set is deterministic.
+    """
+    from pyspark.sql import Window
+
+    asg = cluster_assignments(df, pairs, id_col=id_col, id_a=id_a, id_b=id_b)
+    joined = df.join(asg.select(id_col, "cluster_id"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(*order_by)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "cluster_id")
+    )
+
+
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
     """Exact n-gram Jaccard similarity between two text columns."""
     sa, sb = shingles(text_a, k), shingles(text_b, k)

@@ -43,3 +43,41 @@ def ewma(
         num = term if num is None else num + term
         den = present if den is None else den + present
     return df.withColumn("__ewma", num / den)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols: list[str],
+    lookback: int = 20,
+    min_obs: int = 12,
+) -> DataFrame:
+    """Append ``__z``: each observation's z-score against the TRAILING
+    window of the previous ``lookback`` rows per key (current row
+    excluded — the anomaly question is "does this point deviate from its
+    own past?").  Rows with fewer than ``min_obs`` history rows or a
+    degenerate variance get NULL.
+
+    Engine-reproducible by construction: the window moments are sums of
+    DECIMAL(18,4) — exact, order-independent, immune to the float
+    summation-order trap documented on :func:`ewma` — and the final
+    mean/variance/z arithmetic is one fixed double expression tree, so
+    any SQL engine replaying the same formula lands on the same bits.
+    Scale: one shuffle on the key, pure window expressions, codegen."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,4)")
+    s = F.sum(v).over(w).cast("double")
+    ss = F.sum(v * v).over(w).cast("double")
+    n = F.count(v).over(w).cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    return df.withColumn(
+        "__z",
+        F.when((n >= F.lit(float(min_obs))) & (var > F.lit(1e-9)), z),
+    )

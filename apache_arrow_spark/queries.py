@@ -5647,6 +5647,194 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q162 — rolling z-score anomaly detection (functions/timeseries.py
+# rolling_zscore): each event scored against ITS OWN trailing history.
+# --------------------------------------------------------------------------
+@register(
+    "q162_rolling_zscore_anomalies",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER pw AS DOUBLE) AS s,
+        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER pw AS DOUBLE) AS ss,
+        CAST(count(CAST(value AS DECIMAL(18,4))) OVER pw AS DOUBLE) AS n
+      FROM events
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT user_id, event_id, value,
+             (value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS z
+      FROM w
+      WHERE n >= 12 AND (ss - s * s / n) / (n - 1) > 1e-9)
+    SELECT user_id, event_id, value, round(z, 6) AS z
+    FROM z WHERE abs(z) > 3.0
+    """,
+)
+def q162_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flagging in batch: per-user trailing
+    20-event moments (exact decimal sums — order-independent, so the
+    value hash matches any engine), z = (x - mean)/sd, flag |z| > 3.
+    One shuffle on user_id; everything else is codegen window math.
+    At 100 TB the same expression runs unchanged — the window state is
+    O(lookback) per key regardless of corpus size."""
+    from apache_arrow_spark.functions.timeseries import rolling_zscore
+
+    e = load_table(spark, sf_dir, "events")
+    scored = rolling_zscore(
+        e, "value", "user_id", ["ts", "event_id"], lookback=20, min_obs=12
+    )
+    return (
+        scored.filter(F.abs(F.col("__z")) > 3.0)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("__z", 6).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q161 — temperature-scaled multilingual sampling weights: the standard
+# p^alpha re-weighting (alpha=0.5) that up-samples low-resource languages
+# when mixing a multilingual training corpus.  alpha=0.5 is computed as
+# sqrt(), which IEEE-754 requires to be correctly rounded — so Spark and
+# DuckDB produce bit-identical weights from identical token totals.
+# --------------------------------------------------------------------------
+@register(
+    "q161_temperature_mixture",
+    f"""
+    WITH lt AS (
+      SELECT lang, CAST(sum({_SQL_TOKCNT}) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, total_tokens,
+             CAST(total_tokens AS DOUBLE) / CAST((SELECT sum(total_tokens) FROM lt) AS DOUBLE) AS p
+      FROM lt),
+    s AS (
+      SELECT lang, total_tokens, p,
+             sqrt(p) / (SELECT CAST(sum(sqrt(p)) AS DOUBLE) FROM t) AS q
+      FROM t)
+    SELECT lang, total_tokens,
+           round(p, 6) AS p_raw,
+           round(q, 6) AS p_temp,
+           round(q / p, 6) AS boost
+    FROM s
+    """,
+)
+def q161_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling distribution for corpus mixing: raw token
+    share p, temperature-flattened share q = sqrt(p)/sum(sqrt(p)), and
+    the up/down-sampling boost q/p.  Scale plan: one map-side-combinable
+    token aggregation over the corpus -> a 5-row language table; both
+    normalizers are 1-row aggregates attached by broadcast crossJoin
+    (driver never sees data).  Downstream, boost feeds the deterministic
+    hash-sampler (q66/q109) to materialize the mix."""
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens")
+    )
+    tot = lt.agg(F.sum("total_tokens").cast("double").alias("__tot"))
+    t = lt.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("total_tokens").cast("double") / F.col("__tot")
+    )
+    s_tot = t.agg(F.sum(F.sqrt(F.col("p"))).cast("double").alias("__stot"))
+    s = t.crossJoin(F.broadcast(s_tot)).withColumn(
+        "q", F.sqrt(F.col("p")) / F.col("__stot")
+    )
+    return s.select(
+        "lang",
+        "total_tokens",
+        F.round("p", 6).alias("p_raw"),
+        F.round("q", 6).alias("p_temp"),
+        F.round(F.col("q") / F.col("p"), 6).alias("boost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — keep-best-in-cluster dedup (functions/dedup.py dedup_keep_best):
+# the retention step a curation pipeline runs AFTER near-dup clustering —
+# keep the richest doc per cluster, report the per-language shrinkage.
+# --------------------------------------------------------------------------
+@register(
+    "q160_dedup_keep_best",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d
+    ),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.s, b.s)) AS i, a.ls AS la, b.ls AS lb
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls
+    ),
+    pr AS (
+      SELECT ia, ib FROM p
+      WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+    walk(n, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) s0
+        UNION
+        SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.n
+    ),
+    comp AS (SELECT n, min(lbl) AS component FROM walk GROUP BY n),
+    asg AS (
+      SELECT doc.doc_id, doc.lang, doc.n_chars,
+             coalesce(c.component, doc.doc_id) AS cluster_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.n),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+      FROM asg)
+    SELECT lang,
+           count(*) AS n_before,
+           count(*) FILTER (WHERE rk = 1) AS n_after,
+           CAST(sum(n_chars) AS BIGINT) AS chars_before,
+           CAST(sum(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+    FROM kept GROUP BY lang
+    """,
+)
+def q160_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse that keeps the RICHEST doc per cluster (longest
+    text, id tie-break) instead of the min-id canonical — then the
+    per-language before/after shrinkage report a curation run logs.
+    Pairs come from the exact-verified MinHash path (q33/q79), clusters
+    from min-label propagation; the kept-set argmax is one window over
+    tiny cluster partitions.  The oracle replays clustering as a
+    recursive closure and the argmax as the same window."""
+    from apache_arrow_spark.functions.dedup import (
+        dedup_keep_best,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5)
+    kept = dedup_keep_best(
+        d, pairs, order_by=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    before = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+    )
+    after = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("n_chars").cast("long").alias("chars_after"),
+    )
+    return before.join(after, "lang").select(
+        "lang", "n_before", "n_after", "chars_before", "chars_after"
+    )
+
+
+# --------------------------------------------------------------------------
 # q159 — bucketed co-located join (io/bucketed.py).  The recurring
 # fact⋈fact join with BOTH shuffles eliminated by storage layout.
 # --------------------------------------------------------------------------
