@@ -6,9 +6,12 @@ key's entire volume through one reducer.  Salting splits each key into
 hot key's work spreads across ``n_salts`` tasks and the final stage only
 sees #keys x n_salts pre-aggregated rows.
 
-(For joins, AQE's skew-join splitting — enabled in session confs — covers
-the equivalent problem; this module is for aggregations, which AQE does not
-re-balance.)
+For joins, AQE's skew-join splitting — enabled in session confs — covers
+the common sort-merge case at runtime; ``salted_join`` below is the
+explicit, portable form for the cases AQE cannot re-balance (stream-static
+joins, bucketed-scan joins that must not be re-planned, engines/configs
+without AQE, or when the skew is known up front and the replication factor
+should be chosen deliberately).
 """
 
 from __future__ import annotations
@@ -97,3 +100,37 @@ def skew_report(
         .orderBy(F.col("fanout").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot fact key over ``n_salts``
+    reducer shards.
+
+    The fact side gets an arbitrary per-row salt (its value never affects
+    the result — every fact row meets the FULL dim row set for its key);
+    the dim side is replicated once per salt with ``explode(sequence)``
+    (JVM-side fan-out, no Python).  The join key becomes (key, salt), so
+    a key holding 1% of a 100 TB table spreads over ``n_salts`` tasks
+    instead of stalling one reducer.  Cost: dim shuffle volume grows by
+    ``n_salts`` — pick it from :func:`skew_report`'s fan-out shares.
+
+    Supports ``inner`` and ``left`` joins (each unmatched fact row exists
+    under exactly one salt, so left-join semantics are preserved
+    verbatim; right/full would need a dim-side dedup pass — not offered).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__dsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    cond = (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__dsalt"])
+    return f.join(d, cond, how).drop("__salt", "__dsalt")

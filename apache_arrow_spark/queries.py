@@ -5647,6 +5647,139 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q164 — token co-occurrence lift (PMI argument, exact micro-units): the
+# association-mining primitive behind collocation detection and phrase
+# vocabulary induction.  The lift N*c(a,b)/(df_a*df_b) is emitted as an
+# exact integer floor-quantization instead of log-PMI — monotone in PMI,
+# and engine-exact (no transcendental in the compared output).
+# --------------------------------------------------------------------------
+@register(
+    "q164_token_cooccurrence",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 200),
+    tv AS (SELECT t.doc_id, t.token, v.df FROM toks t JOIN vocab v USING (token)),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             count(*) AS n_both,
+             any_value(a.df) AS df_a, any_value(b.df) AS df_b
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token)
+    SELECT token_a, token_b, n_both,
+           CAST((n_both * n.n_docs * 1000000) // (df_a * df_b) AS BIGINT) AS lift_micro
+    FROM pairs, n
+    WHERE n_both >= 10
+    ORDER BY lift_micro DESC, token_a, token_b LIMIT 30
+    """,
+)
+def q164_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by co-occurrence lift over per-doc DISTINCT
+    tokens.  Scale plan: the pair stage is gated by a broadcast top-200
+    vocabulary semi-join — per-doc pair fan-out is bounded by
+    min(distinct tokens, |vocab|)^2 regardless of corpus size, the exact
+    cap a production collocation miner uses (never an unbounded
+    token-set self-join).  One doc_id-keyed self-join shuffle + one pair
+    aggregate; df/N attach by broadcast.  Exact bigint floor-division
+    output — no float, no log, no cross-engine drift."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            ).alias("token"),
+        )
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("token")).limit(200)
+    tv = toks.join(F.broadcast(vocab), "token")
+    n1 = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = tv.select(
+        F.col("doc_id"),
+        F.col("token").alias("token_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = tv.select(
+        F.col("doc_id"),
+        F.col("token").alias("token_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("n_both") >= 10)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n1))
+        .select(
+            "token_a",
+            "token_b",
+            "n_both",
+            F.expr("(n_both * n_docs * 1000000) div (df_a * df_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), "token_a", "token_b")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# q163 — salted skew join (functions/skew.py salted_join): the explicit
+# (key, salt) spread for joins AQE cannot re-balance.
+# --------------------------------------------------------------------------
+@register(
+    "q163_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q163_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to their account segment through ``salted_join``:
+    each (possibly hot) user key is spread over 8 reducer shards — the
+    fact side salts per-row, the dim side replicates JVM-side via
+    explode(sequence) — and the result is VERBATIM the plain equi-join
+    (the oracle is exactly that), which is the whole point: salting is a
+    physical rewrite, never a semantic one.  Use when AQE skew splitting
+    can't fire (stream-static joins, pinned bucketed plans, known-skew
+    keys chosen up front via skew_report)."""
+    from apache_arrow_spark.functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    j = salted_join(
+        e.select("user_id", "value"),
+        c.select("c_custkey", "c_mktsegment"),
+        "user_id",
+        "c_custkey",
+        n_salts=8,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(to_decimal(F.col("value"), 18, 4))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q162 — rolling z-score anomaly detection (functions/timeseries.py
 # rolling_zscore): each event scored against ITS OWN trailing history.
 # --------------------------------------------------------------------------

@@ -53,3 +53,35 @@ def test_skew_report_orders_and_shares(spark):
     assert out[0]["fanout"] == 100 and out[1]["fanout"] == 25
     total = 100 + 25 + 1
     assert out[0]["share_micro"] == 100 * 1_000_000 // total
+
+
+def test_salted_join_matches_plain_join(spark):
+    from apache_arrow_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 5, i) for i in range(200)] + [(99, -1)], ["k", "v"]
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (2, "c2")], ["dk", "tag"]
+    )
+    plain = fact.join(dim, fact.k == dim.dk).select("k", "v", "tag")
+    salted = salted_join(fact, dim, "k", "dk", n_salts=4).select("k", "v", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = fact.join(dim, fact.k == dim.dk, "left").select("k", "v", "tag")
+    salted_l = salted_join(fact, dim, "k", "dk", n_salts=4, how="left").select(
+        "k", "v", "tag"
+    )
+    assert sorted(map(tuple, salted_l.collect(), ), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    from apache_arrow_spark.functions.skew import salted_join
+
+    df = spark.range(1).selectExpr("id AS k")
+    with pytest.raises(ValueError):
+        salted_join(df, df.selectExpr("k AS dk"), "k", "dk", how="full")
