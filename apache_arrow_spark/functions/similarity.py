@@ -548,3 +548,54 @@ def dimension_stats(
         F.round(s / n / F.lit(1e6), ndigits).alias("mean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), ndigits).alias("std"),
     )
+
+
+def ann_recall_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_bits: int = 1,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Recall@k of the LSH approximate kNN join against the exact join —
+    the evaluation harness that decides whether an index configuration
+    (planes, probes) is good enough to ship.  Returns one row per query:
+    (q_id, n_exact, n_hits, recall_micro) with recall in exact integer
+    micro-units (hits*1e6 div n_exact — no float comparison drift).
+
+    Scale: the exact side is |Q|·|C| — run it on a SAMPLED query batch
+    (that is the methodology, not a limitation: recall is estimated from
+    a few hundred queries, the production path stays bucket-pruned).
+    """
+    exact = knn_join_exact(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    approx = knn_join_lsh(
+        queries,
+        corpus,
+        k=k,
+        planes=planes,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_probe_bits=n_probe_bits,
+        seed=seed,
+    )
+    hits = (
+        exact.select("q_id", "n_id")
+        .join(approx.select("q_id", "n_id"), ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 div n_exact"
+            ).alias("recall_micro"),
+        )
+    )

@@ -5647,6 +5647,70 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q165 — ANN recall evaluation (functions/similarity.py ann_recall_eval):
+# the harness that grades an LSH index configuration against exact kNN.
+# --------------------------------------------------------------------------
+@register(
+    "q165_ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_planes_values_sql(64, 8)}),
+    bk AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+                                                        i -> e.v[i] * pl.p[i])) >= 0
+                           THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS bkt
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    q AS (SELECT e.vec_id AS q_id, e.v AS qv, bk.bkt AS qb
+          FROM e JOIN bk USING (vec_id) WHERE e.vec_id < 20),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim,
+             bk.bkt AS nb, q.qb AS qb
+      FROM e JOIN bk USING (vec_id), q WHERE e.vec_id != q.q_id
+    ),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        FROM sims) WHERE rn <= 10),
+    approx AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        FROM sims WHERE bit_count(xor(nb, qb)) <= 1) WHERE rn <= 10),
+    base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+    hits AS (SELECT e.q_id, count(*) AS n_hits
+             FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+             GROUP BY e.q_id)
+    SELECT base.q_id, base.n_exact,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 1000000 // base.n_exact AS BIGINT) AS recall_micro
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def q165_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 8-plane 1-probe LSH kNN join vs exact cosine for
+    a 20-query evaluation batch — the measurement that justifies (or
+    rejects) an index config before it serves production retrieval.  The
+    oracle replays BOTH paths in SQL: identical hyperplane literals
+    (repr round-trip), identical sign-bucketing, identical <=1-bit
+    probing, identical round-6 rerank with id tie-break — so the graded
+    row certifies the approximate path end to end, not just the exact
+    one.  Exact side is |Q|*|C| by design (sampled eval batch); the
+    approximate side is the bucket equi-join scale path."""
+    from apache_arrow_spark.functions.similarity import ann_recall_eval
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_eval(
+        e.filter(F.col("vec_id") < 20), e, k=10, planes=8, n_probe_bits=1
+    )
+
+
+# --------------------------------------------------------------------------
 # q164 — token co-occurrence lift (PMI argument, exact micro-units): the
 # association-mining primitive behind collocation detection and phrase
 # vocabulary induction.  The lift N*c(a,b)/(df_a*df_b) is emitted as an
