@@ -307,3 +307,21 @@ def test_ngram_jaccard_asymmetric_lengths(spark):
     assert (1, 2) in got, got
     assert abs(got[(1, 2)] - round(9 / 21, 6)) < 1e-9
     assert all(3 not in pair for pair in got)
+
+
+def test_dedup_keep_best_keeps_argmax_per_cluster(spark):
+    from apache_arrow_spark.functions.dedup import dedup_keep_best
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 50), (5, 300)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {1,2,3} (chained pairs) and {4}; 5 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = dedup_keep_best(
+        docs, pairs, order_by=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 5]
+    # schema preserved, helper columns gone
+    assert kept.columns == ["doc_id", "n_chars"]

@@ -202,3 +202,21 @@ def test_knn_join_exact_and_lsh(spark, edf, vecs):
     assert (0, 1) in ap and (1, 0) in ap  # planted near-dup pair
     # ranks dense 1..k on the exact side
     assert all(sorted(r for r, _ in v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ann_recall_eval_bounds_and_exact_self_recall(spark):
+    from apache_arrow_spark.functions.similarity import ann_recall_eval
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ann_recall_eval(
+        df.filter("vec_id < 5"), df, k=5, planes=4, n_probe_bits=1
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_micro"] == r["n_hits"] * 1000000 // 5

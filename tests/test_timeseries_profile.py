@@ -92,3 +92,28 @@ def test_ewma_matches_reference_weights(spark):
     assert abs(out[(1, 1)] - ref([10, 20])) < 1e-12
     assert abs(out[(1, 3)] - ref([10, 20, 30, 40])) < 1e-12
     assert out[(2, 0)] == 100.0  # singleton key: ewma == the value
+
+
+def test_rolling_zscore_trailing_window_excludes_current(spark):
+    from apache_arrow_spark.functions.timeseries import rolling_zscore
+
+    # key 1: twelve 10.0s then a spike; key 2: too little history -> NULL
+    rows = [(1, i, 10.0 + (0.1 if i % 2 else -0.1)) for i in range(12)]
+    rows.append((1, 12, 25.0))
+    rows += [(2, 0, 1.0), (2, 1, 2.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = rolling_zscore(df, "v", "k", ["t"], lookback=20, min_obs=12)
+    got = {(r["k"], r["t"]): r["__z"] for r in out.collect()}
+    # the spike is scored against the flat history: huge positive z
+    assert got[(1, 12)] is not None and got[(1, 12)] > 50
+    # rows without min_obs history are unscored
+    assert got[(2, 1)] is None and got[(1, 5)] is None
+
+
+def test_rolling_zscore_constant_history_is_null_not_inf(spark):
+    from apache_arrow_spark.functions.timeseries import rolling_zscore
+
+    rows = [(1, i, 5.0) for i in range(15)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = rolling_zscore(df, "v", "k", ["t"], lookback=20, min_obs=12)
+    assert all(r["__z"] is None for r in out.collect())
