@@ -44,3 +44,46 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = Fals
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def table_checksum(
+    df: DataFrame,
+    columns: list[str],
+    group_by: str | None = None,
+) -> DataFrame:
+    """Order-insensitive table content checksum — the migration/replication
+    validator: run on source and destination (any engine) and compare one
+    tiny result instead of the tables.
+
+    Per group (or one global row with group ``'*'``): row count, a 60-bit
+    xor fold and an exact decimal(38,0) multiset sum of a per-row md5-
+    based hash.  xor catches value flips but cancels on even duplicate
+    multiplicities; the multiset sum catches duplicate-count drift — the
+    pair is the standard two-sided consistency probe.  Every ingredient
+    (concat_ws, md5, bigint fold, decimal sum) is ANSI-replayable, so an
+    oracle engine lands on the identical digest bit-for-bit.
+
+    Callers must pass engine-neutral (string/integer) column expressions;
+    floats should be quantized first — float-to-string rendering is NOT
+    cross-engine stable.
+
+    Scale: one map-side-combinable aggregate over the scan — the 100 TB
+    validation costs one pass, shuffles only #groups rows, and never
+    collects data.
+    """
+    from apache_arrow_spark.functions.dedup import md5_hash60
+
+    h = md5_hash60(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+    key = F.col(group_by) if group_by else F.lit("*")
+    return (
+        df.select(key.cast("string").alias("group_key"), h.alias("__h"))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.bit_xor("__h"), F.lit(0)).alias("xor_fold"),
+            F.sum(F.col("__h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("multiset_sum"),
+        )
+    )

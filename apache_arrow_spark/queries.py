@@ -5647,6 +5647,230 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q168 — right-to-erasure cascade audit: the referential delete a privacy
+# request triggers, expressed as key-only semi-join waves + one report.
+# --------------------------------------------------------------------------
+@register(
+    "q168_erasure_cascade",
+    """
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 3 AND c_acctbal < 1000),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)),
+    del_li AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    SELECT 'customer' AS tbl,
+           (SELECT count(*) FROM del_cust) AS n_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_cust) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM del_orders),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM del_li),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_li)
+    """,
+)
+def q168_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-request delete propagation: the subject set (one nation's
+    low-balance accounts) cascades customer -> orders -> lineitem
+    through KEY-ONLY semi-joins — the subject keyset broadcasts (privacy
+    requests are small by nature), each fact table is scanned once, and
+    the deletion wave never carries payload columns.  The report is what
+    the compliance log records: per-table deleted/remaining counts.  The
+    actual rewrite would be the q105 merge-upsert / q150 compaction
+    machinery applied to the flagged keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = c.filter((F.col("c_nationkey") == 3) & (F.col("c_acctbal") < 1000)).select(
+        "c_custkey"
+    )
+    del_orders = o.join(
+        F.broadcast(del_cust), o.o_custkey == del_cust.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "leftsemi"
+    )
+    rows = []
+    for name, total_df, del_df in (
+        ("customer", c, del_cust),
+        ("orders", o, del_orders),
+        ("lineitem", li, del_li),
+    ):
+        rows.append(
+            del_df.agg(F.count(F.lit(1)).alias("n_deleted"))
+            .crossJoin(total_df.agg(F.count(F.lit(1)).alias("n_total")))
+            .select(
+                F.lit(name).alias("tbl"),
+                F.col("n_deleted"),
+                (F.col("n_total") - F.col("n_deleted")).alias("n_remaining"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# q169 — incremental aggregate maintenance: yesterday's materialized
+# partials + today's delta == the full recompute, by decomposability.
+# --------------------------------------------------------------------------
+@register(
+    "q169_incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS total_price,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q169_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate refresh without full recompute: the orders
+    before the cutoff stand in for yesterday's persisted partial state
+    (count/decimal-sum/max are all mergeable), the rest is today's delta;
+    state and delta partials union and re-combine.  The oracle is the
+    FULL recompute — the graded row proves merge(state, delta) ==
+    recompute exactly, which is the contract that lets a 100 TB daily
+    rollup touch only the new partition.  (Streaming twin: q49's
+    stateful running totals.)"""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(to_decimal(F.col("o_totalprice"), 18, 4)).alias("p_sum"),
+            F.max("o_orderdate").alias("p_max"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.sum("p_sum").cast("decimal(18,6)").cast("double").alias("total_price"),
+            F.date_format(F.max("p_max"), "yyyy-MM-dd").alias("last_date"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q167 — conversion attribution: first-touch vs last-touch within a 7-day
+# lookback, resolved by RANGE windows (no touch⋈purchase pair join).
+# --------------------------------------------------------------------------
+@register(
+    "q167_touch_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                     RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING) AS ft,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                     RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING) AS lt
+      FROM events),
+    p AS (SELECT coalesce(ft, 'none') AS ft, coalesce(lt, 'none') AS lt
+          FROM t WHERE event_type = 'purchase'),
+    f AS (SELECT ft AS touch_type, count(*) AS n_first FROM p GROUP BY ft),
+    l AS (SELECT lt AS touch_type, count(*) AS n_last FROM p GROUP BY lt)
+    SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+           CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+           CAST(coalesce(n_last, 0) AS BIGINT) AS n_last
+    FROM f FULL JOIN l ON f.touch_type = l.touch_type
+    """,
+)
+def q167_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which touch gets credit for each purchase: the FIRST and the LAST
+    non-purchase event in the 7 days before it.  Both credits come from
+    one pass of RANGE windows over the nanosecond event time (ts is
+    unique per user, so frames are total-ordered and the 1-PRECEDING
+    bound excludes exactly the purchase itself) — never the
+    touch-to-purchase pair join whose fan-out explodes on active users.
+    One user_id shuffle; output is a 4-row credit matrix."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-604_800_000_000_000, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    scored = (
+        e.withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("ft"), F.lit("none")).alias("ft"),
+            F.coalesce(F.col("lt"), F.lit("none")).alias("lt"),
+        )
+    )
+    fagg = scored.groupBy(F.col("ft").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
+    lagg = scored.groupBy(F.col("lt").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_last")
+    )
+    return (
+        fagg.join(lagg, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce(F.col("n_first"), F.lit(0)).alias("n_first"),
+            F.coalesce(F.col("n_last"), F.lit(0)).alias("n_last"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q166 — order-insensitive table checksum (functions/profiling.py
+# table_checksum): the cross-engine migration/replication validator.
+# --------------------------------------------------------------------------
+@register(
+    "q166_table_checksum",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS group_key,
+             CAST('0x' || substr(md5(concat_ws(chr(31),
+                    CAST(l_orderkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR),
+                    l_returnflag, l_linestatus,
+                    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15)
+                  AS BIGINT) AS hh
+      FROM lineitem)
+    SELECT group_key,
+           count(*) AS n_rows,
+           CAST(bit_xor(hh) AS BIGINT) AS xor_fold,
+           CAST(CAST(sum(CAST(hh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS multiset_sum
+    FROM h GROUP BY group_key
+    """,
+)
+def q166_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum of lineitem's key/flag/quantity columns, grouped
+    by returnflag — run the same operator on the destination after a
+    migration and diff three numbers per group instead of 600 M rows.
+    The graded row IS the cross-engine proof: DuckDB recomputes the
+    digests from the raw parquet and must land on identical bits (md5
+    fold + decimal multiset sum are both ANSI-replayable; float columns
+    are excluded by contract — their string rendering is not portable).
+    One combinable aggregate, #groups output rows, zero collects."""
+    from apache_arrow_spark.functions.profiling import table_checksum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_checksum(
+        li.withColumn("l_quantity_int", F.col("l_quantity").cast("bigint")),
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity_int"],
+        group_by="l_returnflag",
+    )
+
+
+# --------------------------------------------------------------------------
 # q165 — ANN recall evaluation (functions/similarity.py ann_recall_eval):
 # the harness that grades an LSH index configuration against exact kNN.
 # --------------------------------------------------------------------------
