@@ -5647,6 +5647,72 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q170 — winsorized robust mean: outlier-clipped central tendency, the
+# robust-statistics companion to q142's MAD outliers and q56's quantiles.
+# --------------------------------------------------------------------------
+@register(
+    "q170_winsorized_mean",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority),
+    c AS (
+      SELECT o.o_orderpriority,
+             least(greatest(o.o_totalprice, s.p05), s.p95) AS clipped,
+             o.o_totalprice AS raw
+      FROM orders o JOIN s USING (o_orderpriority))
+    SELECT o_orderpriority,
+           round(any_value(sp05), 6) AS p05,
+           round(any_value(sp95), 6) AS p95,
+           count(*) AS n,
+           round(CAST(CAST(sum(CAST(floor(clipped * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / 1000000 / count(*), 6) AS winsorized_mean,
+           round(CAST(CAST(sum(CAST(raw AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE)
+                 / count(*), 6) AS raw_mean
+    FROM (SELECT c.*, s.p05 AS sp05, s.p95 AS sp95
+          FROM c JOIN s USING (o_orderpriority))
+    GROUP BY o_orderpriority
+    """,
+)
+def q170_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean order value per priority next to
+    the raw mean — the robust KPI that one fat-finger order cannot move.
+    Two-pass shape: per-group exact quantiles (one agg), broadcast the
+    tiny stats row back, clip, re-aggregate.  The clipped sum goes
+    through floor-micro-unit bigints and the raw sum through decimal —
+    both order-independent, so the value hash is engine-exact (clipped
+    values are interpolated doubles; float->decimal casts would hit the
+    half-even/half-away rounding split)."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    j = o.join(F.broadcast(stats), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.floor(clipped * 1_000_000).cast("bigint")).cast("double")
+            / F.lit(1_000_000)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(to_decimal(F.col("o_totalprice"), 18, 4))
+            .cast("decimal(18,6)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q168 — right-to-erasure cascade audit: the referential delete a privacy
 # request triggers, expressed as key-only semi-join waves + one report.
 # --------------------------------------------------------------------------

@@ -379,3 +379,56 @@ def test_q159_bucketed_join_no_join_side_exchange(spark, sf_dir):
     assert "SortMergeJoin" in p
     # ...so the ONLY exchange left is the final 3-group aggregate
     assert shuffle_count(df) <= 1
+
+
+def test_tpch_pack_plan_shapes(spark, sf_dir):
+    # q153: shipdate filter reaches the scan; top-10 is TakeOrdered, not a
+    # global sort
+    df = QUERIES["q153_shipping_priority"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "GreaterThan(l_shipdate" in pushed_filters(df)
+
+    # q156: part is a broadcast dim; month filter pushes down
+    df = QUERIES["q156_promo_revenue"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "l_shipdate" in pushed_filters(df)
+
+    # q158: pure scan query — every predicate pushed, only the single-row
+    # combine exchanges
+    df = QUERIES["q158_forecast_revenue_change"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_discount" in pf and "l_quantity" in pf and "l_shipdate" in pf
+    assert shuffle_count(df) <= 1
+
+    # q157: the HAVING collapse runs before the joins (aggregate below
+    # join), and the top-25 is TakeOrdered
+    df = QUERIES["q157_large_volume_orders"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q164_vocab_gate_broadcasts(spark, sf_dir):
+    df = QUERIES["q164_token_cooccurrence"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the top-200 vocabulary gate joins by broadcast; the pair stage must
+    # never be a cartesian expansion
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q168_erasure_semi_joins_broadcast(spark, sf_dir):
+    df = QUERIES["q168_erasure_cascade"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the subject keyset and the order-key wave both broadcast as semi-joins
+    assert p.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_q170_stats_broadcast_back(spark, sf_dir):
+    df = QUERIES["q170_winsorized_mean"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the 5-row quantile stats table broadcasts onto the fact scan
+    assert "BroadcastHashJoin" in p
