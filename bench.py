@@ -82,6 +82,17 @@ HEADLINE = [
     "q149_bloom_join",
     "q151_scd2_history",
     "q152_pit_lookup",
+    # round 3b: classic decision-support pack + layout/robust/attribution ops
+    "q153_shipping_priority",
+    "q154_returned_items",
+    "q156_promo_revenue",
+    "q157_large_volume_orders",
+    "q158_forecast_revenue_change",
+    "q159_bucketed_join",
+    "q162_rolling_zscore_anomalies",
+    "q164_token_cooccurrence",
+    "q166_table_checksum",
+    "q167_touch_attribution",
 ]
 
 
