@@ -5647,6 +5647,148 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q171 — A/B experiment readout (Welch t statistic per metric): users are
+# hash-split into arms, so assignment is deterministic, stateless, and
+# identically replayable by any engine — the production randomization unit.
+# --------------------------------------------------------------------------
+@register(
+    "q171_ab_test_readout",
+    f"""
+    WITH a AS (
+      SELECT event_type, value,
+             CASE WHEN {sql_hash_bucket("CAST(user_id AS VARCHAR)", "abexp")} < 500000
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events),
+    s AS (
+      SELECT event_type, arm, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+      FROM a GROUP BY event_type, arm),
+    w AS (
+      SELECT sa.event_type,
+             sa.n AS n_a, sb.n AS n_b,
+             sa.s1 / sa.n AS mean_a, sb.s1 / sb.n AS mean_b,
+             (sa.s2 - sa.s1 * sa.s1 / sa.n) / (sa.n - 1) / sa.n
+               + (sb.s2 - sb.s1 * sb.s1 / sb.n) / (sb.n - 1) / sb.n AS se2
+      FROM s sa JOIN s sb ON sa.event_type = sb.event_type
+      WHERE sa.arm = 'A' AND sb.arm = 'B')
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a,
+           round(mean_b, 6) AS mean_b,
+           round((mean_b - mean_a) / sqrt(se2), 6) AS t_stat
+    FROM w
+    """,
+)
+def q171_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric Welch t statistic between two deterministically
+    hash-assigned arms — the experiment readout a growth team refreshes
+    daily.  Both arms' moments come from ONE combinable aggregate pass
+    (exact decimal sums -> order-independent), the arm-vs-arm align is a
+    5-row self-join, and the t arithmetic is a fixed double expression
+    tree both engines evaluate identically.  At 100 TB: one scan, one
+    #metrics x 2-row shuffle, nothing else."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash_bucket(F.col("user_id").cast("string"), "abexp") < 500_000, "A"
+    ).otherwise("B")
+    v = to_decimal(F.col("value"), 18, 4)
+    s = (
+        e.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("s1"),
+            F.sum(v * v).cast("double").alias("s2"),
+        )
+    )
+    sa = s.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    sb = s.filter(F.col("arm") == "B").select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    j = sa.join(sb, sa.event_type == sb.et_b)
+    mean_a = F.col("s1a") / F.col("n_a")
+    mean_b = F.col("s1b") / F.col("n_b")
+    se2 = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    ) / F.col("n_a") + (
+        F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")
+    ) / (F.col("n_b") - 1) / F.col("n_b")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_b - mean_a) / F.sqrt(se2), 6).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — cross-source contamination matrix: exact-fingerprint overlap
+# counts between every pair of corpus sources (train/eval leakage audit).
+# --------------------------------------------------------------------------
+@register(
+    "q172_source_overlap_matrix",
+    f"""
+    WITH docs2 AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'mirror' AS source, text FROM documents
+      WHERE {sql_hash_bucket("doc_id", "xsrc")} < 50000),
+    fp AS (
+      SELECT DISTINCT source, md5({_SQL_NORM}) AS f
+      FROM docs2 WHERE length(trim(text)) > 0)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q172_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much content do corpus sources share verbatim?  The leakage /
+    provenance audit run before declaring an eval set clean: normalized
+    exact fingerprints per (source, doc), self-joined ON THE DIGEST —
+    shuffle carries 16-byte hashes + source tags only, never text, and
+    the join is equi on the fingerprint (per-key fan-out bounded by the
+    source count, so no quadratic blowup on duplicated boilerplate).
+    The synthetic sources are organically disjoint, so a deterministic
+    5% hash-sampled 'mirror' source is planted (same construction in the
+    oracle) — the matrix must recover exactly its per-source overlap.
+    Upgrade path for near-dup leakage: the same matrix over q119/q120
+    winnowing fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.functions.text import normalize_text
+
+    mirror = d.filter(hash_bucket(F.col("doc_id"), "xsrc") < 50_000).select(
+        F.lit("mirror").alias("source"), "text"
+    )
+    docs2 = d.select("source", "text").unionByName(mirror)
+    fp = (
+        docs2.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", F.md5(normalize_text(F.col("text"))).alias("f"))
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), F.col("f").alias("fb"))
+    return (
+        a.join(b, (a.f == b.fb) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q170 — winsorized robust mean: outlier-clipped central tendency, the
 # robust-statistics companion to q142's MAD outliers and q56's quantiles.
 # --------------------------------------------------------------------------
