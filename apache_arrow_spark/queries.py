@@ -5647,6 +5647,137 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q174 — CSV sink + source roundtrip (io coverage: the arrow2csv CLI's
+# distributed twin), proven lossless by the q166 checksum operator.
+# --------------------------------------------------------------------------
+@register(
+    "q174_csv_roundtrip",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS group_key,
+             CAST('0x' || substr(md5(concat_ws(chr(31),
+                    CAST(l_orderkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR),
+                    l_returnflag, l_linestatus,
+                    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15)
+                  AS BIGINT) AS hh
+      FROM lineitem)
+    SELECT group_key,
+           count(*) AS n_rows,
+           CAST(bit_xor(hh) AS BIGINT) AS xor_fold,
+           CAST(CAST(sum(CAST(hh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS multiset_sum
+    FROM h GROUP BY group_key
+    """,
+)
+def q174_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem's key/flag/quantity columns as a sharded CSV
+    dataset (executor-parallel — the distributed twin of the arrow2csv
+    CLI), read it back through the CSV source with an explicit schema,
+    and emit the q166 content checksum of the ROUNDTRIPPED rows.  The
+    oracle computes the same checksum from the original parquet, so a
+    green row certifies the CSV sink+source pair is lossless for these
+    types — the checksum operator doing the job it exists for.  Scale:
+    both write and read are parallel scans; nothing touches the driver."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from apache_arrow_spark.functions.profiling import table_checksum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("l_quantity_int"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q174_", dir=shm)
+    li.write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_quantity_int", LongType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(path)
+    return table_checksum(
+        back,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity_int"],
+        group_by="l_returnflag",
+    )
+
+
+# --------------------------------------------------------------------------
+# q173 — share-of-total analytics (ratio_to_report): each nation's revenue
+# share within its region — the window-over-aggregate BI staple.
+# --------------------------------------------------------------------------
+@register(
+    "q173_revenue_share",
+    """
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation,
+           CAST(CAST(rev AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6) AS region_share,
+           CAST(rank() OVER (PARTITION BY region ORDER BY rev DESC, nation) AS INT) AS region_rank
+    FROM nr
+    """,
+)
+def q173_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue, its share of the region total, and its in-region
+    rank — one window pass over the POST-aggregate 25-row table (the
+    share window never touches fact rows; at 100 TB the fact side pays
+    only the q22-style aggregate-below-join).  Decimal-exact sums make
+    the shares reproducible on any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (
+        F.lit(1) - to_decimal(F.col("l_discount"), 18, 4)
+    )
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("orev"))
+    nr = (
+        li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("orev").alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    wr = Window.partitionBy("region").orderBy(F.col("rev").desc(), F.col("nation"))
+    return nr.select(
+        "region",
+        "nation",
+        F.col("rev").cast("decimal(18,6)").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("region_share"),
+        F.rank().over(wr).cast("int").alias("region_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q171 — A/B experiment readout (Welch t statistic per metric): users are
 # hash-split into arms, so assignment is deterministic, stateless, and
 # identically replayable by any engine — the production randomization unit.
