@@ -5647,6 +5647,103 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q175/q176 — partition pruning, static and DYNAMIC: the mechanism that
+# makes a 100 TB date-partitioned table cost one day's files to query.
+# --------------------------------------------------------------------------
+@register(
+    "q175_partition_pruned_scan",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS total_price
+    FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1997
+    GROUP BY o_orderpriority
+    """,
+)
+def q175_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite orders as a hive-partitioned dataset keyed by order year,
+    then answer a one-year question: the year predicate is a PARTITION
+    filter — directory-level pruning that never opens the other years'
+    files (test_plans asserts the PartitionFilters entry).  This is the
+    default layout for any time-keyed 100 TB fact table; the data
+    filter/row-group story (q93) composes beneath it."""
+    import tempfile
+
+    from apache_arrow_spark.io.parquet import read_dataset, write_to_dataset
+
+    o = load_table(spark, sf_dir, "orders")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q175_", dir=shm)
+    write_to_dataset(
+        o.withColumn("o_year", F.year("o_orderdate").cast("int")),
+        path,
+        ["o_year"],
+    )
+    back = read_dataset(spark, path).filter(F.col("o_year") == 1997)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(to_decimal(F.col("o_totalprice"), 18, 4))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "q176_dynamic_partition_pruning",
+    """
+    WITH eras(y, era) AS (VALUES (1995, 'early'), (1996, 'early'),
+                                 (2000, 'late'), (2001, 'late')),
+    f AS (
+      SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS INT) AS o_year
+      FROM orders o)
+    SELECT e.era,
+           count(*) AS n_orders,
+           CAST(min(f.o_year) AS INT) AS min_year,
+           CAST(max(f.o_year) AS INT) AS max_year
+    FROM f JOIN eras e ON f.o_year = e.y
+    WHERE e.era = 'late'
+    GROUP BY e.era
+    """,
+)
+def q176_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned by year,
+    the selective filter lives on a DIMENSION (era -> years), and the
+    join key is the partition column — Catalyst injects the dim's
+    qualifying keys as a runtime partition filter, so the fact scan reads
+    only the 'late' years' directories even though no literal year
+    predicate appears in the query (test_plans asserts the
+    dynamicpruning expression).  THE join pattern for date-partitioned
+    100 TB facts joined through calendar/dimension tables."""
+    import tempfile
+
+    from apache_arrow_spark.io.parquet import read_dataset, write_to_dataset
+
+    o = load_table(spark, sf_dir, "orders")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="aas_q176_", dir=shm)
+    write_to_dataset(
+        o.withColumn("o_year", F.year("o_orderdate").cast("int")),
+        path,
+        ["o_year"],
+    )
+    fact = read_dataset(spark, path)
+    eras = spark.createDataFrame(
+        [(1995, "early"), (1996, "early"), (2000, "late"), (2001, "late")],
+        "y int, era string",
+    ).filter(F.col("era") == "late")
+    return (
+        fact.join(F.broadcast(eras), fact.o_year == eras.y)
+        .groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_year").cast("int").alias("min_year"),
+            F.max("o_year").cast("int").alias("max_year"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q174 — CSV sink + source roundtrip (io coverage: the arrow2csv CLI's
 # distributed twin), proven lossless by the q166 checksum operator.
 # --------------------------------------------------------------------------

@@ -432,3 +432,19 @@ def test_q170_stats_broadcast_back(spark, sf_dir):
     p = plan_string(df, "simple")
     # the 5-row quantile stats table broadcasts onto the fact scan
     assert "BroadcastHashJoin" in p
+
+
+def test_q175_partition_filter_prunes_directories(spark, sf_dir):
+    df = QUERIES["q175_partition_pruned_scan"](spark, sf_dir)
+    p = plan_string(df, "formatted")
+    # the year predicate is a PARTITION filter (directory pruning), not a
+    # data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(o_year" in p
+    assert "o_year" in p.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_q176_dynamic_partition_pruning_fires(spark, sf_dir):
+    df = QUERIES["q176_dynamic_partition_pruning"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the dim's qualifying keys are injected as a runtime partition filter
+    assert "dynamicpruning" in p
