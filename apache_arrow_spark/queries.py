@@ -5646,6 +5646,175 @@ def q158_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_values_sql() -> str:
+    """VALUES rows (digit, log10(1+1/d)) — repr floats round-trip to the
+    identical IEEE double in DuckDB, mirroring the Spark-side literals
+    (same pinned-literal idiom as q134's ln2)."""
+    import math
+
+    return ", ".join(
+        f"({d}, CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE))" for d in range(1, 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 — dataset card: the corpus datasheet a release ships with, as one
+# combinable pass (+ one digest-distinct for the dup rate).
+# --------------------------------------------------------------------------
+@register(
+    "q179_dataset_card",
+    f"""
+    WITH base AS (
+      SELECT lang, source, n_chars,
+             {_SQL_TOKCNT} AS tok,
+             md5({_SQL_NORM}) AS fp
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+    FROM base
+    """,
+)
+def q179_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet: volume (docs/tokens/chars), breadth
+    (languages/sources), verbatim-duplication mass, and the size
+    distribution's p50/p95 — the numbers a dataset release documents.
+    One aggregate pass over the scan; the dup rate's distinct runs on
+    16-byte digests, never text.  Deep-dive companions: q114 (per-column
+    profile), q160 (near-dup shrinkage), q27/q28 (token/quality)."""
+    from apache_arrow_spark.functions.text import normalize_text, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("tok"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_exact_dups"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q177 — Benford first-digit audit: the fraud/data-quality screen for
+# value columns, graded against pinned expected-share literals.
+# --------------------------------------------------------------------------
+@register(
+    "q177_benford_audit",
+    f"""
+    WITH expd(digit, p) AS (VALUES {_benford_values_sql()}),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n_obs
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(coalesce(o.n_obs, 0) * 1000000 // tot.n AS BIGINT) AS obs_share_micro,
+           CAST(floor(e.p * 1000000) AS BIGINT) AS exp_share_micro,
+           CAST(floor((coalesce(o.n_obs, 0) - CAST(tot.n AS DOUBLE) * e.p)
+                      * (coalesce(o.n_obs, 0) - CAST(tot.n AS DOUBLE) * e.p)
+                      / (CAST(tot.n AS DOUBLE) * e.p) * 1000000) AS BIGINT) AS chi2_term_micro
+    FROM expd e LEFT JOIN obs o ON e.digit = o.digit, tot
+    """,
+)
+def q177_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law — the
+    screen an auditor runs before trusting a value column (fabricated
+    numbers flunk it).  Per digit: observed count, observed and expected
+    shares, and the chi-square contribution, all in exact micro-units
+    (counts are exact; expected shares are PINNED literals identical in
+    both engines; the chi2 term is one fixed double expression floored).
+    One map-side-combinable digit count over the scan; the 9-row Benford
+    table broadcasts.  Distribution-drift twin: q125 (empirical vs
+    empirical); this one is empirical vs law."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    expd = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)], "digit int, p double"
+    )
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    exp_cnt = F.col("n").cast("double") * F.col("p")
+    # both sides are <=9 rows post-agg; no broadcast hint (build-left on an
+    # outer join is unsupported and would only warn)
+    return (
+        expd.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.cast("long").alias("n_obs"),
+            F.expr("coalesce(n_obs, 0) * 1000000 div n").alias("obs_share_micro"),
+            F.floor(F.col("p") * 1_000_000).cast("long").alias("exp_share_micro"),
+            F.floor((n_obs - exp_cnt) * (n_obs - exp_cnt) / exp_cnt * 1_000_000)
+            .cast("long")
+            .alias("chi2_term_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 — daily latency/value percentile bands (p50/p90/p99 per day): the
+# SRE dashboard query, exact quantiles per time bucket.
+# --------------------------------------------------------------------------
+@register(
+    "q178_daily_percentile_bands",
+    """
+    SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day_start,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q178_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90/p99 bands over the event value — the tail-latency
+    dashboard.  Exact interpolated percentiles per day bucket (one
+    shuffle on the day key; each day's sort is partition-local).  At
+    100 TB swap `percentile` for the mergeable GK sketch (q84) — the
+    code path is one agg-expression change, the report schema identical."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        e.groupBy(day.cast("date").cast("string").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # q175/q176 — partition pruning, static and DYNAMIC: the mechanism that
 # makes a 100 TB date-partitioned table cost one day's files to query.
