@@ -5658,6 +5658,106 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q180 — user-journey mining: each user's first-5-event path string and
+# the corpus's top journeys (the k-step generalization of q126's 1-step
+# transition matrix).
+# --------------------------------------------------------------------------
+@register(
+    "q180_user_journeys",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, count(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def q180_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding journeys: the ordered first-5-event path per user,
+    counted across the corpus.  One user_id window pass ranks events, the
+    path assembles JVM-side (collect_list of (rn, type) structs ->
+    array_sort -> array_join — sorted-aggregation semantics with a
+    deterministic total order, no Python), and the journey census is a
+    combinable count + TakeOrdered.  Path cardinality is bounded by
+    |event_types|^5, not user count — the aggregate stays small at any
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select("user_id", "event_type", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 5
+    )
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q181 — weighted median (token-weighted document length per language):
+# the robust location statistic when rows carry unequal mass.
+# --------------------------------------------------------------------------
+@register(
+    "q181_weighted_median",
+    f"""
+    WITH t AS (
+      SELECT lang, n_chars, doc_id, {_SQL_TOKCNT} AS w FROM documents),
+    c AS (
+      SELECT lang, n_chars, w,
+             CAST(sum(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM t)
+    SELECT lang,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT) AS weighted_median_chars
+    FROM c GROUP BY lang
+    """,
+)
+def q181_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per language — "the doc
+    length at which half the language's TOKEN MASS sits below", the
+    statistic that actually describes what a model trains on (the
+    unweighted median over-weights short docs).  Lower weighted-median
+    semantics: smallest value whose cumulative weight reaches half the
+    total; integer weights and one cumulative window make it exact and
+    order-stable (ties broken by doc_id).  One lang shuffle, two window
+    passes sharing it."""
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "n_chars", "doc_id", token_count(F.col("text")).alias("w"))
+    wc = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wt = Window.partitionBy("lang")
+    c = t.select(
+        "lang",
+        "n_chars",
+        F.sum("w").over(wc).cast("long").alias("cum"),
+        F.sum("w").over(wt).cast("long").alias("tot"),
+    )
+    return c.groupBy("lang").agg(
+        F.min("tot").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("n_chars")))
+        .cast("long")
+        .alias("weighted_median_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q179 — dataset card: the corpus datasheet a release ships with, as one
 # combinable pass (+ one digest-distinct for the dup rate).
 # --------------------------------------------------------------------------
