@@ -105,3 +105,52 @@ def test_robust_outlier_stats_flags_planted_outliers(spark):
     assert out["n"] == 101
     assert out["n_outliers"] == 2  # the two planted extremes, nothing else
     assert out["median"] == 50.0
+
+
+def test_salted_join_null_keys_match_plain_join(spark):
+    from apache_arrow_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (None, "y")], "dk long, tag string")
+    plain = fact.join(dim, fact.k == dim.dk, "left").select("v", "tag")
+    salted = salted_join(fact, dim, "k", "dk", n_salts=4, how="left").select(
+        "v", "tag"
+    )
+    assert sorted(map(tuple, salted.collect()), key=str) == sorted(
+        map(tuple, plain.collect()), key=str
+    )
+
+
+def test_dedup_keep_best_no_pairs_keeps_everything(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    kept = dedup_keep_best(
+        docs, pairs, order_by=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+
+def test_rolling_zscore_empty_input(spark):
+    from apache_arrow_spark.functions.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([], "k long, t long, v double")
+    assert rolling_zscore(df, "v", "k", ["t"]).count() == 0
+
+
+def test_table_checksum_empty_and_null_groups(spark):
+    from apache_arrow_spark.functions.profiling import table_checksum
+
+    empty = spark.createDataFrame([], "a string, g string")
+    assert table_checksum(empty, ["a"], group_by="g").count() == 0
+    withnull = spark.createDataFrame(
+        [("x", None), ("y", "s")], "a string, g string"
+    )
+    rows = {r["group_key"]: r for r in table_checksum(withnull, ["a"], group_by="g").collect()}
+    # null group key renders as a real group (cast to string -> NULL row kept)
+    assert len(rows) == 2 and all(r["n_rows"] == 1 for r in rows.values())
