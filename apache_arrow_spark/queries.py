@@ -5658,6 +5658,104 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q182 — largest-remainder budget apportionment: turning fractional
+# sampling shares into EXACT integer quotas (sum == budget, bit-for-bit).
+# --------------------------------------------------------------------------
+@register(
+    "q182_budget_apportionment",
+    f"""
+    WITH w AS (
+      SELECT lang, CAST(sum({_SQL_TOKCNT}) AS BIGINT) AS tok
+      FROM documents GROUP BY lang),
+    t AS (SELECT lang, tok, (SELECT CAST(sum(tok) AS BIGINT) FROM w) AS wt FROM w),
+    b AS (SELECT lang, tok, wt,
+                 CAST((100000 * tok) // wt AS BIGINT) AS base,
+                 CAST((100000 * tok) % wt AS BIGINT) AS rem
+          FROM t),
+    l AS (SELECT *,
+                 CAST(100000 - sum(base) OVER () AS BIGINT) AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM b)
+    SELECT lang, tok AS total_tokens, base AS base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_alloc
+    FROM l
+    """,
+)
+def q182_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 100k-slot sampling
+    budget across languages by token mass — the step between q161's
+    fractional mixture weights and q109's exact-N quota sampler: integer
+    quotas that sum EXACTLY to the budget, no float rounding residue
+    (base = floor-division, remainders ranked with a lang tie-break —
+    pure bigint arithmetic, identical in any engine).  The corpus pays
+    one token-count aggregate; everything after runs on the #langs-row
+    table."""
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("lang").agg(F.sum(token_count(F.col("text"))).cast("long").alias("tok"))
+    wt = w.agg(F.sum("tok").cast("long").alias("wt"))
+    b = w.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "tok",
+        "wt",
+        F.expr("(100000 * tok) div wt").alias("base"),
+        F.expr("(100000 * tok) % wt").alias("rem"),
+    )
+    win = Window.partitionBy(F.lit(1))
+    wrk = Window.partitionBy(F.lit(1)).orderBy(F.col("rem").desc(), F.col("lang"))
+    l = b.withColumn("leftover", (F.lit(100000) - F.sum("base").over(win)).cast("long")).withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return l.select(
+        "lang",
+        F.col("tok").alias("total_tokens"),
+        F.col("base").alias("base_alloc"),
+        extra.cast("long").alias("extra"),
+        (F.col("base") + extra).cast("long").alias("final_alloc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — duplicate-cluster size histogram: the shape of verbatim
+# duplication (how many 2x, 3x, Nx copies), not just its total mass.
+# --------------------------------------------------------------------------
+@register(
+    "q183_dup_cluster_histogram",
+    f"""
+    WITH fp AS (
+      SELECT md5({_SQL_NORM}) AS f, count(*) AS c
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY 1)
+    SELECT c AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(c * count(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY c
+    """,
+)
+def q183_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate multiplicities: for each cluster
+    size c, how many fingerprint clusters and how many documents sit in
+    them — q179 reports duplication's total mass, this reports its SHAPE
+    (a few giant clusters vs many pairs demand different dedup spend).
+    Two chained digest-keyed aggregates; text never shuffles."""
+    from apache_arrow_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .groupBy(F.md5(normalize_text(F.col("text"))).alias("f"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return fp.groupBy(F.col("c").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q180 — user-journey mining: each user's first-5-event path string and
 # the corpus's top journeys (the k-step generalization of q126's 1-step
 # transition matrix).
