@@ -302,6 +302,10 @@ def test_shuffle_bytes_scale_linearly(spark):
         "q33_minhash_near_duplicates",
         "q97_importance_weights",
         "q119_winnow_fingerprints",
+        # r3 late additions with pair-join shapes: the vocab-gated
+        # co-occurrence join and the digest-keyed source-overlap join
+        "q164_token_cooccurrence",
+        "q172_source_overlap_matrix",
     ]
     import time as _time
 

@@ -28,6 +28,8 @@ HOT = [
     "q33_minhash_near_duplicates",
     "q97_importance_weights",
     "q119_winnow_fingerprints",
+    "q164_token_cooccurrence",
+    "q172_source_overlap_matrix",
 ]
 
 
