@@ -5658,6 +5658,62 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q184 — streaming continuous validation: the q166 checksum maintained
+# incrementally by a streaming aggregate (xor/sum/count are mergeable, so
+# the running digest is exact at every micro-batch).
+# --------------------------------------------------------------------------
+@register(
+    "q184_streaming_checksum",
+    """
+    WITH h AS (
+      SELECT event_type AS group_key,
+             CAST('0x' || substr(md5(concat_ws(chr(31),
+                    CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 15)
+                  AS BIGINT) AS hh
+      FROM events)
+    SELECT group_key,
+           count(*) AS n_rows,
+           CAST(bit_xor(hh) AS BIGINT) AS xor_fold,
+           CAST(CAST(sum(CAST(hh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS multiset_sum
+    FROM h GROUP BY group_key
+    """,
+)
+def q184_streaming_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication validator as a CONTINUOUS query: the event stream
+    folds into the same per-group digest q166 computes in batch (count +
+    xor fold + decimal multiset sum — all mergeable, so streaming state
+    is 3 numbers per group and the result after any prefix of batches is
+    the exact batch checksum of that prefix).  availableNow replay over
+    the whole table must therefore land bit-identical to the batch
+    oracle — grading the streaming agg path itself.  Ingest-side twin of
+    q166: run it on the stream AT the source, run q166 on the sink,
+    compare digests."""
+    from apache_arrow_spark.functions.dedup import md5_hash60
+    from apache_arrow_spark.streaming import replay_table_stream, run_to_memory_sink
+
+    stream = replay_table_stream(spark, sf_dir, "events")
+    h = stream.select(
+        F.col("event_type").alias("group_key"),
+        md5_hash60(
+            F.concat_ws(
+                "\x1f",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("hh"),
+    )
+    agg = h.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.bit_xor("hh"), F.lit(0)).alias("xor_fold"),
+        F.sum(F.col("hh").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("multiset_sum"),
+    )
+    return run_to_memory_sink(agg, spark, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
 # q182 — largest-remainder budget apportionment: turning fractional
 # sampling shares into EXACT integer quotas (sum == budget, bit-for-bit).
 # --------------------------------------------------------------------------
