@@ -599,3 +599,93 @@ def ann_recall_eval(
             ).alias("recall_micro"),
         )
     )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate batch kNN join through an IVF coarse quantizer: the
+    corpus is assigned to its nearest centroid (ingest-time column in a
+    materialized deployment — see ``materialize_ivf_index``), each query
+    explodes into its ``n_probe`` nearest centroid cells, candidates come
+    from the cell equi-join, and exact cosine reranks per query.  The
+    candidate volume is |Q| * n_probe/|C| of the corpus in expectation —
+    the IVF twin of :func:`knn_join_lsh`.  Returns (q_id, n_id, rank, sim).
+    """
+    from pyspark.sql import Window
+
+    cc = assign_to_centroids(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+        F.col("__cluster").alias("__cell"),
+    )
+    qv = _as_double(F.col(vec_col))
+    probe_structs = []
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.aggregate(
+            F.zip_with(qv, cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        probe_structs.append(F.struct(dist.alias("d"), F.lit(i).alias("cid")))
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qv"),
+        F.explode(F.transform(probes, lambda s: s.cid)).alias("__cell"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), ndigits)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        qq.join(cc, on="__cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def ivf_recall_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF kNN join vs the exact join — the IVF twin of
+    :func:`ann_recall_eval`, same sampled-query-batch methodology and the
+    same exact integer micro-unit recall output."""
+    exact = knn_join_exact(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    approx = knn_join_ivf(
+        queries,
+        corpus,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    hits = (
+        exact.select("q_id", "n_id")
+        .join(approx.select("q_id", "n_id"), ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 1000000 div n_exact").alias("recall_micro"),
+    )

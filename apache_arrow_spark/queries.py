@@ -5658,6 +5658,90 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q185 — IVF recall evaluation: the IVF twin of q165, completing the
+# eval harness across both index families (LSH + IVF).
+# --------------------------------------------------------------------------
+@register(
+    "q185_ivf_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT CAST(vec_id // 31 AS INTEGER) AS cid, v AS cv
+          FROM e WHERE vec_id % 31 = 0 AND vec_id <= 465),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN c),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+    qd AS (
+      SELECT q.q_id, c.cid,
+             list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+      FROM q CROSS JOIN c),
+    qp AS (
+      SELECT q_id, cid FROM (
+        SELECT q_id, cid,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, cid) AS rn
+        FROM qd) WHERE rn <= 4),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS n_id, a.cid AS acid,
+             round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+      FROM e JOIN a USING (vec_id), q WHERE e.vec_id != q.q_id),
+    approx AS (
+      SELECT q_id, n_id FROM (
+        SELECT s.q_id, s.n_id,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY s.sim DESC, s.n_id) AS rn
+        FROM sims s JOIN qp ON s.acid = qp.cid AND s.q_id = qp.q_id)
+      WHERE rn <= 10),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        FROM sims) WHERE rn <= 10),
+    base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+    hits AS (SELECT e2.q_id, count(*) AS n_hits
+             FROM exact e2 JOIN approx a2 ON e2.q_id = a2.q_id AND e2.n_id = a2.n_id
+             GROUP BY e2.q_id)
+    SELECT base.q_id, base.n_exact,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 1000000 // base.n_exact AS BIGINT) AS recall_micro
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def q185_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 16-cell, 4-probe IVF kNN join vs exact cosine for
+    the same 20-query batch q165 grades the LSH path with — together they
+    are the index-selection evidence (probe more cells or add planes
+    until the measured recall clears the product bar).  Centroids are the
+    q48 fixed pivots (a centroid-sized driver model, same footprint as a
+    fitted k-means broadcast); the oracle replays assignment, probe
+    ranking, and rerank with identical tie-breaks.  The exact side is the
+    sampled-batch methodology; the IVF side is the production cell
+    equi-join."""
+    from apache_arrow_spark.functions.similarity import ivf_recall_eval
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pivots = (
+        e.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") <= 465))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in pivots]
+    return ivf_recall_eval(
+        e.filter(F.col("vec_id") < 20), e, centroids, k=10, n_probe=4
+    )
+
+
+# --------------------------------------------------------------------------
 # q184 — streaming continuous validation: the q166 checksum maintained
 # incrementally by a streaming aggregate (xor/sum/count are mergeable, so
 # the running digest is exact at every micro-batch).
