@@ -220,3 +220,26 @@ def test_ann_recall_eval_bounds_and_exact_self_recall(spark):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_micro"] == r["n_hits"] * 1000000 // 5
+
+
+def test_ivf_recall_eval_bounds_and_probe_all_is_exact(spark):
+    import numpy as np
+
+    from apache_arrow_spark.functions.similarity import ivf_recall_eval
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    centroids = [v for _, v in vecs[:4]]
+    out = ivf_recall_eval(
+        df.filter("vec_id < 5"), df, centroids, k=5, n_probe=2
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r["n_hits"] <= r["n_exact"] == 5
+        assert r["recall_micro"] == r["n_hits"] * 1000000 // 5
+    # probing EVERY cell degenerates to the exact join: recall must be 1
+    full = ivf_recall_eval(
+        df.filter("vec_id < 5"), df, centroids, k=5, n_probe=4
+    ).collect()
+    assert all(r["recall_micro"] == 1000000 for r in full)
