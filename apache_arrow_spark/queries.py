@@ -5658,6 +5658,113 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q186 — unpivot / melt (wide metrics -> long KV form): the inverse of
+# q110's pivot, via the codegen `stack` table generator.
+# --------------------------------------------------------------------------
+@register(
+    "q186_unpivot_metrics",
+    """
+    WITH w AS (
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS total_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM w
+    """,
+)
+def q186_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (the inverse of q110's pivot): a per-
+    priority metrics table melts into (key, metric, value) rows with the
+    `stack` generator — whole-stage-codegen row expansion, no Python, no
+    shuffle beyond the source aggregate.  The long form is what metric
+    stores and plotting layers ingest; at 100 TB the unpivot multiplies
+    rows 3x but runs entirely map-side on the already-tiny aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(to_decimal(F.col("o_totalprice"), 18, 4))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return w.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'n_orders', CAST(n_orders AS DOUBLE),"
+            " 'total_price', total_price,"
+            " 'max_price', max_price) AS (metric, value)"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — ANN index staleness audit: which LSH cells drifted since the
+# index snapshot — the maintenance query behind "when do we re-index?".
+# --------------------------------------------------------------------------
+@register(
+    "q187_index_staleness",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_planes_values_sql(64, 10)}),
+    bk AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+                                                        i -> e.v[i] * pl.p[i])) >= 0
+                           THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS bkt
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    split AS (
+      SELECT vec_id, bkt,
+             {sql_hash_bucket("CAST(vec_id AS VARCHAR)", "ixsnap")} < 800000 AS in_index
+      FROM bk)
+    SELECT bkt AS bucket,
+           CAST(count(*) FILTER (WHERE in_index) AS BIGINT) AS n_indexed,
+           CAST(count(*) FILTER (WHERE NOT in_index) AS BIGINT) AS n_missing
+    FROM split GROUP BY bkt
+    ORDER BY n_missing DESC, bucket LIMIT 20
+    """,
+)
+def q187_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance audit: the corpus's live LSH cells vs an 80%
+    hash-split index snapshot — per cell, how many vectors the index
+    serves and how many arrived since (the re-index trigger is a
+    missing-share threshold per hot cell, not a blanket TTL).  The
+    un-indexed set comes from a digest-keyed anti-split, cells from the
+    same hyperplane literals the index uses (q36/q165); shuffle carries
+    (id, bucket) pairs only.  Top-20 stalest cells with deterministic
+    tie-break."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.functions.similarity import hyperplanes, lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hp = hyperplanes(64, 10)
+    split = e.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), hp).alias("bucket"),
+        (hash_bucket(F.col("vec_id").cast("string"), "ixsnap") < 800_000).alias(
+            "in_index"
+        ),
+    )
+    return (
+        split.groupBy("bucket")
+        .agg(
+            F.count_if(F.col("in_index")).cast("long").alias("n_indexed"),
+            F.count_if(~F.col("in_index")).cast("long").alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), "bucket")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # q185 — IVF recall evaluation: the IVF twin of q165, completing the
 # eval harness across both index families (LSH + IVF).
 # --------------------------------------------------------------------------
