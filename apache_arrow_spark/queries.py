@@ -5658,6 +5658,130 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q191 — multiset set-ops (EXCEPT ALL / INTERSECT ALL): multiplicity-aware
+# difference, completing q51's DISTINCT-semantics set ops.
+# --------------------------------------------------------------------------
+@register(
+    "q191_except_all",
+    """
+    WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+    b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
+    d AS (SELECT l_returnflag, l_linestatus FROM a
+          EXCEPT ALL
+          SELECT l_returnflag, l_linestatus FROM b),
+    i AS (SELECT l_returnflag, l_linestatus FROM a
+          INTERSECT ALL
+          SELECT l_returnflag, l_linestatus FROM b)
+    SELECT 'except_all' AS op, l_returnflag, l_linestatus, count(*) AS n
+    FROM d GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'intersect_all', l_returnflag, l_linestatus, count(*) AS n
+    FROM i GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q191_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-aware set algebra: EXCEPT ALL keeps max(m_a - m_b, 0)
+    copies per row value, INTERSECT ALL keeps min(m_a, m_b) — the
+    bag semantics reconciliation jobs need (DISTINCT set ops, q51, erase
+    the very multiplicities being audited).  Spark plans both as one
+    count-aggregate per side + a generate — never a row-at-a-time diff;
+    output is the per-value multiplicity report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        "l_returnflag", "l_linestatus"
+    )
+    b = li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")).select(
+        "l_returnflag", "l_linestatus"
+    )
+    d = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "l_linestatus", "n")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("intersect_all").alias("op"), "l_returnflag", "l_linestatus", "n"
+        )
+    )
+    return d.unionByName(i)
+
+
+# --------------------------------------------------------------------------
+# q192 — nested map column build + explode roundtrip: complex-type
+# operator coverage (map_from_entries / explode over maps).
+# --------------------------------------------------------------------------
+@register(
+    "q192_map_roundtrip",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q192_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type round trip: per-user event counts fold into ONE
+    map<event_type, count> column per user (map_from_entries over a
+    sorted entry array — the nested shape a serving layer stores), then
+    explode back to rows.  The graded comparison proves the nested
+    build/flatten pair is lossless; the oracle is the flat aggregate.
+    Map cardinality is bounded by |event_types| — the nested row stays
+    broadcast-sized at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    flat = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    nested = flat.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    back = nested.select("user_id", F.explode(F.col("m")).alias("event_type", "n"))
+    return back
+
+
+# --------------------------------------------------------------------------
+# q193 — JSON expression roundtrip (to_json -> from_json with schema):
+# the row<->document conversion used at every API boundary.
+# --------------------------------------------------------------------------
+@register(
+    "q193_json_expr_roundtrip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q193_json_expr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level JSON: each order's key fields serialize with
+    to_json(struct(...)) and parse back with from_json under an explicit
+    schema; the aggregate runs on the PARSED values, so a green row
+    certifies the serialize->parse pair is lossless for these types
+    (engine-side codegen JSON, no Python).  Document-file twin: q86
+    (jsonl io); property-bag twin: q50 (get_json_object)."""
+    o = load_table(spark, sf_dir, "orders")
+    js = o.select(
+        "o_orderpriority",
+        F.to_json(F.struct("o_orderkey", "o_custkey")).alias("doc"),
+    )
+    parsed = js.select(
+        "o_orderpriority",
+        F.from_json(
+            F.col("doc"), "o_orderkey BIGINT, o_custkey BIGINT"
+        ).alias("s"),
+    )
+    return parsed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s.o_orderkey").alias("key_sum"),
+        F.sum("s.o_custkey").alias("cust_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q188 — rank-normalized signal blend: combine incommensurable quality
 # signals on a common percent-rank scale, then take the top slice.
 # --------------------------------------------------------------------------
