@@ -5658,6 +5658,142 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q194 — the SQL surface itself: temp views + a multi-CTE ANSI query via
+# spark.sql (a reference user's SQL runs verbatim; Catalyst plans it
+# exactly like the DataFrame build).
+# --------------------------------------------------------------------------
+@register(
+    "q194_sql_interface",
+    """
+    WITH r AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT c.c_mktsegment, count(*) AS n_customers,
+             CAST(sum(r.n_orders) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(r.spend AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS segment_spend
+      FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT * FROM s
+    """,
+)
+def q194_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: tables registered as temp views, the
+    report written as a multi-CTE ANSI string, executed by spark.sql —
+    byte-for-byte the oracle's text (modulo DuckDB's decimal-literal
+    spellings).  Proves a reference user can bring plain SQL and get the
+    same Catalyst plan the DataFrame API builds — same pushdown, same
+    broadcast, same AQE."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("aas_q194_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("aas_q194_customer")
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS spend
+          FROM aas_q194_orders GROUP BY o_custkey),
+        s AS (
+          SELECT c.c_mktsegment, count(*) AS n_customers,
+                 CAST(sum(r.n_orders) AS BIGINT) AS n_orders,
+                 CAST(CAST(sum(CAST(r.spend AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS segment_spend
+          FROM r JOIN aas_q194_customer c ON r.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment)
+        SELECT * FROM s
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q195/q196 — gaps and islands: the classic sequence-analytics pair
+# (missing-range detection; consecutive-run mining).
+# --------------------------------------------------------------------------
+@register(
+    "q195_sequence_gaps",
+    """
+    WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    g AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS gap_len
+    FROM g WHERE nxt - k > 1
+    ORDER BY gap_len DESC, gap_start LIMIT 20
+    """,
+)
+def q195_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range detection over lineitem's orderkey sequence — the
+    integrity sweep for "did ingestion drop a block?" (here the organic
+    holes are orders with no line items): one lead window over the
+    DISTINCT key set finds every hole as (gap_start, gap_end, len) —
+    never a calendar/sequence spine join against 10^9 candidate keys.
+    Top-20 largest holes, deterministic tie-break.  The global window
+    sorts only the distinct-key table; at 100 TB shard it by key range
+    first (gaps inside shards + a tiny cross-shard seam check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.select(F.col("l_orderkey").alias("k")).distinct()
+    w = Window.partitionBy(F.lit(1)).orderBy("k")
+    g = k.withColumn("nxt", F.lead("k").over(w))
+    return (
+        g.filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("long").alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(20)
+    )
+
+
+@register(
+    "q196_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    i AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, count(*) AS streak_len, min(day) AS start_day
+      FROM i GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id LIMIT 25
+    """,
+)
+def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the islands half of
+    the gaps-and-islands pair (q195), by the row_number-difference
+    grouping trick: day minus its per-user rank is constant exactly
+    within a consecutive run, so islands fall out of one window plus one
+    aggregate — no self-joins, no recursion.  Per-user shuffle only;
+    top-25 streakiest users with deterministic tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").cast("long").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = i.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("start_day")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("streak_len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
 # q191 — multiset set-ops (EXCEPT ALL / INTERSECT ALL): multiplicity-aware
 # difference, completing q51's DISTINCT-semantics set ops.
 # --------------------------------------------------------------------------
