@@ -5658,6 +5658,142 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q197 — Wilson score interval for conversion rates: the uncertainty-
+# aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
+# --------------------------------------------------------------------------
+@register(
+    "q197_conversion_wilson",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {sql_hash_bucket("CAST(user_id AS VARCHAR)", "convband")} % 10 AS band,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT band, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k FROM u GROUP BY band),
+    w AS (
+      SELECT band, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             CAST(1.959963984540054 AS DOUBLE) AS z
+      FROM s)
+    SELECT band, n, k,
+           round(p, 6) AS rate,
+           round((p + z * z / (2 * n) - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n), 6) AS wilson_low,
+           round((p + z * z / (2 * n) + z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n), 6) AS wilson_high
+    FROM w
+    """,
+)
+def q197_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort purchase-conversion rate with a Wilson 95% interval —
+    the honest dashboard number for small cohorts (the interval, not the
+    point, is what's comparable across band sizes).  One user-level
+    max + one band count; z is a pinned literal, sqrt is IEEE-exact,
+    the interval is one fixed double expression — engine-identical.
+    Cohorts are the deterministic hash bands the experiment framework
+    (q171) uses."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).withColumn(
+        "band", hash_bucket(F.col("user_id").cast("string"), "convband") % 10
+    )
+    s = u.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(1.959963984540054)
+    n = F.col("n")
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    denom = 1 + z * z / n
+    return s.select(
+        "band",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((p + z * z / (2 * n) - half) / denom, 6).alias("wilson_low"),
+        F.round((p + z * z / (2 * n) + half) / denom, 6).alias("wilson_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — histogram-intersection similarity between sources' token
+# distributions: "how much does source A's language overlap source B's?"
+# --------------------------------------------------------------------------
+@register(
+    "q198_histogram_intersection",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    cnt AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source),
+    p AS (
+      SELECT cnt.source, cnt.token,
+             CAST(cnt.c AS DOUBLE) / tot.t AS p
+      FROM cnt JOIN tot ON cnt.source = tot.source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(CAST(floor(least(a.p, b.p) * 1000000000) AS BIGINT)) AS BIGINT) AS inter_nano
+      FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, inter_nano AS intersection_nano
+    FROM pair
+    ORDER BY intersection_nano DESC, source_a, source_b LIMIT 20
+    """,
+)
+def q198_histogram_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise histogram intersection sum(min(p_a, p_b)) between the
+    sources' unigram distributions — the distribution-overlap score that
+    tells a mixer which sources are redundant (near 1) vs complementary
+    (near 0); q125's chi-square asks "did it drift", this asks "how much
+    mass is shared".  The pair join is on the TOKEN (vocab-bounded, each
+    token contributing #source-pairs rows, never doc-scale); per-source
+    distributions come from one count pass.  Each min() term floor-
+    quantizes to nano-units BEFORE summing, so the pair score is an
+    order-independent integer sum (the float summation-order trap cannot
+    bite).  Top-20 most overlapping source pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    pdf = cnt.join(tot, "source").select(
+        "source", "token", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    a = pdf.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = pdf.select(
+        F.col("source").alias("source_b"),
+        F.col("token").alias("token_b"),
+        F.col("p").alias("pb"),
+    )
+    pair = (
+        a.join(b, (a.token == b.token_b) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.floor(F.least("pa", "pb") * 1_000_000_000).cast("long"))
+            .cast("long")
+            .alias("intersection_nano")
+        )
+    )
+    return (
+        pair.select("source_a", "source_b", "intersection_nano")
+        .orderBy(F.col("intersection_nano").desc(), "source_a", "source_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # q194 — the SQL surface itself: temp views + a multi-CTE ANSI query via
 # spark.sql (a reference user's SQL runs verbatim; Catalyst plans it
 # exactly like the DataFrame build).
