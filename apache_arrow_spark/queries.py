@@ -5658,6 +5658,96 @@ def _benford_values_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# q199 — arg-extrema aggregates (max_by/min_by): "the row that attains
+# the extreme", without a window or self-join.
+# --------------------------------------------------------------------------
+@register(
+    "q199_argmax_per_group",
+    """
+    SELECT c_mktsegment,
+           arg_max(c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) * 100000000 - c_custkey) AS richest_custkey,
+           max(c_acctbal) AS max_acctbal,
+           arg_min(c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS poorest_custkey,
+           min(c_acctbal) AS min_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q199_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which customer attains each segment's balance extremes — the
+    arg-extremum aggregate (max_by/min_by) that answers "WHO is the max"
+    in ONE combinable aggregate pass instead of the row_number window
+    (q23's shape) or a max+self-join.  Ties are made impossible by
+    ordering on (balance, key): struct comparison is lexicographic in
+    both engines, so the attained key is deterministic.  At 100 TB this
+    is a plain map-side-combinable aggregate — no per-group sort at all."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by(
+            F.col("c_custkey"),
+            F.floor(F.col("c_acctbal") * 100).cast("long") * 100_000_000
+            - F.col("c_custkey"),
+        ).alias("richest_custkey"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min_by(
+            F.col("c_custkey"),
+            F.floor(F.col("c_acctbal") * 100).cast("long") * 100_000_000
+            + F.col("c_custkey"),
+        ).alias("poorest_custkey"),
+        F.min("c_acctbal").alias("min_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q200 — transition dwell-time medians: q126's Markov matrix with TIMING
+# (how long users sit between consecutive event types).
+# --------------------------------------------------------------------------
+@register(
+    "q200_transition_dwell",
+    """
+    WITH t AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dwell_us
+      FROM events)
+    SELECT from_type, to_type,
+           count(*) AS n,
+           CAST(CAST(quantile_cont(dwell_us, 0.5) AS DECIMAL(28,1)) AS VARCHAR) AS p50_dwell_us,
+           CAST(CAST(quantile_cont(dwell_us, 0.9) AS DECIMAL(28,1)) AS VARCHAR) AS p90_dwell_us
+    FROM t WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q200_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each behavioral transition takes: per (from, to) event
+    pair, the median and p90 dwell time — q126 says WHERE users go, this
+    says how long they hesitate (the UX/funnel-friction metric).  One
+    lead window on the user key feeds a bounded-cell aggregate
+    (|event_types|^2 rows); exact interpolated percentiles render
+    through DECIMAL(28,1) so the .0/.5 interpolation boundary is
+    engine-neutral text."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts div 1000")
+    t = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead(us).over(w) - us).alias("dwell_us"),
+    ).filter(F.col("to_type").isNotNull())
+    return t.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("dwell_us", F.lit(0.5))
+        .cast("decimal(28,1)")
+        .cast("string")
+        .alias("p50_dwell_us"),
+        F.percentile("dwell_us", F.lit(0.9))
+        .cast("decimal(28,1)")
+        .cast("string")
+        .alias("p90_dwell_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
