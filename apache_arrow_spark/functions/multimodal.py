@@ -272,6 +272,174 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return media_df.mapInPandas(_resize, MEDIA_SCHEMA)
 
 
+def resize_pixels(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL nearest-neighbor resample: (h, w, 3) -> (height, width, 3).
+
+    Source coordinate of target (X, Y) is (X * w // width, Y * h // height)
+    — integer floor mapping, so the result is exactly reproducible by an
+    external oracle with no interpolation arithmetic."""
+    h, w = px.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return px[ys][:, xs]
+
+
+def resize_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over mapInPandas: decode each BMP/PPM payload with
+    the pure-numpy codecs, nearest-neighbor resample to (width, height),
+    re-encode in the SAME container format, and rewrite the metadata.
+    Embarrassingly parallel over partitions of the binary scan — the
+    canonical 100 TB shape for a thumbnailing / normalization pass."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                px = resize_pixels(decode_image_pixels(raw), width, height)
+                payloads.append(encode_bmp(px) if raw[:2] == b"BM" else encode_ppm(px))
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return media_df.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real video container (pure numpy): MVID = magic + frame index + BMP frames
+# ---------------------------------------------------------------------------
+
+_MVID_MAGIC = b"MVID"
+
+
+def encode_mvid(frames: list[np.ndarray]) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> MVID container bytes.
+
+    Wire format: ``b"MVID"`` + u32 n_frames + u32 byte-length per frame
+    (little-endian), then the frames as 24-bit BMP payloads back-to-back —
+    a minimal but REAL length-prefixed container, the same parse shape as
+    an AVI/MP4 chunk index."""
+    blobs = [encode_bmp(f) for f in frames]
+    head = _MVID_MAGIC + len(blobs).to_bytes(4, "little") + b"".join(
+        len(b).to_bytes(4, "little") for b in blobs
+    )
+    return head + b"".join(blobs)
+
+
+def decode_mvid(payload: bytes) -> list[np.ndarray]:
+    """MVID container bytes -> list of (h, w, 3) uint8 RGB frames."""
+    if payload[:4] != _MVID_MAGIC:
+        raise ValueError("not an MVID payload")
+    n = int.from_bytes(payload[4:8], "little")
+    lengths = [
+        int.from_bytes(payload[8 + 4 * i : 12 + 4 * i], "little") for i in range(n)
+    ]
+    pos = 8 + 4 * n
+    frames = []
+    for ln in lengths:
+        frames.append(decode_bmp(payload[pos : pos + ln]))
+        pos += ln
+    return frames
+
+
+def attach_real_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL video payloads (MVID container of BMP frames) with
+    deterministic pixel content: channel c of pixel (x, y) in frame f of
+    video i is ``(i * K_c + f * 11 + x * 7 + y * 13) % 256`` with
+    K = (31, 57, 97); n_frames = 4 + i % 5, width = 8 + i % 3,
+    height = 6 + i % 4 — closed forms an external oracle recomputes with
+    no codec.  One mapInPandas stage, no JVM crossing per frame."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads, nf, ws, hs = [], [], [], []
+            for i in ids:
+                i = int(i)
+                n, w, h = 4 + i % 5, 8 + i % 3, 6 + i % 4
+                x = np.arange(w, dtype=np.int64) * 7
+                y = np.arange(h, dtype=np.int64) * 13
+                base = y[:, None] + x[None, :]
+                frames = [
+                    np.stack(
+                        [(i * k + f * 11 + base) % 256 for k in (31, 57, 97)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for f in range(n)
+                ]
+                payloads.append(encode_mvid(frames))
+                nf.append(n)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video/x-mvid"] * len(ids),
+                    "n_frames": np.array(nf, dtype="int32"),
+                    "width": np.array(ws, dtype="int32"),
+                    "height": np.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _gen,
+        "doc_id bigint, payload binary, media_type string, "
+        "n_frames int, width int, height int",
+    )
+
+
+def frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the MVID container index, decode
+    every ``every_n``-th BMP frame, and emit one row per sampled frame with
+    exact integer channel means (micro-units, floor division).  The decode
+    explodes rows batch-wise inside mapInPandas — at 100 TB this is the
+    canonical frame-extraction pass: embarrassingly parallel, output rows
+    proportional to sampled frames only (skipped frames are never decoded
+    past the length index)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, means = [], [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:4] != _MVID_MAGIC:
+                    raise ValueError("not an MVID payload")
+                n = int.from_bytes(raw[4:8], "little")
+                lengths = [
+                    int.from_bytes(raw[8 + 4 * k : 12 + 4 * k], "little")
+                    for k in range(n)
+                ]
+                offsets = np.concatenate(
+                    ([8 + 4 * n], 8 + 4 * n + np.cumsum(lengths))
+                )
+                for f in range(0, n, every_n):
+                    px = decode_bmp(raw[offsets[f] : offsets[f + 1]])
+                    h, w = px.shape[:2]
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    ids.append(int(i))
+                    fnos.append(f)
+                    means.append(sums * 1_000_000 // (w * h))
+            m = np.array(means, dtype="int64") if means else np.zeros((0, 3), "int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "frame_no": np.array(fnos, dtype="int32"),
+                    "mean_r_micro": m[:, 0],
+                    "mean_g_micro": m[:, 1],
+                    "mean_b_micro": m[:, 2],
+                }
+            )
+
+    return media_df.mapInPandas(
+        _frames,
+        "doc_id bigint, frame_no int, "
+        "mean_r_micro bigint, mean_g_micro bigint, mean_b_micro bigint",
+    )
+
+
 def frame_sample_stub(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits one row per sampled 'frame'
     (deterministic fake: chunks of the payload), exploding rows batch-wise —

@@ -5748,6 +5748,94 @@ def q200_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q201 — REAL image resize: decode -> nearest-neighbor resample ->
+# re-encode -> decode again, proven against the closed pixel formula.
+# --------------------------------------------------------------------------
+@register(
+    "q201_resize_channel_stats",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents),
+    g AS (
+      SELECT doc_id, (rx.x * w) // 16 AS sx, (ry.y * h) // 12 AS sy
+      FROM d, LATERAL (SELECT unnest(range(16)) AS x) rx,
+              LATERAL (SELECT unnest(range(12)) AS y) ry
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+      CAST(sum((doc_id*31 + sx*7 + sy*13) % 256) * 1000000 // 192 AS BIGINT) AS mean_r_micro,
+      CAST(sum((doc_id*57 + sx*7 + sy*13) % 256) * 1000000 // 192 AS BIGINT) AS mean_g_micro,
+      CAST(sum((doc_id*97 + sx*7 + sy*13) % 256) * 1000000 // 192 AS BIGINT) AS mean_b_micro
+    FROM g GROUP BY doc_id
+    """,
+)
+def q201_resize_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (multimodal.resize_image): synthesize
+    BMP/PPM payloads with closed-form pixel content, decode the real bytes,
+    nearest-neighbor resample every image to 16x12 with the integer floor
+    mapping (sx = X*w//16, sy = Y*h//12), RE-ENCODE in the original
+    container format, then decode again and take exact channel means.  The
+    oracle recomputes the means from the generating formula applied at the
+    mapped source coordinates — it matches only if decode -> resample ->
+    encode -> decode is pixel-faithful at every step.  Two mapInPandas
+    stages, embarrassingly parallel; at 100 TB this is the canonical
+    thumbnail/normalization pass over a binary image column."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        channel_stats,
+        resize_image,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_real_media(d)
+    return channel_stats(resize_image(media, 16, 12))
+
+
+# --------------------------------------------------------------------------
+# q202 — REAL video frame sampling: parse a length-prefixed container
+# index, decode only every 2nd frame, exact per-frame channel means.
+# --------------------------------------------------------------------------
+@register(
+    "q202_video_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n, 8 + doc_id % 3 AS w,
+                      6 + doc_id % 4 AS h FROM documents),
+    fr AS (
+      SELECT doc_id, w, h, ff.f AS f
+      FROM d, LATERAL (SELECT unnest(range(0, n, 2)) AS f) ff
+    ),
+    g AS (
+      SELECT doc_id, w, h, f, rx.x AS x, ry.y AS y
+      FROM fr, LATERAL (SELECT unnest(range(w)) AS x) rx,
+               LATERAL (SELECT unnest(range(h)) AS y) ry
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_no,
+      CAST(sum((doc_id*31 + f*11 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_r_micro,
+      CAST(sum((doc_id*57 + f*11 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_g_micro,
+      CAST(sum((doc_id*97 + f*11 + x*7 + y*13) % 256) * 1000000 // (w*h) AS BIGINT) AS mean_b_micro
+    FROM g GROUP BY doc_id, f, w, h
+    """,
+)
+def q202_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (multimodal.frame_sample): synthesize MVID
+    containers (length-prefixed index + 24-bit BMP frames — the parse shape
+    of an AVI/MP4 chunk index) with closed-form per-frame pixel content,
+    then sample every 2nd frame by seeking the index — skipped frames are
+    never decoded — and emit exact integer channel means per sampled frame.
+    The oracle recomputes from the generating formula over sampled frame
+    indices only; it matches only if the container index, per-frame BMP
+    decode, and sampling stride are all faithful.  One mapInPandas stage
+    whose output rows are proportional to SAMPLED frames — the 100 TB
+    frame-extraction shape (decode cost scales with the sampling rate, not
+    the corpus size)."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_video,
+        frame_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_real_video(d), every_n=2)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

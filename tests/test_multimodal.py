@@ -1,5 +1,6 @@
 """Multimodal column plumbing: schema, batch shapes, stub gating."""
 
+import numpy as np
 import pytest
 import pyspark.sql.functions as F
 
@@ -193,3 +194,74 @@ def test_audio_features_match_formula(spark):
         assert rows[i]["zero_crossings"] == sum(
             1 for a, b in zip(s, s[1:]) if a * b < 0
         )
+
+
+def test_resize_pixels_nearest_neighbor():
+    from apache_arrow_spark.functions.multimodal import resize_pixels
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    out = resize_pixels(px, 14, 10)
+    assert out.shape == (10, 14, 3)
+    for yy in range(10):
+        for xx in range(14):
+            assert (out[yy, xx] == px[yy * 5 // 10, xx * 7 // 14]).all()
+    # downscale picks the floor-mapped source pixel
+    small = resize_pixels(px, 3, 2)
+    assert (small[1, 2] == px[1 * 5 // 2, 2 * 7 // 3]).all()
+
+
+def test_resize_image_reencodes_same_format(spark):
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        decode_image_pixels,
+        resize_image,
+    )
+
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    rows = resize_image(attach_real_media(df), 16, 12).collect()
+    for r in rows:
+        raw = bytes(r["payload"])
+        # format preserved: even ids were BMP, odd ids PPM
+        assert raw[:2] == (b"BM" if r["doc_id"] % 2 == 0 else b"P6")
+        px = decode_image_pixels(raw)
+        assert px.shape == (12, 16, 3)
+        assert r["width"] == 16 and r["height"] == 12
+        # spot-check the closed form at the mapped source coordinate
+        i, w, h = r["doc_id"], 8 + r["doc_id"] % 5, 8 + r["doc_id"] % 7
+        sx, sy = 5 * w // 16, 3 * h // 12
+        assert px[3, 5, 0] == (i * 31 + sx * 7 + sy * 13) % 256
+
+
+def test_mvid_roundtrip_and_rejects():
+    import pytest as _pytest
+
+    from apache_arrow_spark.functions.multimodal import decode_mvid, encode_mvid
+
+    frames = [
+        np.full((4, 6, 3), v, dtype=np.uint8) for v in (0, 127, 255)
+    ]
+    back = decode_mvid(encode_mvid(frames))
+    assert len(back) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    with _pytest.raises(ValueError):
+        decode_mvid(b"RIFF1234")
+
+
+def test_frame_sample_matches_formula(spark):
+    from apache_arrow_spark.functions.multimodal import attach_real_video, frame_sample
+
+    df = spark.range(9).select(F.col("id").alias("doc_id"))
+    rows = frame_sample(attach_real_video(df), every_n=2).collect()
+    by_key = {(r["doc_id"], r["frame_no"]): r for r in rows}
+    for i in range(9):
+        n, w, h = 4 + i % 5, 8 + i % 3, 6 + i % 4
+        expect_frames = list(range(0, n, 2))
+        got = sorted(f for (d, f) in by_key if d == i)
+        assert got == expect_frames
+        for f in expect_frames:
+            s = sum(
+                (i * 31 + f * 11 + x * 7 + y * 13) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            assert by_key[(i, f)]["mean_r_micro"] == s * 1_000_000 // (w * h)
