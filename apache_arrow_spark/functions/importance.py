@@ -137,3 +137,70 @@ def importance_weights(
     result.count()
     cells.unpersist()
     return result
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qlin",
+) -> DataFrame:
+    """Score documents with a hashed linear (fasttext-style) classifier:
+    tokens hash into ``n_buckets`` feature buckets; ``weights`` is the
+    model — a (bucket, weight_micro) table of int64 micro-unit
+    coefficients (what a trained quality classifier exports); a document's
+    score is the sum of its token-bucket weights and ``keep`` is the
+    sign-threshold decision.
+
+    This is the deployment shape of every model-based quality filter
+    (fasttext/CCNet-style): the model is a SMALL broadcast table, the
+    corpus pass is explode -> hash -> broadcast-join -> per-doc combinable
+    integer sum — ONE shuffle keyed on doc id carrying one int64, never
+    the token stream.  Integer weights make the aggregate order-independent
+    and engine-exact (the importance_weights discipline).
+
+    Returns (id_col, n_tokens, score_micro, keep)."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.functions.text import token_count, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    feat = toks.select(
+        "id", hash_bucket(F.col("term"), salt, n_buckets).alias("bucket")
+    )
+    scored = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight_micro").alias("score_micro"),
+        )
+    )
+    lens = df.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_all")
+    )
+    # left join from lens so zero-token docs still appear (score 0, drop)
+    out = lens.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("score_micro"), F.lit(0)).cast("bigint").alias("score_micro"),
+        (F.coalesce(F.col("score_micro"), F.lit(0)) > 0).alias("keep"),
+    )
+    return out
+
+
+def demo_linear_weights(spark, n_buckets: int = 1024) -> DataFrame:
+    """Deterministic stand-in for trained classifier weights: bucket b gets
+    ``(b * 2654435761) % 2000001 - 1000000`` micro-units (a fixed
+    Knuth-multiplicative scramble into [-1e6, 1e6]) — closed-form so an
+    external oracle regenerates the identical model without serialization."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(2000001) - F.lit(1000000))
+        .cast("bigint")
+        .alias("weight_micro"),
+    )

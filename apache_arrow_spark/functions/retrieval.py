@@ -127,3 +127,47 @@ def phrase_match(
         )
         chain = chain.join(nxt, ["id", "pos"])
     return chain.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval legs (the standard hybrid
+    lexical + dense combiner): each input carries (id_col, rank_col) with
+    rank 1-based; an item's fused score is ``sum over legs of
+    1 / (rrf_k + rank)``, items missing from a leg contribute nothing.
+
+    Exactness discipline: the contribution is computed as the INTEGER
+    ``1e9 div (rrf_k + rank)`` so the fused score is a sum of exact int64
+    terms — order-independent and engine-portable (no float summation
+    ties).  Returns (rnk, id, rrf_micro, n_legs) for the top ``k`` by
+    fused score, ties broken on ascending id.
+
+    Scale shape: each leg is already top-k sized (driver-budget rows), so
+    the union + groupBy is tiny regardless of corpus size; fusion cost is
+    O(legs * k), never a corpus pass."""
+    contrib = F.expr(f"1000000000 div ({rrf_k} + {rank_col})")
+    legs = [
+        r.select(F.col(id_col).alias("id"), contrib.alias("c")) for r in rankings
+    ]
+    u = legs[0]
+    for nxt in legs[1:]:
+        u = u.unionAll(nxt)
+    fused = u.groupBy("id").agg(
+        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_legs")
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("id").alias(id_col),
+            F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
+            F.col("n_legs").cast("int").alias("n_legs"),
+        )
+    )

@@ -5836,6 +5836,142 @@ def q202_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q203 — hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+# and the dense cosine leg (the standard RAG / data-selection combiner).
+# --------------------------------------------------------------------------
+@register(
+    "q203_hybrid_rrf",
+    f"""
+    WITH lens AS (SELECT doc_id, {_SQL_TOKCNT} AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+      WHERE term IN ('window', 'join', 'filter', 'hash')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                ((t.tf * (1.2 + 1.0)) /
+                 (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))))
+               * 1000000.0)
+             AS BIGINT) AS sc
+      FROM tf t
+      JOIN lens l USING (doc_id)
+      JOIN dfreq d USING (term)
+      CROSS JOIN (SELECT n_docs,
+                         CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM stats) s
+    ),
+    scored AS (SELECT doc_id, sum(sc) AS score_q FROM per_term GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sim AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+      FROM embeddings, q
+    ),
+    den AS (
+      SELECT vec_id AS doc_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+      FROM sim
+    ),
+    u AS (
+      SELECT doc_id, 1000000000 // (60 + rnk) AS c FROM lex WHERE rnk <= 50
+      UNION ALL
+      SELECT doc_id, 1000000000 // (60 + rnk) AS c FROM den WHERE rnk <= 50
+    ),
+    f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+                 CAST(count(*) AS INT) AS n_legs
+          FROM u GROUP BY doc_id),
+    r AS (SELECT doc_id, rrf_micro, n_legs,
+                 row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk
+          FROM f)
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, rrf_micro, n_legs
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q203_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse):
+    the BM25 lexical leg (q98's postings-only shuffle) and the dense
+    cosine leg (q35's TakeOrdered scan) each produce a top-50 ranking;
+    fusion sums exact integer ``1e9 div (60 + rank)`` contributions per
+    id, so the combined score has no float summation ties.  This is the
+    standard lexical + embedding combiner in RAG / data-selection stacks.
+    Scale shape: both legs end driver-budget-sized (top-k each), so the
+    fusion union + groupBy is O(legs * k) regardless of corpus size —
+    the expensive parts remain the two independently-optimized legs."""
+    from apache_arrow_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from apache_arrow_spark.functions.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, ["window", "join", "filter", "hash"], k=50).select(
+        "doc_id", "rnk"
+    )
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dw = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    den = (
+        cosine_topk(e, [float(x) for x in qv], k=50)
+        .withColumn("rnk", F.row_number().over(dw))
+        .select(F.col("vec_id").alias("doc_id"), "rnk")
+    )
+    return rrf_fuse([lex, den], k=20, rrf_k=60)
+
+
+# --------------------------------------------------------------------------
+# q204 — model-based quality filter: hashed linear (fasttext-style)
+# classifier applied as a broadcast weight-table join.
+# --------------------------------------------------------------------------
+@register(
+    "q204_quality_classifier",
+    f"""
+    WITH w AS (
+      SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS weight_micro
+      FROM (SELECT unnest(range(1024)) AS b)),
+    tk AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    ft AS (SELECT doc_id, {sql_hash_bucket("term", "qlin", 1024)} AS bucket FROM tk),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(w.weight_micro) AS BIGINT) AS score_micro
+      FROM ft JOIN w USING (bucket) GROUP BY doc_id),
+    lens AS (SELECT doc_id FROM documents)
+    SELECT l.doc_id,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(sc.score_micro, 0) AS score_micro,
+           COALESCE(sc.score_micro, 0) > 0 AS keep
+    FROM lens l LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q204_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fasttext/CCNet deployment shape
+    (importance.hashed_linear_score): a trained classifier exports a SMALL
+    (bucket, weight) table; scoring is explode -> hash -> broadcast-join
+    -> per-doc combinable integer sum — one shuffle keyed on doc id
+    carrying a single int64, never the token stream.  The demo weight
+    table is a closed-form Knuth-multiplicative scramble
+    (importance.demo_linear_weights) so the oracle regenerates the
+    identical model; swapping in real trained weights changes ONE
+    broadcast table and no plan shape.  At 100 TB the model stays
+    driver-trivial (n_buckets rows) while scoring scales with executors."""
+    from apache_arrow_spark.functions.importance import (
+        demo_linear_weights,
+        hashed_linear_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(d, demo_linear_weights(spark, 1024), n_buckets=1024)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

@@ -163,3 +163,56 @@ def test_phrase_match_positions(spark):
     # three-term chain
     got3 = {r["id"]: r["n_matches"] for r in phrase_match(df, ["alpha", "beta", "gamma"]).collect()}
     assert got3 == {1: 1, 2: 1}
+
+
+def test_rrf_fuse_exact_contributions(spark):
+    from apache_arrow_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int"
+    )
+    den = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rnk int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, den], k=10, rrf_k=60).collect()}
+    # doc 20: rank 2 lexical + rank 1 dense
+    assert rows[20]["rrf_micro"] == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert rows[20]["n_legs"] == 2
+    # single-leg items contribute once
+    assert rows[10]["rrf_micro"] == 1_000_000_000 // 61 and rows[10]["n_legs"] == 1
+    assert rows[40]["rrf_micro"] == 1_000_000_000 // 62
+    # fused order: 20 first (two legs), then 10 (rank1 single), 40, 30
+    order = [r["doc_id"] for r in sorted(rows.values(), key=lambda r: r["rnk"])]
+    assert order == [20, 10, 40, 30]
+
+
+def test_hashed_linear_score_brute_force(spark):
+    import hashlib
+
+    from apache_arrow_spark.functions.importance import (
+        demo_linear_weights,
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    w = demo_linear_weights(spark, 64)
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(docs, w, n_buckets=64).collect()
+    }
+
+    def bucket(term):
+        return int(hashlib.md5(("qlin" + term).encode()).hexdigest()[:15], 16) % 64
+
+    def weight(b):
+        return (b * 2654435761) % 2000001 - 1000000
+
+    s1 = 2 * weight(bucket("alpha")) + weight(bucket("beta"))
+    assert rows[1]["n_tokens"] == 3 and rows[1]["score_micro"] == s1
+    assert rows[1]["keep"] == (s1 > 0)
+    # empty doc appears with zero score, dropped
+    assert rows[2]["n_tokens"] == 0 and rows[2]["score_micro"] == 0
+    assert rows[2]["keep"] is False
