@@ -93,6 +93,11 @@ HEADLINE = [
     "q164_token_cooccurrence",
     "q166_table_checksum",
     "q167_touch_attribution",
+    # round 3c: real media transforms + hybrid retrieval + model filter
+    "q201_resize_channel_stats",
+    "q202_video_frame_sample",
+    "q203_hybrid_rrf",
+    "q204_quality_classifier",
 ]
 
 
