@@ -970,3 +970,40 @@ def shingle_containment_pairs(
     )
     cont = F.round(F.col("inter") / F.greatest(F.col("la"), F.lit(1)), 6)
     return _verify_pairs(cells, candidates, cont, "containment", t)
+
+
+def duplication_weighted_keep(
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "dupw",
+) -> DataFrame:
+    """Duplication-aware sampling (the SlimPajama-style alternative to
+    hard dedup): instead of keeping one canonical row per near-dup
+    cluster, keep each member independently with probability
+    ``1 / cluster_size`` — a cluster contributes ~1 doc in expectation
+    regardless of how many copies exist, but WHICH copy survives varies,
+    preserving benign variation hard dedup destroys.
+
+    The decision is the exact integer rule ``hash(id) * size < HASH_MOD``
+    (deterministic across runs/retries/engines — no RNG state).  Returns
+    (id_col, cluster_col, cluster_size, keep).
+
+    Scale shape: cluster sizes are a pair-scale aggregate (near-dup
+    components are tiny relative to the corpus) broadcast back onto the
+    assignment table, so the corpus never shuffles on cluster id."""
+    from apache_arrow_spark.functions.pipeline import HASH_MOD, hash_bucket
+
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    joined = assignments.join(F.broadcast(sizes), cluster_col)
+    keep = (
+        hash_bucket(F.col(id_col), salt) * F.col("cluster_size") < F.lit(HASH_MOD)
+    )
+    return joined.select(
+        id_col,
+        cluster_col,
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        keep.alias("keep"),
+    )

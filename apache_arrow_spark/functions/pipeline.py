@@ -575,3 +575,51 @@ def bpe_pair_counts(
     )
     counted = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
     return counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_n)
+
+
+def global_value_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed global rank by VALUE (1-based, exact): range-repartition
+    on the order columns, rank locally inside each range, then add
+    broadcast per-partition offsets — the global order statistic with NO
+    single-task window (``row_number() OVER (ORDER BY ...)`` funnels the
+    whole dataset through one task; this never does).
+
+    ``order_cols`` must form a total order (include a unique tiebreaker
+    column) — with ties the cross-partition rank would depend on partition
+    boundaries.  The offsets are one count per partition (driver-budget
+    rows).  The input is persisted so the offset pass and the rank pass
+    see the identical range partitioning.
+
+    This is the scalable primitive under rank-based stratification,
+    percentile bucketing, and top-fraction selection at 100 TB."""
+    cols = [F.col(c) for c in order_cols]
+    p = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        p.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    off, pairs = 0, []
+    for r in counts:
+        pairs += [F.lit(r["__pid"]), F.lit(off)]
+        off += r["__n"]
+    # empty input: no partitions counted — any typed empty map keeps the
+    # lookup well-typed (the column never evaluates on zero rows anyway)
+    omap = (
+        F.create_map(*pairs)
+        if pairs
+        else F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<bigint>")
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return p.withColumn(
+        rank_col, (F.row_number().over(w) + omap[F.col("__pid")]).cast("bigint")
+    ).drop("__pid")

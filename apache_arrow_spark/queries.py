@@ -5972,6 +5972,172 @@ def q204_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q205 — perplexity-stratified corpus sampling: rank docs by unigram-LM
+# mean NLL with a DISTRIBUTED global rank, tercile strata, per-stratum
+# quotas favoring in-distribution text (the quality-stratified recipe).
+# --------------------------------------------------------------------------
+@register(
+    "q205_perplexity_strata",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    cells AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM cells GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM uni),
+    model AS (
+      SELECT term,
+             CAST(floor(ln((c + 1.0) / (n + v)) * 10000000.0) AS BIGINT) AS lpq
+      FROM uni, tot),
+    sc AS (
+      SELECT c.doc_id AS doc_id, CAST(sum(c.tf) AS BIGINT) AS n_tokens,
+             CAST(-sum(c.tf * m.lpq) AS BIGINT) AS nll_q
+      FROM cells c JOIN model m USING (term) GROUP BY c.doc_id),
+    m2 AS (SELECT doc_id, n_tokens, nll_q // n_tokens AS mean_nll_q FROM sc),
+    r AS (
+      SELECT doc_id, n_tokens, mean_nll_q,
+             row_number() OVER (ORDER BY mean_nll_q, doc_id) AS rnk,
+             count(*) OVER () AS nd
+      FROM m2),
+    s AS (
+      SELECT doc_id, n_tokens, 1 + ((rnk - 1) * 3) // nd AS stratum,
+             {sql_hash_bucket("doc_id", "q205")} AS hb
+      FROM r),
+    k AS (
+      SELECT *, row_number() OVER (PARTITION BY stratum
+                                   ORDER BY hb, doc_id) AS qrn
+      FROM s)
+    SELECT CAST(stratum AS INT) AS stratum, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM k
+    WHERE qrn <= CASE stratum WHEN 1 THEN 50 WHEN 2 THEN 30 ELSE 10 END
+    GROUP BY stratum
+    """,
+)
+def q205_perplexity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus construction (the CCNet/Llama-recipe
+    shape): score every document's mean NLL under the corpus unigram LM
+    (q100's integer-exact model), split the corpus into perplexity
+    TERCILES, and apply per-stratum quotas (50/30/10) favoring
+    in-distribution text.  The tercile assignment uses
+    pipeline.global_value_rank — range-repartition + local rank +
+    broadcast offsets — so there is NO single-task global window
+    anywhere; stratum = 1 + (rank-1)*3 div n is pure integer arithmetic
+    on the exact rank.  Per-stratum quotas are the q109 hash-rank
+    discipline.  Oracle replays the whole thing with plain SQL windows."""
+    from apache_arrow_spark.functions.lm import unigram_nll
+    from apache_arrow_spark.functions.pipeline import global_value_rank, hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = unigram_nll(d, "text", "doc_id").select(
+        "doc_id", "n_tokens", F.expr("nll_q div n_tokens").alias("mean_nll_q")
+    )
+    ranked = global_value_rank(sc, ["mean_nll_q", "doc_id"], rank_col="rnk")
+    nd = ranked.count()
+    strat = ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cast(1 + ((rnk - 1) * 3) div {nd} as int)").alias("stratum"),
+        hash_bucket(F.col("doc_id"), "q205").alias("hb"),
+    )
+    qw = Window.partitionBy("stratum").orderBy(F.col("hb").asc(), F.col("doc_id").asc())
+    quota = (
+        F.when(F.col("stratum") == 1, 50)
+        .when(F.col("stratum") == 2, 30)
+        .otherwise(10)
+    )
+    kept = strat.withColumn("qrn", F.row_number().over(qw)).filter(
+        F.col("qrn") <= quota
+    )
+    return kept.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q206 — duplication-aware sampling: keep each near-dup cluster member
+# with probability 1/cluster_size (soft dedup), deterministic hash rule.
+# --------------------------------------------------------------------------
+@register(
+    "q206_dup_weighted_sample",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d
+    ),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.s, b.s)) AS i, a.ls AS la, b.ls AS lb
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls
+    ),
+    pr AS (
+      SELECT ia, ib FROM p
+      WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+    walk(n, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) s0
+        UNION
+        SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.n
+    ),
+    comp AS (SELECT n, min(lbl) AS component FROM walk GROUP BY n),
+    asg AS (
+      SELECT doc.doc_id AS doc_id,
+             coalesce(c.component, doc.doc_id) AS cluster_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.n),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM asg GROUP BY cluster_id),
+    j AS (
+      SELECT a.doc_id, a.cluster_id, s.cluster_size,
+             {sql_hash_bucket("a.doc_id", "q206")} * s.cluster_size < 1000000 AS keep
+      FROM asg a JOIN sz s USING (cluster_id))
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+    FROM j GROUP BY cluster_size
+    """,
+)
+def q206_dup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-AWARE sampling, the soft alternative to q79's hard
+    canonical-only dedup (dedup.duplication_weighted_keep): each member of
+    a near-dup cluster survives with probability 1/cluster_size via the
+    exact integer rule hash(id) * size < HASH_MOD — a cluster contributes
+    ~1 doc in expectation, but which copy varies, preserving benign
+    variation (the SlimPajama-style recipe).  Cluster sizes are pair-scale
+    aggregates broadcast onto the assignments, so the corpus never
+    shuffles on cluster id.  Readout: per-cluster-size histogram with
+    kept counts + id checksum; the oracle replays clustering (recursive
+    closure) and the identical hash rule."""
+    from apache_arrow_spark.functions.dedup import (
+        cluster_assignments,
+        duplication_weighted_keep,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5)
+    asg = cluster_assignments(d, pairs).select("doc_id", "cluster_id")
+    kept = duplication_weighted_keep(asg, salt="q206")
+    return kept.groupBy("cluster_size").agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

@@ -325,3 +325,25 @@ def test_dedup_keep_best_keeps_argmax_per_cluster(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 5]
     # schema preserved, helper columns gone
     assert kept.columns == ["doc_id", "n_chars"]
+
+
+def test_duplication_weighted_keep_rule(spark):
+    import hashlib
+
+    from apache_arrow_spark.functions.dedup import duplication_weighted_keep
+    from apache_arrow_spark.functions.pipeline import HASH_MOD
+
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    rows = {r["doc_id"]: r for r in duplication_weighted_keep(asg, salt="t").collect()}
+    assert rows[1]["cluster_size"] == 3 and rows[4]["cluster_size"] == 1
+
+    def hb(i):
+        return int(hashlib.md5(("t" + str(i)).encode()).hexdigest()[:15], 16) % HASH_MOD
+
+    for i, r in rows.items():
+        assert r["keep"] == (hb(i) * r["cluster_size"] < HASH_MOD)
+    # singletons always survive: hb < HASH_MOD holds by construction
+    assert rows[4]["keep"] is True and rows[5]["cluster_size"] == 2

@@ -200,3 +200,22 @@ def test_bpe_pair_counts_brute_force(spark):
                 want[w[i : i + 2]] += 1
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, top_n=100).collect()}
     assert got == dict(want)
+
+
+def test_global_value_rank_exact(spark):
+    from apache_arrow_spark.functions.pipeline import global_value_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(200)], "id long, v long"
+    )
+    ranked = global_value_rank(df, ["v", "id"], rank_col="rnk")
+    rows = sorted(ranked.collect(), key=lambda r: (r["v"], r["id"]))
+    # ranks are exactly 1..200 in (v, id) order
+    assert [r["rnk"] for r in rows] == list(range(1, 201))
+
+
+def test_global_value_rank_empty(spark):
+    from apache_arrow_spark.functions.pipeline import global_value_rank
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_value_rank(empty, ["v", "id"]).count() == 0
