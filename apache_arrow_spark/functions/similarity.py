@@ -689,3 +689,40 @@ def ivf_recall_eval(
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         F.expr("coalesce(n_hits, 0) * 1000000 div n_exact").alias("recall_micro"),
     )
+
+
+def streaming_lsh_index_upsert(
+    stream_df,
+    out_dir: str,
+    checkpoint_location: str,
+    dim: int,
+    planes: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> None:
+    """Maintain a sign-LSH ANN index INCREMENTALLY from a stream: each
+    embedding micro-batch is bucketed with the SAME seeded hyperplanes the
+    probe side uses and landed in a batchId-keyed overwrite directory
+    (the q129 idempotence recipe — replayed batches rewrite, never
+    duplicate), so the index stays fresh as the corpus streams in instead
+    of being rebuilt by nightly full scans.
+
+    At 100 TB this is the index-maintenance half of the ANN story: bucket
+    assignment is a stateless per-row expression (no shuffle in the
+    batch), appends are partition-local, and the probe side
+    (ann_topk_lsh / the q187 staleness audit) reads the union of batch
+    directories with bucket filters intact."""
+    hp = hyperplanes(dim, planes, seed)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("__bucket", lsh_bucket(F.col(vec_col), hp)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -6138,6 +6138,81 @@ def q206_dup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q207 — streaming ANN index maintenance: embeddings stream in as
+# micro-batches, each lands bucketed into the LSH index (idempotent
+# batchId-keyed writes); a probe over the maintained index must equal
+# q36's exact SQL twin.
+# --------------------------------------------------------------------------
+@register(
+    "q207_streaming_ann_index",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_planes_values_sql(64, 10)}),
+    bk AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+                                                        i -> e.v[i] * pl.p[i])) >= 0
+                           THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS bkt
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    q AS (SELECT bk.bkt AS qb, e.v AS qv FROM bk JOIN e USING (vec_id) WHERE vec_id = 0)
+    SELECT e.vec_id, {_SQL_COS.format(a="e.v", b="q.qv")} AS sim
+    FROM e JOIN bk USING (vec_id), q
+    WHERE bit_count(xor(bk.bkt, q.qb)) <= 2
+    ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+)
+def q207_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index MAINTENANCE (similarity.streaming_lsh_index_upsert):
+    the embedding corpus is sharded into four files and replayed as four
+    micro-batches; foreachBatch buckets each batch with the seeded
+    hyperplanes and lands it in a batchId-keyed overwrite directory (the
+    q129 exactly-once recipe), so the index stays fresh incrementally —
+    no nightly rebuild scan.  The probe then answers the q36 query over
+    the MAINTAINED index (bucket IN the hamming<=2 multi-probe set,
+    rerank by exact cosine) and must match q36's exact SQL twin — proving
+    the streamed index is equivalent to the batch-built one."""
+    import tempfile
+
+    from apache_arrow_spark.functions.similarity import (
+        cosine,
+        hyperplanes,
+        lsh_probes,
+        streaming_lsh_index_upsert,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q207_", dir=shm)
+    e.repartition(4).write.mode("overwrite").parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+    )
+    streaming_lsh_index_upsert(
+        stream, f"{root}/index", f"{root}/ckpt", dim=64, planes=10
+    )
+    index = spark.read.parquet(f"{root}/index")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    probes = lsh_probes(qv, hyperplanes(64, 10), n_probe_bits=2)
+    qarr = F.array(*[F.lit(x) for x in qv])
+    cand = index.filter(F.col("__bucket").isin(list(probes)))
+    return (
+        cand.select(
+            "vec_id", F.round(cosine(F.col("embedding"), qarr), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

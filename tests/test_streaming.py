@@ -186,3 +186,37 @@ def test_foreachbatch_sink_idempotent_replay(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(out).count()
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n1 == n2 == expected
+
+
+def test_streaming_lsh_index_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        streaming_lsh_index_upsert,
+    )
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (j + 1) % 7 - 3).cast("float") for j in range(8)]
+        ).alias("embedding"),
+    )
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_lsh_index_upsert(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"), dim=8, planes=6
+    )
+    landed = spark.read.parquet(str(tmp_path / "idx"))
+    assert landed.count() == 40
+    hp = hyperplanes(8, 6)
+    batch = emb.withColumn("__bucket", lsh_bucket(F.col("embedding"), hp))
+    got = {r["vec_id"]: r["__bucket"] for r in landed.collect()}
+    want = {r["vec_id"]: r["__bucket"] for r in batch.collect()}
+    assert got == want
