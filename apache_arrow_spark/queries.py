@@ -8503,10 +8503,11 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q170 (EWMA through
-# winsorized mean — the late-round-3 operator additions) registered after
-# the window filled: all local-oracle green at sf0.01, they are round-4's
-# rotation stock and should take the whole r4 window.  Everything deferred
+# deferred below with per-line justifications).  q145-q207 (EWMA through
+# streaming ANN index maintenance — the late-round-3 operator additions)
+# registered after the window filled: all local-oracle green at sf0.01,
+# they are round-4+ rotation stock; in r4 fill the window with the oldest
+# never-graded first (q145 onward).  Everything deferred
 # below was driver-green in CORRECTNESS_r01/r02 and remains covered by
 # pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------

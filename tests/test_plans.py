@@ -306,6 +306,9 @@ def test_shuffle_bytes_scale_linearly(spark):
         # co-occurrence join and the digest-keyed source-overlap join
         "q164_token_cooccurrence",
         "q172_source_overlap_matrix",
+        # the asymmetric-containment probe join (rarest-15% prefix): the
+        # most expensive headline query — guard its probe volume growth
+        "q143_containment_pairs",
     ]
     import time as _time
 
