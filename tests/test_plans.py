@@ -455,3 +455,39 @@ def test_q176_dynamic_partition_pruning_fires(spark, sf_dir):
     p = plan_string(df, "simple")
     # the dim's qualifying keys are injected as a runtime partition filter
     assert "dynamicpruning" in p
+
+
+def test_q203_rrf_legs_shapes(spark, sf_dir):
+    df = QUERIES["q203_hybrid_rrf"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # BM25 leg broadcasts its stats; dense leg ends in TakeOrdered (no
+    # global sort); fusion itself never touches the corpus again
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q204_weight_table_broadcasts(spark, sf_dir):
+    df = QUERIES["q204_quality_classifier"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the model (bucket -> weight) joins by broadcast: scoring is a
+    # map-side join + combinable aggregate, never a model-side shuffle
+    assert "BroadcastHashJoin" in p
+
+
+def test_q205_no_global_window(spark, sf_dir):
+    import re
+
+    df = QUERIES["q205_perplexity_strata"](spark, sf_dir)
+    p = plan_string(df, "formatted")
+    # global_value_rank's claim: every Window node is partitioned (the
+    # single-task `OVER (ORDER BY ...)` pattern would show an empty
+    # partition spec)
+    for m in re.finditer(r"partitionBy=\[\]", p):
+        raise AssertionError(f"global window found: {p[m.start()-200:m.end()]}")
+
+
+def test_q206_cluster_sizes_broadcast(spark, sf_dir):
+    df = QUERIES["q206_dup_weighted_sample"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p
