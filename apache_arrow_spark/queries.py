@@ -6213,6 +6213,187 @@ def q207_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q208 — TPC-H Q20 shape: nested IN + HAVING semi-join chain (suppliers
+# with heavy shipped volume of one part type).
+# --------------------------------------------------------------------------
+@register(
+    "q208_heavy_suppliers",
+    """
+    WITH q AS (
+      SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 400)
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+    """,
+)
+def q208_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN(...IN(...)) + HAVING chain — which
+    suppliers moved > 400 units of PROMO parts in 1997.  Scale plan: the
+    part-type keyset BROADCASTS as a left-semi join onto the lineitem
+    scan (with the shipdate filter pushed), the HAVING collapse shuffles
+    only (suppkey, qty) partial sums, and the qualifying suppkey set —
+    at most |supplier| rows — broadcasts back as the outer semi-join.
+    Nothing wide ever shuffles; both IN-subqueries become semi-joins, the
+    decorrelation Catalyst applies to this classic shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    q = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(to_decimal(F.col("l_quantity"), 18, 4)).alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return s.join(F.broadcast(q), s.s_suppkey == q.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS (the
+# supplier who shipped LAST on multi-supplier orders), decorrelated into
+# per-order top-2 aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "q209_last_shipper",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+)
+def q209_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — which supplier shipped LAST on finished
+    multi-supplier orders — with the double-correlated EXISTS / NOT
+    EXISTS DECORRELATED into per-order order statistics: a line l1
+    qualifies iff another supplier exists on the order (n_supp >= 2) and
+    no other supplier shipped later, i.e. l1.shipdate >= other_max where
+    other_max = m1 unless l1's supplier is the SOLE holder of the order
+    max (then m2, the runner-up).  m1/c1/m2 come from one (order,
+    supplier) max-aggregate followed by one per-order aggregate — two
+    shuffles total on order keys, versus the naive plan's two correlated
+    re-scans of lineitem.  The oracle runs the literal EXISTS form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lif = li.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    mx = lif.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    # decorrelation stats: per-order supplier count, max, holders of the
+    # max (c1), and runner-up (m2), via two narrow aggregates
+    stats = (
+        mx.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.max("smax").alias("m1"),
+        )
+        .join(mx, "l_orderkey")
+        .groupBy("l_orderkey", "n_supp", "m1")
+        .agg(
+            F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0)).alias("c1"),
+            F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax"))).alias("m2"),
+        )
+    )
+    per_ls = mx.join(stats, "l_orderkey").select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_supp",
+        F.when(
+            (F.col("smax") < F.col("m1")) | (F.col("c1") >= 2), F.col("m1")
+        )
+        .otherwise(F.col("m2"))
+        .alias("other_max"),
+    )
+    qualifying = (
+        lif.join(per_ls, ["l_orderkey", "l_suppkey"])
+        .filter(
+            (F.col("n_supp") >= 2)
+            & F.col("other_max").isNotNull()
+            & (F.col("l_shipdate") >= F.col("other_max"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey).select(
+        "s_name", F.col("numwait").cast("bigint").alias("numwait")
+    )
+
+
+# --------------------------------------------------------------------------
+# q210 — TPC-H Q2 shape: correlated scalar-min subquery (cheapest
+# supplier per part), decorrelated into a per-part min join.
+# --------------------------------------------------------------------------
+@register(
+    "q210_cheapest_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best
+      FROM lineitem GROUP BY 1, 2)
+    SELECT p.p_partkey, s.l_suppkey AS s_suppkey, sup.s_name, s.best
+    FROM part p
+    JOIN supply s ON p.p_partkey = s.l_partkey
+    JOIN supplier sup ON sup.s_suppkey = s.l_suppkey
+    WHERE p.p_size = 10
+      AND s.best = (SELECT min(s2.best) FROM supply s2
+                    WHERE s2.l_partkey = p.p_partkey)
+    """,
+)
+def q210_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the cheapest observed supplier for every size-10
+    part — with the correlated scalar-min subquery decorrelated into a
+    per-part min aggregate joined back (ties emit all holders, identical
+    in both engines since min over doubles is exact).  Scale plan: the
+    (part, supplier) supply table aggregates once; the per-part min is a
+    second narrow aggregate on the SAME partitioning (no extra exchange
+    under AQE reuse); the size-10 part keyset and supplier names
+    broadcast.  min (not sum) keeps doubles engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best")
+    )
+    part_min = supply.groupBy("l_partkey").agg(F.min("best").alias("pmin"))
+    sized = p.filter(F.col("p_size") == 10).select("p_partkey")
+    return (
+        supply.join(part_min, "l_partkey")
+        .filter(F.col("best") == F.col("pmin"))
+        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "best",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
