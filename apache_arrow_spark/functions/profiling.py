@@ -87,3 +87,42 @@ def table_checksum(
             .alias("multiset_sum"),
         )
     )
+
+
+def snapshot_partition_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    columns: list[str],
+    partition_col: str,
+) -> DataFrame:
+    """Which PARTITIONS changed between two snapshot versions — the
+    incremental-reprocessing primitive: at 100 TB you re-run downstream
+    work only for partitions whose content digest moved, not the whole
+    table.
+
+    Runs :func:`table_checksum` per partition on both versions (one
+    combinable aggregate pass each, #partitions output rows) and
+    full-outer-joins the digests: status = 'added' (only in v2),
+    'removed' (only in v1), 'changed' (digest differs), 'unchanged'.
+    Returns (group_key, status, n_rows_v1, n_rows_v2) — driver-budget
+    rows regardless of table size."""
+    a = table_checksum(v1, columns, group_by=partition_col).alias("a")
+    b = table_checksum(v2, columns, group_by=partition_col).alias("b")
+    j = a.join(b, F.col("a.group_key") == F.col("b.group_key"), "full_outer")
+    status = (
+        F.when(F.col("a.group_key").isNull(), F.lit("added"))
+        .when(F.col("b.group_key").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.xor_fold") == F.col("b.xor_fold"))
+            & (F.col("a.multiset_sum") == F.col("b.multiset_sum"))
+            & (F.col("a.n_rows") == F.col("b.n_rows")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.group_key"), F.col("b.group_key")).alias("group_key"),
+        status.alias("status"),
+        F.coalesce(F.col("a.n_rows"), F.lit(0)).cast("bigint").alias("n_rows_v1"),
+        F.coalesce(F.col("b.n_rows"), F.lit(0)).cast("bigint").alias("n_rows_v2"),
+    )

@@ -6394,6 +6394,116 @@ def q210_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q211 — changed-partition detection between snapshot versions: digest
+# per partition on both sides, full-outer diff -> added / removed /
+# changed / unchanged (the incremental-reprocessing primitive).
+# --------------------------------------------------------------------------
+_Q211_DIGEST = (
+    "CAST('0x' || substr(md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
+    "o_orderstatus, o_orderpriority, CAST(cents AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "q211_partition_diff",
+    f"""
+    WITH base AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS pk,
+             o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             {sql_hash_bucket("o_orderkey", "q211")} AS hb,
+             o_orderdate
+      FROM orders),
+    v1 AS (SELECT pk, o_orderkey, o_orderstatus, o_orderpriority, cents FROM base),
+    v2 AS (
+      SELECT pk, o_orderkey, o_orderstatus,
+             CASE WHEN pk >= '1996-01' AND hb >= 20000 AND hb < 40000
+                  THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+             cents
+      FROM base
+      WHERE NOT (pk >= '1996-01' AND hb < 20000) AND pk <> '1995-03'
+      UNION ALL
+      SELECT strftime(o_orderdate + INTERVAL 100 YEAR, '%Y-%m'),
+             o_orderkey + 100000000, o_orderstatus, o_orderpriority, cents
+      FROM base WHERE pk >= '1996-01' AND hb >= 40000 AND hb < 60000),
+    h1 AS (
+      SELECT pk AS group_key, count(*) AS n_rows,
+             CAST(bit_xor({_Q211_DIGEST}) AS BIGINT) AS xf,
+             CAST(sum(CAST({_Q211_DIGEST} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ms
+      FROM v1 GROUP BY pk),
+    h2 AS (
+      SELECT pk AS group_key, count(*) AS n_rows,
+             CAST(bit_xor({_Q211_DIGEST}) AS BIGINT) AS xf,
+             CAST(sum(CAST({_Q211_DIGEST} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ms
+      FROM v2 GROUP BY pk)
+    SELECT coalesce(h1.group_key, h2.group_key) AS group_key,
+           CASE WHEN h1.group_key IS NULL THEN 'added'
+                WHEN h2.group_key IS NULL THEN 'removed'
+                WHEN h1.xf = h2.xf AND h1.ms = h2.ms AND h1.n_rows = h2.n_rows
+                     THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(coalesce(h1.n_rows, 0) AS BIGINT) AS n_rows_v1,
+           CAST(coalesce(h2.n_rows, 0) AS BIGINT) AS n_rows_v2
+    FROM h1 FULL OUTER JOIN h2 ON h1.group_key = h2.group_key
+    """,
+)
+def q211_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-partition detection (profiling.snapshot_partition_diff):
+    digest every month-partition of two snapshot versions with the q166
+    checksum discipline (md5 fold + decimal multiset sum, one combinable
+    aggregate pass per side) and full-outer-diff the digests into
+    added / removed / changed / unchanged — at 100 TB downstream work
+    re-runs ONLY for moved partitions, the step that turns a full-table
+    pipeline into an incremental one.  The v2 fixture applies
+    deterministic hash-bucketed deletes and updates (1996+ months only),
+    drops 1995-03 entirely, and inserts +100-year re-keyed copies, so
+    all four statuses appear; the oracle rebuilds both versions and both
+    digest tables in SQL and must land on identical bits."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.functions.profiling import snapshot_partition_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("pk"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        hash_bucket(F.col("o_orderkey"), "q211").alias("hb"),
+        "o_orderdate",
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "cents"]
+    v1 = base.select("pk", *cols)
+    mut = F.col("pk") >= "1996-01"
+    kept = base.filter(
+        ~(mut & (F.col("hb") < 20000)) & (F.col("pk") != "1995-03")
+    )
+    upd = kept.select(
+        "pk",
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            mut & (F.col("hb") >= 20000) & (F.col("hb") < 40000),
+            F.lit("9-UPDATED"),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "cents",
+    )
+    ins = base.filter(mut & (F.col("hb") >= 40000) & (F.col("hb") < 60000)).select(
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 100 YEARS"), "yyyy-MM"
+        ).alias("pk"),
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "cents",
+    )
+    v2 = upd.unionByName(ins)
+    return snapshot_partition_diff(v1, v2, cols, "pk")
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

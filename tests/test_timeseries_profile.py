@@ -117,3 +117,39 @@ def test_rolling_zscore_constant_history_is_null_not_inf(spark):
     df = spark.createDataFrame(rows, "k long, t long, v double")
     out = rolling_zscore(df, "v", "k", ["t"], lookback=20, min_obs=12)
     assert all(r["__z"] is None for r in out.collect())
+
+
+def test_snapshot_partition_diff_statuses(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.profiling import snapshot_partition_diff
+
+    v1 = spark.createDataFrame(
+        [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c"), ("p3", 4, "d")],
+        "pk string, id long, v string",
+    )
+    v2 = spark.createDataFrame(
+        [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "CHANGED"), ("p4", 5, "e")],
+        "pk string, id long, v string",
+    )
+    rows = {
+        r["group_key"]: r
+        for r in snapshot_partition_diff(v1, v2, ["id", "v"], "pk").collect()
+    }
+    assert rows["p1"]["status"] == "unchanged"
+    assert rows["p2"]["status"] == "changed"
+    assert rows["p3"]["status"] == "removed" and rows["p3"]["n_rows_v2"] == 0
+    assert rows["p4"]["status"] == "added" and rows["p4"]["n_rows_v1"] == 0
+
+
+def test_snapshot_partition_diff_duplicate_multiplicity(spark):
+    # xor cancels on even duplicates; the multiset sum must still flag it
+    from apache_arrow_spark.functions.profiling import snapshot_partition_diff
+
+    v1 = spark.createDataFrame([("p", 1, "a")], "pk string, id long, v string")
+    v2 = spark.createDataFrame(
+        [("p", 1, "a"), ("p", 1, "a"), ("p", 1, "a")],
+        "pk string, id long, v string",
+    )
+    rows = snapshot_partition_diff(v1, v2, ["id", "v"], "pk").collect()
+    assert rows[0]["status"] == "changed"
