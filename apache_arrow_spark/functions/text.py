@@ -208,3 +208,53 @@ def winnow_fingerprints(hs: Column, w: int = 4) -> Column:
         )
 
     return F.element_at(F.transform(F.array(hs), body), 1)
+
+
+# Demo merge table for REAL BPE encoding: learned-order pairs (merge 2
+# consumes merge 1's output — the hierarchical property of BPE vocabs).
+BPE_DEMO_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+]
+
+
+def bpe_symbols(text: Column) -> Column:
+    """Initial BPE symbol sequence: every character of the normalized
+    (lowercase, [a-z0-9 ]-only) text wrapped as ``(c)``.  The paren
+    wrapping is the delimiter trick that makes merge application EXACT
+    with plain string replace: pattern ``(x)(y)`` never shares boundary
+    characters between adjacent matches (unlike space-separated symbols,
+    where consecutive pairs share the separator and non-overlapping
+    replace under-merges), and left-to-right non-overlapping replacement
+    is precisely BPE's per-iteration merge convention."""
+    clean = F.regexp_replace(normalize_text(text), "[^a-z0-9 ]", "")
+    return F.regexp_replace(clean, "(.)", "($1)")
+
+
+def bpe_apply_merges(
+    text: Column, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """REAL BPE encoding under a FIXED merge table (the deployment shape:
+    a trained tokenizer ships its ordered merge list; applying it is pure
+    string rewriting).  Each merge (x, y) -> xy rewrites ``(x)(y)`` to
+    ``(xy)`` over the whole symbol sequence — all occurrences, left to
+    right, exactly the BPE merge step.  The entire tokenizer application
+    is a chain of codegen'd replaces: no UDF, no Python, and an ANSI-SQL
+    oracle replays it verbatim.  Space symbols ``( )`` never merge (no
+    merge contains a space), so words stay isolated without special
+    word-boundary handling."""
+    seq = bpe_symbols(text)
+    for x, y in merges or BPE_DEMO_MERGES:
+        seq = F.replace(seq, F.lit(f"({x})({y})"), F.lit(f"({x}{y})"))
+    return seq
+
+
+def bpe_token_count(
+    text: Column, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """Exact token count of the text under the fixed-merge BPE vocab
+    (space symbols excluded): count of ``(`` after dropping ``( )``."""
+    no_space = F.replace(bpe_apply_merges(text, merges), F.lit("( )"), F.lit(""))
+    return (
+        F.length(no_space) - F.length(F.replace(no_space, F.lit("("), F.lit("")))
+    ).cast("bigint")

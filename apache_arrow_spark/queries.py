@@ -6504,6 +6504,131 @@ def q211_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q212 — TPC-H Q19 shape: disjunction-of-conjunctions join predicate
+# (brand/size/quantity bands OR'd together).
+# --------------------------------------------------------------------------
+@register(
+    "q212_disjunctive_bands",
+    """
+    SELECT count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q212_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity bands
+    — the classic test of disjunctive-predicate handling.  Catalyst
+    extracts the common p_partkey equi-join from under the OR and derives
+    pushable per-side filters (brand IN the three values, quantity within
+    the union envelope) so the scans prune BEFORE the join instead of
+    evaluating the disjunction on the raw cross product; the part side is
+    small after brand pruning and broadcasts.  Revenue through decimal
+    (the q01 exactness discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                to_decimal(F.col("l_extendedprice"), 18, 4)
+                * (F.lit(1) - to_decimal(F.col("l_discount"), 18, 4))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        ).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q213 — REAL BPE tokenizer application: a fixed ordered merge table
+# rewrites the symbol sequence exactly (no UDF, no estimate).
+# --------------------------------------------------------------------------
+_Q213_MERGE_SQL = "".join(
+    f",\n    s{i+1} AS (SELECT doc_id, n_chars, replace(q, '({x})({y})', '({x}{y})') AS q FROM s{i})"
+    for i, (x, y) in enumerate(
+        [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+         ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r")]
+    )
+)
+
+
+@register(
+    "q213_bpe_encode",
+    f"""
+    WITH d AS (SELECT doc_id, regexp_replace({_SQL_NORM}, '[^a-z0-9 ]', '', 'g') AS t
+               FROM documents),
+    s0 AS (
+      SELECT doc_id, CAST(length(replace(t, ' ', '')) AS BIGINT) AS n_chars,
+             regexp_replace(t, '(.)', '(\\1)', 'g') AS q
+      FROM d){_Q213_MERGE_SQL},
+    fin AS (SELECT doc_id, n_chars, replace(q, '( )', '') AS q FROM s10)
+    SELECT doc_id, n_chars,
+           CAST(length(q) - length(replace(q, '(', '')) AS BIGINT) AS n_bpe_tokens,
+           CAST(n_chars - (length(q) - length(replace(q, '(', ''))) AS BIGINT) AS merged_away
+    FROM fin
+    """,
+)
+def q213_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer application (text.bpe_apply_merges) — not the
+    q46 heuristic estimate: a fixed ORDERED merge table (the artifact a
+    trained tokenizer ships) rewrites each document's character-symbol
+    sequence with exact BPE semantics.  The paren-wrapped symbol encoding
+    makes plain string replace implement the merge step exactly
+    (adjacent matches share no boundary characters; left-to-right
+    non-overlapping replacement IS the BPE convention), so the whole
+    tokenizer is a chain of codegen'd replaces — zero Python in the hot
+    path, scan-speed at 100 TB, and the oracle replays the identical
+    rewrites in ANSI SQL.  Output: per-doc exact char and BPE token
+    counts and how many merges fired."""
+    from apache_arrow_spark.functions.text import bpe_apply_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    seq = bpe_apply_merges(F.col("text"))
+    no_space = F.replace(seq, F.lit("( )"), F.lit(""))
+    n_bpe = (
+        F.length(no_space) - F.length(F.replace(no_space, F.lit("("), F.lit("")))
+    ).cast("bigint")
+    clean = F.regexp_replace(
+        F.btrim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        "[^a-z0-9 ]",
+        "",
+    )
+    n_chars = F.length(F.replace(clean, F.lit(" "), F.lit(""))).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_chars - n_bpe).alias("merged_away"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

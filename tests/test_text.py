@@ -92,3 +92,50 @@ def test_winnow_short_doc_single_fingerprint(spark):
     hs = df.select(gram_hashes(normalize_text(F.col("text")), 5).alias("hs"))
     fps = hs.select(winnow_fingerprints(F.col("hs"), 4).alias("f")).first().f
     assert len(fps) == 1
+
+
+def test_bpe_apply_merges_matches_reference_bpe(spark):
+    """The replace-chain must implement REAL BPE: apply each merge over
+    the symbol sequence left-to-right, non-overlapping, in merge order."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.text import BPE_DEMO_MERGES, bpe_token_count
+
+    def ref_bpe_count(text):
+        import re
+
+        t = re.sub(r"\s+", " ", text.lower()).strip()
+        t = re.sub(r"[^a-z0-9 ]", "", t)
+        tokens = 0
+        for word in t.split():
+            syms = list(word)
+            for x, y in BPE_DEMO_MERGES:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            tokens += len(syms)
+        return tokens
+
+    docs = [
+        (1, "the thermometer shattered then"),
+        (2, "inner winter thinking rethinking"),
+        (3, "a an at en er on or re th the"),
+        (4, "aaa ananan ththth thethethe"),
+        (5, "Mixed CASE with   odd   spacing"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, text in docs:
+        assert got[i] == ref_bpe_count(text), (i, text, got[i], ref_bpe_count(text))
