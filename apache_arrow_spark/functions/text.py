@@ -258,3 +258,57 @@ def bpe_token_count(
     return (
         F.length(no_space) - F.length(F.replace(no_space, F.lit("("), F.lit("")))
     ).cast("bigint")
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> list[tuple[str, str, int]]:
+    """TRAIN a BPE merge table on the corpus (the algorithm of Sennrich et
+    al.; reference tokenizers learn vocabularies exactly this way): start
+    from the character symbol sequence and repeat n_merges times —
+    count all adjacent within-word symbol pairs, take the most frequent
+    (ties broken lexicographically, so the learned table is deterministic
+    and an external oracle replays it), and rewrite every occurrence via
+    the exact-semantics paren replace.
+
+    Returns the learned [(left, right, pair_count), ...] in merge order.
+
+    Scale shape per round: one slice/zip/explode over the current symbol
+    sequences collapsed into a combinable (pair -> count) aggregate —
+    shuffle carries distinct pairs only — and ONE driver row (the
+    argmax).  n_merges rounds = n_merges corpus passes, the honest cost
+    of the sequential algorithm (each round's counts depend on the
+    previous merge); production vocab sizes batch tens of merges per
+    round with the same plan shape."""
+    seq = df.select(bpe_symbols(F.col(text_col)).alias("q"))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        sy = seq.filter(F.length("q") >= 4).select(
+            F.split(F.expr("substring(q, 2, length(q) - 2)"), r"\)\(").alias("a")
+        )
+        pairs = sy.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a) - 1)").alias("x"),
+                    F.expr("slice(a, 2, size(a) - 1)").alias("y"),
+                )
+            ).alias("p")
+        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        best = (
+            pairs.filter((F.col("x") != " ") & (F.col("y") != " "))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x"), F.col("y"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, cnt = best[0]["x"], best[0]["y"], int(best[0]["cnt"])
+        merges.append((x, y, cnt))
+        seq = seq.select(
+            F.replace(F.col("q"), F.lit(f"({x})({y})"), F.lit(f"({x}{y})")).alias("q")
+        )
+    return merges

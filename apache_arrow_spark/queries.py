@@ -6629,6 +6629,71 @@ def q213_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q214 — BPE vocabulary TRAINING: five merge rounds, each one pair-count
+# aggregate + a deterministic argmax, replayed in SQL with scalar
+# subqueries.
+# --------------------------------------------------------------------------
+def _q214_rounds_sql(n: int) -> str:
+    parts = []
+    for i in range(1, n + 1):
+        parts.append(f"""
+    sy{i} AS (SELECT str_split(substr(q, 2, length(q) - 2), ')(') AS a
+              FROM s{i-1} WHERE length(q) >= 4),
+    pr{i} AS (
+      SELECT u.p[1] AS x, u.p[2] AS y
+      FROM sy{i}, LATERAL (SELECT unnest(list_transform(range(1, len(a)),
+                                         k -> [a[k], a[k+1]])) AS p) u
+      WHERE u.p[1] <> ' ' AND u.p[2] <> ' '),
+    c{i} AS (SELECT x, y, count(*) AS cnt FROM pr{i} GROUP BY x, y),
+    m{i} AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM c{i}
+             ORDER BY cnt DESC, x, y LIMIT 1),
+    s{i} AS (SELECT s.doc_id,
+                    replace(s.q, '(' || m.x || ')(' || m.y || ')',
+                            '(' || m.x || m.y || ')') AS q
+             FROM s{i-1} s CROSS JOIN m{i} m)""")
+    return ",".join(parts)
+
+
+@register(
+    "q214_bpe_train",
+    f"""
+    WITH d AS (SELECT doc_id, regexp_replace({_SQL_NORM}, '[^a-z0-9 ]', '', 'g') AS t
+               FROM documents),
+    s0 AS (SELECT doc_id, regexp_replace(t, '(.)', '(\\1)', 'g') AS q FROM d),
+    {_q214_rounds_sql(5)}
+    SELECT * FROM (
+      SELECT 1 AS rank, x AS left_sym, y AS right_sym, cnt AS pair_count FROM m1
+      UNION ALL SELECT 2, x, y, cnt FROM m2
+      UNION ALL SELECT 3, x, y, cnt FROM m3
+      UNION ALL SELECT 4, x, y, cnt FROM m4
+      UNION ALL SELECT 5, x, y, cnt FROM m5)
+    """,
+)
+def q214_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING on the corpus (text.bpe_train_merges), the
+    Sennrich et al. algorithm: five rounds of count-all-adjacent-pairs ->
+    deterministic argmax (count desc, pair asc) -> exact merge rewrite.
+    Each round is one combinable pair-count aggregate (shuffle carries
+    DISTINCT pairs, never the symbol stream) plus a single driver row;
+    the sequential dependence between rounds is the algorithm, not a plan
+    defect — production trainers batch many merges per round with the
+    same shape.  The oracle replays all five rounds in SQL, the
+    data-dependent merge choice expressed as a scalar subquery CROSS
+    JOINed into the next rewrite — learned vocabulary must match
+    bit-for-bit."""
+    from apache_arrow_spark.functions.text import bpe_train_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    learned = bpe_train_merges(d, "text", n_merges=5)
+    rows = [
+        (i + 1, x, y, cnt) for i, (x, y, cnt) in enumerate(learned)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

@@ -139,3 +139,51 @@ def test_bpe_apply_merges_matches_reference_bpe(spark):
     }
     for i, text in docs:
         assert got[i] == ref_bpe_count(text), (i, text, got[i], ref_bpe_count(text))
+
+
+def test_bpe_train_merges_matches_reference_trainer(spark):
+    from collections import Counter
+
+    from apache_arrow_spark.functions.text import bpe_train_merges
+
+    docs = [
+        (1, "the thin thing then"),
+        (2, "another anthem ant an"),
+        (3, "er er er era errr"),
+    ]
+
+    def ref_train(texts, n):
+        import re
+
+        words = []
+        for t in texts:
+            t = re.sub(r"\s+", " ", t.lower()).strip()
+            t = re.sub(r"[^a-z0-9 ]", "", t)
+            words += [list(w) for w in t.split()]
+        merges = []
+        for _ in range(n):
+            cnt = Counter()
+            for w in words:
+                for a, b in zip(w, w[1:]):
+                    cnt[(a, b)] += 1
+            if not cnt:
+                break
+            (x, y), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((x, y, c))
+            new_words = []
+            for w in words:
+                out, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == x and w[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                new_words.append(out)
+            words = new_words
+        return merges
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bpe_train_merges(df, "text", n_merges=4)
+    assert got == ref_train([t for _, t in docs], 4)
