@@ -726,3 +726,86 @@ def streaming_lsh_index_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    shift: int = 10000,
+) -> DataFrame:
+    """INTEGER-EXACT Lloyd k-means: quantize vectors to non-negative int64
+    (floor(x * scale) + shift — floor on a double is pure IEEE, the shift
+    keeps every later floor-division on positives where all engines
+    agree), seed centroids from the first k ids, then alternate exact
+    integer assignment (argmin squared distance, ties to the lowest
+    cluster id) and exact centroid update (per-dimension integer mean).
+    Every round is bit-reproducible across engines — unlike float k-means
+    (MLlib's path, used by ivf_assign), where summation order changes
+    results.
+
+    Returns the final assignment (id_col, cluster, d2) under the last
+    trained centroids.
+
+    Scale shape per round: assignment = broadcast k centroids cross the
+    corpus + a per-vector top-1 window (partitioned by vector id, never
+    global); update = posexplode to (cluster, dim) cells -> combinable
+    sums -> k*dim driver rows (the model).  rounds corpus passes total —
+    Lloyd's honest cost."""
+    from pyspark.sql import Window
+
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: (F.floor(x * scale) + shift).cast("bigint"),
+        ).alias("q"),
+    ).persist()
+    # centroids carry their ORIGINAL cluster id across rounds so an empty
+    # cluster drops out without renumbering the others (oracle-identical)
+    cents = [
+        (int(r["vid"]), [int(v) for v in r["q"]])
+        for r in q.filter(F.col("vid") < k).orderBy("vid").collect()
+    ]
+
+    def assign(cent_rows):
+        cdf = q.sparkSession.createDataFrame(
+            cent_rows, "cid int, cent array<bigint>"
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("q"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            q.crossJoin(F.broadcast(cdf))
+            .select("vid", "q", "cid", d2.alias("d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    for _ in range(rounds):
+        a = assign(cents)
+        cells = (
+            a.select("cid", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in cells:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = int(r["s"]) // int(r["n"])
+        cents = [
+            (ci, [by_cid[ci][d] for d in sorted(by_cid[ci])])
+            for ci in sorted(by_cid)
+        ]
+
+    out = assign(cents).select(
+        F.col("vid").alias(id_col), F.col("cid").alias("cluster"), "d2"
+    )
+    return out

@@ -6694,6 +6694,72 @@ def q214_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q215 — integer-exact k-means training (2 Lloyd rounds): the trainable,
+# oracle-replayable coarse quantizer.
+# --------------------------------------------------------------------------
+_Q215_D2 = (
+    "list_sum(list_transform(range(1, len(v.q) + 1), "
+    "i -> (v.q[i] - c.cent[i]) * (v.q[i] - c.cent[i])))"
+)
+
+
+def _q215_round_sql(i: int, cents: str) -> str:
+    return f"""
+    a{i} AS (
+      SELECT v.vid, v.q, c.cid, {_Q215_D2} AS d2
+      FROM v CROSS JOIN {cents} c
+      QUALIFY row_number() OVER (PARTITION BY v.vid ORDER BY d2, c.cid) = 1),
+    cell{i} AS (
+      SELECT cid, u.i AS dim, CAST(sum(u.val) AS BIGINT) AS s, count(*) AS n
+      FROM a{i}, LATERAL (SELECT unnest(q) AS val,
+                                 generate_subscripts(q, 1) AS i) u
+      GROUP BY cid, u.i),
+    c{i} AS (SELECT cid, list(s // n ORDER BY dim) AS cent FROM cell{i} GROUP BY cid)"""
+
+
+@register(
+    "q215_kmeans_exact",
+    f"""
+    WITH v AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 10000) AS q
+      FROM embeddings),
+    c0 AS (SELECT vid AS cid, q AS cent FROM v WHERE vid < 8),
+    {_q215_round_sql(1, "c0")},
+    {_q215_round_sql(2, "c1")},
+    a3 AS (
+      SELECT v.vid, c.cid, {_Q215_D2} AS d2
+      FROM v CROSS JOIN c2 c
+      QUALIFY row_number() OVER (PARTITION BY v.vid ORDER BY d2, c.cid) = 1)
+    SELECT cid AS cluster, count(*) AS n_members,
+           CAST(sum(d2) AS BIGINT) AS inertia
+    FROM a3 GROUP BY cid
+    """,
+)
+def q215_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means TRAINING inside the engine, integer-exact
+    (similarity.kmeans_train_exact): two Lloyd rounds over int64-quantized
+    embeddings — float k-means (MLlib, the ivf_assign path) is not
+    reproducible across engines because double summation is
+    order-dependent; quantize-first makes every assignment and every
+    centroid update exact integer arithmetic, so the oracle replays the
+    full training trajectory bit-for-bit (assignment = per-vector top-1
+    window over broadcast centroids; update = posexplode cells ->
+    combinable sums -> k x dim driver rows).  The readout is the final
+    clustering's size and exact integer inertia per cluster — the
+    trained coarse quantizer a production IVF index would partition by."""
+    from apache_arrow_spark.functions.similarity import kmeans_train_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_train_exact(e, k=8, rounds=2)
+    return a.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

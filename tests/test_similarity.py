@@ -266,3 +266,58 @@ def test_pairwise_moment_identity_matches_bruteforce(spark):
     assert brute == moment
     # and the Spark query path agrees with the python model
     from apache_arrow_spark.queries import QUERIES  # noqa: F401  (import check)
+
+
+def test_kmeans_train_exact_matches_reference(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.similarity import kmeans_train_exact
+
+    vecs = [
+        (i, [((i * 13 + j * 7) % 21 - 10) / 4.0 for j in range(6)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+
+    def ref(k=4, rounds=2, scale=1000, shift=10000):
+        import struct
+
+        def f32(x):
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        q = {i: [math.floor(f32(x) * scale) + shift for x in v] for i, v in vecs}
+        cents = {i: list(q[i]) for i in range(k)}
+
+        def assign(cents):
+            out = {}
+            for i, v in q.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                    for cid, c in cents.items()
+                )
+                out[i] = best
+            return out
+
+        for _ in range(rounds):
+            a = assign(cents)
+            sums, counts = {}, {}
+            for i, (d2, cid) in a.items():
+                counts[cid] = counts.get(cid, 0) + 1
+                s = sums.setdefault(cid, [0] * 6)
+                for d, x in enumerate(q[i]):
+                    s[d] += x
+            cents = {
+                cid: [s // counts[cid] for s in sums[cid]] for cid in sums
+            }
+        return assign(cents)
+
+    got = {
+        r["vec_id"]: (r["d2"], r["cluster"])
+        for r in kmeans_train_exact(df, k=4, rounds=2).collect()
+    }
+    assert got == ref()
