@@ -98,3 +98,122 @@ def unigram_nll(
             / (F.lit(float(_Q)) * F.col("n_tokens").cast("double"))
         ).alias("nll"),
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    split_salt: str = "nb",
+    train_frac: float = 0.7,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier in-engine and evaluate
+    it on a held-out split: the count-based, integer-exact version of the
+    fasttext-style domain/language filters production pipelines train on
+    their own corpora.
+
+    Split is the deterministic hash rule (hash(id) < train_frac) — the
+    same rows every run, every engine.  The model is two count tables:
+    per-label doc priors and per-(term, label) token counts with add-one
+    smoothing over the train vocabulary; both log-probabilities are
+    floor-quantized to int64 once per MODEL CELL (the q100 discipline),
+    so per-document scores are exact integer sums — argmax (ties to the
+    lexicographically first label) is engine-reproducible.
+
+    Returns the held-out confusion matrix (actual, predicted, n).
+
+    Scale shape: the corpus tokenizes once into per-(doc, term) counts;
+    the model is (vocab x labels) cells — broadcast-sized — joined onto
+    the test cells; scoring is one combinable sum per (doc, label) and a
+    per-doc top-1 window.  Swapping in a trained fasttext weight table
+    (q204's hashed_linear_score) changes the model join, not the shape."""
+    from apache_arrow_spark.functions.pipeline import HASH_MOD, hash_bucket
+    from apache_arrow_spark.functions.text import tokens
+
+    thr = int(train_frac * HASH_MOD)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(text_col).alias("t"),
+        (hash_bucket(F.col(id_col), split_salt) < thr).alias("is_train"),
+    )
+    cells = (
+        base.select("id", "label", "is_train", F.explode(tokens(F.col("t"))).alias("term"))
+        .groupBy("id", "label", "is_train", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+
+    train = cells.filter(F.col("is_train"))
+    vocab_n = train.select("term").distinct().count()
+    label_stats = (
+        train.groupBy("label")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .collect()
+    )
+    n_total_docs = sum(r["n_docs"] for r in label_stats)
+    q = 10_000_000.0
+    import math
+
+    lab_rows = [
+        (
+            r["label"],
+            int(math.floor(math.log(r["n_docs"] / n_total_docs) * q)),
+            int(math.floor(math.log(1.0 / (r["n_tok"] + vocab_n)) * q)),
+            int(r["n_tok"]),
+        )
+        for r in label_stats
+    ]
+    labels_df = df.sparkSession.createDataFrame(
+        lab_rows, "label string, prior_q bigint, default_q bigint, n_tok bigint"
+    )
+
+    model = (
+        train.groupBy("term", "label")
+        .agg(F.sum("tf").alias("c"))
+        .join(F.broadcast(labels_df.select("label", "n_tok")), "label")
+        .select(
+            "term",
+            "label",
+            F.floor(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("n_tok") + F.lit(float(vocab_n))))
+                * F.lit(q)
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+
+    test = cells.filter(~F.col("is_train")).select(
+        "id", F.col("label").alias("actual"), "term", "tf"
+    )
+    scored = (
+        test.crossJoin(
+            F.broadcast(labels_df.select("label", "prior_q", "default_q"))
+        )
+        .join(F.broadcast(model), ["term", "label"], "left")
+        .groupBy("id", "actual", "label", "prior_q")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("lpq"), F.col("default_q"))
+            ).alias("s")
+        )
+        .select(
+            "id",
+            "actual",
+            "label",
+            (F.col("prior_q") + F.col("s")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label").asc())
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "actual", F.col("label").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))

@@ -6760,6 +6760,70 @@ def q215_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q216 — Naive Bayes language classifier: train on a 70% hash split,
+# confusion matrix on the held-out 30%, integer-exact end to end.
+# --------------------------------------------------------------------------
+@register(
+    "q216_nb_confusion",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id, lang AS label, {_SQL_TOKENS} AS toks,
+             {sql_hash_bucket("doc_id", "q216")} < 700000 AS is_train
+      FROM documents),
+    cells AS (
+      SELECT id, label, is_train, term, count(*) AS tf
+      FROM (SELECT id, label, is_train, unnest(toks) AS term FROM base)
+      GROUP BY 1, 2, 3, 4),
+    tr AS (SELECT * FROM cells WHERE is_train),
+    voc AS (SELECT count(DISTINCT term) AS v FROM tr),
+    ls AS (SELECT label, CAST(sum(tf) AS BIGINT) AS n_tok,
+                  count(DISTINCT id) AS n_docs
+           FROM tr GROUP BY label),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM ls),
+    lab AS (SELECT label, n_tok,
+                   CAST(floor(ln(CAST(n_docs AS DOUBLE) / nd) * 10000000.0) AS BIGINT) AS prior_q,
+                   CAST(floor(ln(1.0 / (n_tok + v)) * 10000000.0) AS BIGINT) AS default_q
+            FROM ls, tot, voc),
+    model AS (
+      SELECT t.term, t.label,
+             CAST(floor(ln((sum(t.tf) + 1.0) / (l.n_tok + v.v)) * 10000000.0) AS BIGINT) AS lpq
+      FROM tr t JOIN lab l USING (label), voc v
+      GROUP BY t.term, t.label, l.n_tok, v.v),
+    test AS (SELECT id, label AS actual, term, tf FROM cells WHERE NOT is_train),
+    sc AS (
+      SELECT te.id, te.actual, l.label,
+             l.prior_q + CAST(sum(te.tf * coalesce(m.lpq, l.default_q)) AS BIGINT) AS score
+      FROM test te CROSS JOIN lab l
+      LEFT JOIN model m ON m.term = te.term AND m.label = l.label
+      GROUP BY te.id, te.actual, l.label, l.prior_q),
+    pred AS (SELECT id, actual, label AS predicted FROM sc
+             QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, label) = 1)
+    SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+)
+def q216_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained IN-ENGINE on a
+    deterministic 70% hash split and evaluated on the held-out 30%
+    (lm.naive_bayes_confusion) — the trained counterpart of q29's
+    heuristic lang-id and the count-based archetype of the domain /
+    quality classifiers production corpora are filtered with.  Model
+    log-probs are floor-quantized per CELL (q100 discipline) so document
+    scores are exact integer sums and the argmax label reproduces
+    bit-for-bit; the oracle retrains and re-evaluates the whole thing in
+    SQL.  Scale: the model is vocab x labels cells broadcast onto test
+    cells; scoring is a combinable sum + per-doc top-1 window.  (On the
+    synthetic corpus the ~40-word vocabulary is shared across langs, so
+    held-out accuracy is modest — the graded content is the exact
+    train/eval machinery, not the fixture's separability.)"""
+    from apache_arrow_spark.functions.lm import naive_bayes_confusion
+
+    d = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(
+        d, "text", "lang", "doc_id", split_salt="q216", train_frac=0.7
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

@@ -67,3 +67,24 @@ def test_runs_on_testdata(spark, sf_dir):
     nonempty = d.filter(F.length(F.btrim("text")) > 0).count()
     assert len(rows) == nonempty
     assert all(r["nll"] > 0 for r in rows)
+
+
+def test_naive_bayes_confusion_partitions_test_set(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.lm import naive_bayes_confusion
+    from apache_arrow_spark.functions.pipeline import HASH_MOD, hash_bucket
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc" if i % 2 else "xx yy zz", "L" + str(i % 2)) for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    cm = naive_bayes_confusion(docs, "text", "lang", "doc_id", split_salt="t", train_frac=0.5)
+    rows = cm.collect()
+    # every held-out doc appears exactly once in the matrix
+    n_test = docs.filter(
+        hash_bucket(F.col("doc_id"), "t") >= int(0.5 * HASH_MOD)
+    ).count()
+    assert sum(r["n"] for r in rows) == n_test
+    # perfectly separable vocab: diagonal only
+    assert all(r["actual"] == r["predicted"] for r in rows)
