@@ -623,3 +623,59 @@ def global_value_rank(
     return p.withColumn(
         rank_col, (F.row_number().over(w) + omap[F.col("__pid")]).cast("bigint")
     ).drop("__pid")
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    n_select: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, int, int]]:
+    """Greedy max-coverage data selection (the submodular/facility-location
+    recipe from the data-pruning literature): repeatedly pick the document
+    whose token set adds the most NOT-YET-COVERED terms (ties to the
+    lowest id), n_select rounds.  The greedy algorithm carries the
+    classic (1 - 1/e) coverage guarantee, and every round is
+    deterministic, so an external oracle replays the selection exactly.
+
+    Returns [(doc_id, marginal_gain, covered_total), ...] in pick order.
+
+    Scale shape per round: the corpus's distinct (doc, term) cells are
+    computed ONCE and persisted; each round is one broadcast anti-join
+    against the covered-term set (selection-size bounded, tiny) plus a
+    combinable count and ONE driver row.  n_select rounds = n_select
+    cheap aggregate passes over the cell table, never the text."""
+    from apache_arrow_spark.functions.text import tokens
+
+    cells = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+        .persist()
+    )
+    cells.count()
+    covered: set[str] = set()
+    picks: list[tuple[int, int, int]] = []
+    spark = df.sparkSession
+    for _ in range(n_select):
+        live = cells
+        if covered:
+            cov_df = spark.createDataFrame([(t,) for t in sorted(covered)], "term string")
+            live = cells.join(F.broadcast(cov_df), "term", "left_anti")
+        best = (
+            live.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["gain"] == 0:
+            break
+        wid, gain = int(best[0]["id"]), int(best[0]["gain"])
+        new_terms = {
+            r["term"]
+            for r in live.filter(F.col("id") == wid).select("term").collect()
+        }
+        covered |= new_terms
+        picks.append((wid, gain, len(covered)))
+    cells.unpersist()
+    return picks

@@ -6824,6 +6824,68 @@ def q216_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q217 — greedy max-coverage data selection (submodular/facility-location
+# pruning): 5 rounds of marginal-gain argmax, SQL-replayed.
+# --------------------------------------------------------------------------
+def _q217_rounds_sql(n: int) -> str:
+    parts = []
+    for i in range(1, n + 1):
+        live = "cells" if i == 1 else f"l{i}"
+        if i > 1:
+            parts.append(f"""
+    l{i} AS (SELECT c.* FROM cells c
+             WHERE NOT EXISTS (SELECT 1 FROM cov{i-1} v WHERE v.term = c.term)),""")
+        parts.append(f"""
+    w{i} AS (SELECT id, count(*) AS gain FROM {live} GROUP BY id
+             ORDER BY gain DESC, id LIMIT 1),
+    cov{i} AS ({"SELECT term FROM cov" + str(i-1) + " UNION " if i > 1 else ""}
+               SELECT DISTINCT c.term FROM {live} c JOIN w{i} ON c.id = w{i}.id),""")
+    return "".join(parts).rstrip(",")
+
+
+@register(
+    "q217_coverage_select",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT id, term FROM (
+        SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS term FROM documents)),
+    {_q217_rounds_sql(5)}
+    SELECT * FROM (
+      SELECT 1 AS rank, w1.id AS doc_id, CAST(w1.gain AS BIGINT) AS marginal_gain,
+             CAST((SELECT count(*) FROM cov1) AS BIGINT) AS covered_total FROM w1
+      UNION ALL SELECT 2, w2.id, CAST(w2.gain AS BIGINT),
+             CAST((SELECT count(*) FROM cov2) AS BIGINT) FROM w2
+      UNION ALL SELECT 3, w3.id, CAST(w3.gain AS BIGINT),
+             CAST((SELECT count(*) FROM cov3) AS BIGINT) FROM w3
+      UNION ALL SELECT 4, w4.id, CAST(w4.gain AS BIGINT),
+             CAST((SELECT count(*) FROM cov4) AS BIGINT) FROM w4
+      UNION ALL SELECT 5, w5.id, CAST(w5.gain AS BIGINT),
+             CAST((SELECT count(*) FROM cov5) AS BIGINT) FROM w5)
+    """,
+)
+def q217_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage data selection (pipeline.greedy_coverage_select)
+    — the submodular facility-location recipe from the data-pruning
+    literature, carrying the classic (1 - 1/e) guarantee: each round
+    picks the document adding the most not-yet-covered vocabulary (ties
+    to the lowest id) and stops early once coverage saturates — the
+    diminishing-returns curve IS the readout.  Per round: one broadcast
+    anti-join against the covered-term set + a combinable count + one
+    driver row; the oracle replays all rounds with NOT EXISTS chains and
+    must select the identical documents."""
+    from apache_arrow_spark.functions.pipeline import greedy_coverage_select
+
+    d = load_table(spark, sf_dir, "documents")
+    picks = greedy_coverage_select(d, n_select=5)
+    rows = [
+        (i + 1, wid, gain, cov) for i, (wid, gain, cov) in enumerate(picks)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, doc_id bigint, marginal_gain bigint, covered_total bigint"
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

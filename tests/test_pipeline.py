@@ -219,3 +219,20 @@ def test_global_value_rank_empty(spark):
 
     empty = spark.createDataFrame([], "id long, v long")
     assert global_value_rank(empty, ["v", "id"]).count() == 0
+
+
+def test_greedy_coverage_select_reference(spark):
+    from apache_arrow_spark.functions.pipeline import greedy_coverage_select
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b"),
+        (3, "e f g"),
+        (4, "c d e"),
+        (5, "h"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    picks = greedy_coverage_select(df, n_select=5)
+    # round 1: doc 1 covers {a,b,c,d} (gain 4); round 2: doc 3 adds {e,f,g}
+    # (gain 3); round 3: doc 5 adds {h}; then saturated -> early stop
+    assert picks == [(1, 4, 4), (3, 3, 7), (5, 1, 8)]
