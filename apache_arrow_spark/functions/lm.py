@@ -217,3 +217,82 @@ def naive_bayes_confusion(
         .select("id", "actual", F.col("label").alias("predicted"))
     )
     return pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Per-document mean NLL under an INTERPOLATED bigram/unigram model
+    trained on the corpus itself — the next model class up from
+    :func:`unigram_nll` (CCNet-style perplexity filters typically use
+    higher-order n-grams): P(w2|w1) = lambda * (c12 + 1)/(c1 + V) +
+    (1 - lambda) * (c2 + 1)/(N + V), with lambda = lambda_milli/1000.
+
+    Exactness: the interpolated probability is computed per (w1, w2)
+    MODEL CELL from exact integer counts and floor-quantized ONCE
+    (q100's per-cell discipline) — per-document totals are then pure
+    int64 sums.  Documents shorter than 2 tokens are dropped (no bigram
+    support).  Returns (id_col, n_bigrams, nll_q, nll).
+
+    Scale shape: one explode into adjacent pairs (slice/zip, no UDF),
+    collapsed immediately to per-(doc, w1, w2) counts — the only
+    corpus-sized shuffle; the model cell table (distinct bigrams) joins
+    broadcast-style onto the scoring cells."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("a")
+    ).filter(F.size("a") >= 2)
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(a, 1, size(a) - 1)").alias("w1"),
+                F.expr("slice(a, 2, size(a) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cells = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cells = cells.persist()
+
+    big = cells.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    uni_next = cells.groupBy("w2").agg(F.sum("tf").alias("c2"))
+    uni_prev = cells.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    totals = big.agg(
+        F.sum("c12").alias("n"), F.count_distinct(F.col("w2")).alias("v")
+    )
+    lam = lambda_milli / 1000.0
+    p = (
+        F.lit(lam)
+        * (F.col("c12") + F.lit(1.0))
+        / (F.col("c1") + F.col("v"))
+        + F.lit(1.0 - lam) * (F.col("c2") + F.lit(1.0)) / (F.col("n") + F.col("v"))
+    )
+    model = (
+        big.join(uni_prev, "w1")
+        .join(uni_next, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(p) * F.lit(float(_Q))).cast("bigint").alias("lpq"),
+        )
+    )
+    scored = (
+        cells.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (-F.sum(F.col("tf") * F.col("lpq"))).alias("nll_q"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "nll_q",
+        (
+            F.col("nll_q").cast("double")
+            / (F.lit(float(_Q)) * F.col("n_bigrams").cast("double"))
+        ).alias("nll"),
+    )

@@ -6886,6 +6886,54 @@ def q217_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q218 — interpolated bigram LM perplexity: the next model class above
+# q100's unigram (lambda and 1-lambda pinned to the identical doubles).
+# --------------------------------------------------------------------------
+@register(
+    "q218_bigram_nll",
+    f"""
+    WITH tk AS (SELECT doc_id AS id, {_SQL_TOKENS} AS a FROM documents),
+    t2 AS (SELECT id, a FROM tk WHERE len(a) >= 2),
+    pr AS (
+      SELECT id, u.p[1] AS w1, u.p[2] AS w2
+      FROM t2, LATERAL (SELECT unnest(list_transform(range(1, len(a)),
+                                      k -> [a[k], a[k+1]])) AS p) u),
+    cells AS (SELECT id, w1, w2, count(*) AS tf FROM pr GROUP BY 1, 2, 3),
+    big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM cells GROUP BY 1, 2),
+    up AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS c1 FROM cells GROUP BY 1),
+    un AS (SELECT w2, CAST(sum(tf) AS BIGINT) AS c2 FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n, count(DISTINCT w2) AS v FROM big),
+    model AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln(CAST({0.7!r} AS DOUBLE) * (b.c12 + 1.0) / (p.c1 + t.v)
+                           + CAST({1.0 - 0.7!r} AS DOUBLE) * (u.c2 + 1.0) / (t.n + t.v))
+                        * 10000000.0) AS BIGINT) AS lpq
+      FROM big b JOIN up p USING (w1) JOIN un u USING (w2), tot t)
+    SELECT c.id AS doc_id,
+           CAST(sum(c.tf) AS BIGINT) AS n_bigrams,
+           CAST(-sum(c.tf * m.lpq) AS BIGINT) AS nll_q,
+           CAST(-sum(c.tf * m.lpq) AS DOUBLE) / (10000000.0 * sum(c.tf)) AS nll
+    FROM cells c JOIN model m ON c.w1 = m.w1 AND c.w2 = m.w2
+    GROUP BY c.id
+    """,
+)
+def q218_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity proxy (lm.bigram_nll): per-doc
+    mean NLL under lambda*bigram + (1-lambda)*unigram with add-one
+    smoothing, the model class CCNet-style filters actually use above
+    q100's unigram.  The interpolated probability is assembled from
+    exact integer counts and floor-quantized once per (w1, w2) MODEL
+    CELL; both lambda and 1-lambda are pinned to the identical IEEE
+    doubles in the oracle (1.0 - 0.7 != 0.3 in binary — the pinned-
+    literal idiom).  One pair-explode collapsed straight to counts is
+    the only corpus shuffle."""
+    from apache_arrow_spark.functions.lm import bigram_nll
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_nll(d, "text", "doc_id", lambda_milli=700)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

@@ -88,3 +88,43 @@ def test_naive_bayes_confusion_partitions_test_set(spark):
     assert sum(r["n"] for r in rows) == n_test
     # perfectly separable vocab: diagonal only
     assert all(r["actual"] == r["predicted"] for r in rows)
+
+
+def test_bigram_nll_matches_brute_force(spark):
+    import math
+
+    from apache_arrow_spark.functions.lm import bigram_nll
+
+    docs = [(1, "a b a b c"), (2, "b c b"), (3, "a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bigram_nll(df, lambda_milli=700).collect()}
+    assert 3 not in rows  # single-token doc has no bigram support
+
+    # brute force
+    pairs = {}
+    per_doc = {}
+    for i, t in docs:
+        ws = t.split()
+        per_doc[i] = list(zip(ws, ws[1:]))
+        for p in per_doc[i]:
+            pairs[p] = pairs.get(p, 0) + 1
+    c1, c2 = {}, {}
+    for (w1, w2), c in pairs.items():
+        c1[w1] = c1.get(w1, 0) + c
+        c2[w2] = c2.get(w2, 0) + c
+    n = sum(pairs.values())
+    v = len({w2 for _, w2 in pairs})
+    lam, lam2 = 0.7, 1.0 - 0.7
+    lpq = {
+        (w1, w2): math.floor(
+            math.log(
+                lam * (c + 1.0) / (c1[w1] + v) + lam2 * (c2[w2] + 1.0) / (n + v)
+            )
+            * 1e7
+        )
+        for (w1, w2), c in pairs.items()
+    }
+    for i in (1, 2):
+        expect_q = -sum(lpq[p] for p in per_doc[i])
+        assert rows[i]["nll_q"] == expect_q, i
+        assert rows[i]["n_bigrams"] == len(per_doc[i])
