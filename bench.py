@@ -98,6 +98,10 @@ HEADLINE = [
     "q202_video_frame_sample",
     "q203_hybrid_rrf",
     "q204_quality_classifier",
+    # round 3d: in-engine training + selection
+    "q205_perplexity_strata",
+    "q213_bpe_encode",
+    "q216_nb_confusion",
 ]
 
 
