@@ -171,3 +171,74 @@ def rrf_fuse(
             F.col("n_legs").cast("int").alias("n_legs"),
         )
     )
+
+
+def more_like_this(
+    df: DataFrame,
+    query_id: int,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """"More like this" retrieval: sparse TF-IDF cosine similarity of one
+    document against the corpus, computed THROUGH the inverted index —
+    the third retrieval modality next to BM25 (q98, term-at-a-time
+    scoring) and dense ANN (q36, embedding buckets), and the one that
+    needs no trained embedding model.
+
+    Weights are floor-quantized int64 per (doc, term) CELL
+    (tf * (ln((N+1)/(df+1)) + 1), the q81 smoothed idf), so dot products
+    are exact integer sums; norms apply one IEEE-exact sqrt at the end.
+    Returns (rnk, id_col, sim) for the top-k (query excluded).
+
+    Scale shape: the query side is ONE document's cells — broadcast; the
+    corpus-side join touches only postings of the query's terms (the
+    postings-only discipline), then one combinable sum per doc and a
+    TakeOrdered top-k.  No pairwise corpus join exists anywhere."""
+    from pyspark.sql import Window as _W
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    w = F.floor(
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    cells = tf.join(F.broadcast(dfreq), "term").select("id", "term", w.alias("w"))
+    cells = cells.persist()
+    norms = cells.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    qcells = cells.filter(F.col("id") == query_id).select(
+        F.col("term"), F.col("w").alias("wq")
+    )
+    dots = (
+        cells.filter(F.col("id") != query_id)
+        .join(F.broadcast(qcells), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("dot"))
+    )
+    qnorm = norms.filter(F.col("id") == query_id).select(
+        F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "id",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("sim"),
+        )
+    )
+    top = scored.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
+    rw = _W.orderBy(F.col("sim").desc(), F.col("id"))
+    return top.withColumn("rnk", F.row_number().over(rw)).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("id").alias(id_col),
+        "sim",
+    )

@@ -6934,6 +6934,129 @@ def q218_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q219 — "more like this": sparse TF-IDF cosine of one document against
+# the corpus through the inverted index (no embedding model needed).
+# --------------------------------------------------------------------------
+@register(
+    "q219_more_like_this",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    cells AS (
+      SELECT tf.id, tf.term,
+             CAST(floor(tf.tf * (ln((nn.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                        * 1000000.0) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term), nn),
+    norms AS (SELECT id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+              FROM cells GROUP BY id),
+    qc AS (SELECT term, w AS wq FROM cells WHERE id = 0),
+    dots AS (
+      SELECT c.id, CAST(sum(c.w * q.wq) AS BIGINT) AS dot
+      FROM cells c JOIN qc q USING (term)
+      WHERE c.id <> 0 GROUP BY c.id),
+    qn AS (SELECT nrm AS qnrm FROM norms WHERE id = 0),
+    sc AS (
+      SELECT d.id, round(CAST(d.dot AS DOUBLE) / (n.nrm * q.qnrm), 6) AS sim
+      FROM dots d JOIN norms n USING (id), qn q),
+    r AS (SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id) AS rnk FROM sc)
+    SELECT CAST(rnk AS INT) AS rnk, id AS doc_id, sim FROM r WHERE rnk <= 20
+    """,
+)
+def q219_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"More like this" for document 0 (retrieval.more_like_this): sparse
+    TF-IDF cosine through the inverted index — the retrieval modality
+    that needs no embedding model, complementing BM25 (q98) and dense
+    ANN (q36).  Weights floor-quantize per cell so dot products are
+    exact integer sums (one sqrt at the end — IEEE-correctly-rounded in
+    every engine); the corpus-side join touches only postings of the
+    query's terms, then a combinable per-doc sum and TakeOrdered top-20.
+    No pairwise corpus join anywhere."""
+    from apache_arrow_spark.functions.retrieval import more_like_this
+
+    d = load_table(spark, sf_dir, "documents")
+    return more_like_this(d, query_id=0, k=20)
+
+
+# --------------------------------------------------------------------------
+# q220 — Markov next-event predictor: train the transition argmax on a
+# 70% user split, measure held-out top-1 accuracy per source state.
+# --------------------------------------------------------------------------
+@register(
+    "q220_markov_predictor",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+             {sql_hash_bucket("user_id", "q220")} < 700000 AS is_train
+      FROM events),
+    tr AS (SELECT from_type, to_type, count(*) AS c
+           FROM t WHERE is_train AND to_type IS NOT NULL
+           GROUP BY 1, 2),
+    model AS (
+      SELECT from_type, to_type AS predicted FROM tr
+      QUALIFY row_number() OVER (PARTITION BY from_type
+                                 ORDER BY c DESC, to_type) = 1),
+    te AS (SELECT from_type, to_type FROM t
+           WHERE NOT is_train AND to_type IS NOT NULL)
+    SELECT te.from_type, m.predicted,
+           count(*) AS n_transitions,
+           CAST(sum(CASE WHEN te.to_type = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN te.to_type = m.predicted THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_micro
+    FROM te JOIN model m USING (from_type)
+    GROUP BY te.from_type, m.predicted
+    """,
+)
+def q220_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral next-event prediction evaluated honestly: train the
+    first-order Markov argmax (q126's transition matrix reduced to its
+    top-1 per state, ties to the lexicographically first target) on a
+    LEAK-PROOF 70% user hash split — the whole user lands on one side,
+    the q67 group-split discipline — and score top-1 accuracy on held-out
+    users' transitions.  One lead window keyed on user, two bounded-cell
+    aggregates, a |states|-row broadcast model join; accuracy in exact
+    integer micro-units."""
+    e = load_table(spark, sf_dir, "events")
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (hash_bucket(F.col("user_id"), "q220") < 700000).alias("is_train"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = (
+        t.filter(F.col("is_train"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mw = Window.partitionBy("from_type").orderBy(
+        F.col("c").desc(), F.col("to_type").asc()
+    )
+    model = (
+        tr.withColumn("__rn", F.row_number().over(mw))
+        .filter(F.col("__rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    te = t.filter(~F.col("is_train")).select("from_type", "to_type")
+    hit = F.when(F.col("to_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        te.join(F.broadcast(model), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.expr(
+                "cast(sum(case when to_type = predicted then 1 else 0 end) * 1000000"
+                " div count(1) as bigint)"
+            ).alias("accuracy_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
