@@ -154,3 +154,78 @@ def test_table_checksum_empty_and_null_groups(spark):
     rows = {r["group_key"]: r for r in table_checksum(withnull, ["a"], group_by="g").collect()}
     # null group key renders as a real group (cast to string -> NULL row kept)
     assert len(rows) == 2 and all(r["n_rows"] == 1 for r in rows.values())
+
+
+def test_rrf_fuse_empty_leg(spark):
+    from apache_arrow_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1)], "doc_id long, rnk int")
+    empty = spark.createDataFrame([], "doc_id long, rnk int")
+    rows = rrf_fuse([lex, empty], k=5).collect()
+    assert len(rows) == 1 and rows[0]["n_legs"] == 1
+
+
+def test_bigram_nll_degenerate_docs(spark):
+    from apache_arrow_spark.functions.lm import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, None), (4, "two words")],
+        "doc_id long, text string",
+    )
+    rows = bigram_nll(docs).collect()
+    # only doc 4 has bigram support
+    assert [r["doc_id"] for r in rows] == [4]
+
+
+def test_more_like_this_missing_query_doc(spark):
+    from apache_arrow_spark.functions.retrieval import more_like_this
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # query id 99 has no cells: empty result, no error
+    assert more_like_this(docs, query_id=99, k=5).count() == 0
+
+
+def test_frame_sample_empty_video(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.multimodal import encode_mvid, frame_sample
+
+    blob = encode_mvid([])
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    assert frame_sample(df, every_n=2).count() == 0
+
+
+def test_snapshot_partition_diff_empty_sides(spark):
+    from apache_arrow_spark.functions.profiling import snapshot_partition_diff
+
+    v = spark.createDataFrame([("p", 1)], "pk string, id long")
+    empty = spark.createDataFrame([], "pk string, id long")
+    gone = snapshot_partition_diff(v, empty, ["id"], "pk").collect()
+    assert gone[0]["status"] == "removed"
+    new = snapshot_partition_diff(empty, v, ["id"], "pk").collect()
+    assert new[0]["status"] == "added"
+
+
+def test_kmeans_train_exact_fewer_points_than_k(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.similarity import kmeans_train_exact
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    rows = kmeans_train_exact(df, k=4, rounds=1).collect()
+    assert len(rows) == 2  # every point assigned; extra seeds just unused
+
+
+def test_hashed_linear_score_all_null_text(spark):
+    from apache_arrow_spark.functions.importance import (
+        demo_linear_weights,
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = hashed_linear_score(docs, demo_linear_weights(spark, 8), n_buckets=8).collect()
+    assert rows[0]["n_tokens"] == 0 and rows[0]["keep"] is False
