@@ -588,3 +588,89 @@ def audio_features(media_df: DataFrame) -> DataFrame:
         "doc_id bigint, sample_rate int, n_samples int, "
         "energy_micro bigint, zero_crossings bigint",
     )
+
+
+def perceptual_dhash_blocks(media_df: DataFrame) -> DataFrame:
+    """REAL perceptual hash (dHash) over a binary image column: decode
+    BMP/PPM pixels, nearest-neighbor resize to 9x8 with the exact integer
+    floor mapping, gray = r+g+b, bit(k) = gray(X+1,Y) > gray(X,Y) over
+    the 8x8 difference grid.  The 64 bits are emitted as FOUR 16-bit
+    block integers (b0..b3) — signed-int64-safe in any engine and
+    exactly the pigeonhole join keys near-duplicate banding needs.
+    One mapInPandas pass, embarrassingly parallel."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blocks = [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image_pixels(bytes(p)).astype(np.int64)
+                g = resize_pixels(px, 9, 8).sum(axis=-1)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()  # 64
+                bl = [
+                    int(sum(bits[b * 16 + j] << j for j in range(16)))
+                    for b in range(4)
+                ]
+                ids.append(int(i))
+                blocks.append(bl)
+            arr = np.array(blocks, dtype="int64") if blocks else np.zeros((0, 4), "int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "b0": arr[:, 0],
+                    "b1": arr[:, 1],
+                    "b2": arr[:, 2],
+                    "b3": arr[:, 3],
+                }
+            )
+
+    return media_df.mapInPandas(
+        _hash, "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def image_near_duplicates(
+    media_df: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual dHash: pigeonhole block
+    equi-join (hamming <= 2 over 4 blocks forces >= 2 identical blocks,
+    so ANY single-block match is a complete candidate generator), then
+    exact hamming verify via per-block XOR popcounts.  Returns
+    (id_a, id_b, hamming) — the q34 SimHash discipline applied to the
+    REAL decoded-image hash; candidate generation is an equi-join on
+    16-bit block values, never an all-pairs comparison."""
+    h = perceptual_dhash_blocks(media_df)
+    blocks = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("blk"), F.col(f"b{b}").alias("v"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.blk", "e.v")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ha, hb = h.alias("ha"), h.alias("hb")
+    ham = sum(
+        F.bit_count(
+            F.col(f"ha.b{i}").bitwiseXOR(F.col(f"hb.b{i}")).cast("bigint")
+        )
+        for i in range(4)
+    )
+    return (
+        cand.join(ha, cand.id_a == F.col("ha.doc_id"))
+        .join(hb, cand.id_b == F.col("hb.doc_id"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -7057,6 +7057,74 @@ def q220_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q221 — image near-duplicates by REAL perceptual hash (dHash): decode ->
+# resize -> gradient bits -> pigeonhole block join -> exact hamming.
+# --------------------------------------------------------------------------
+@register(
+    "q221_image_near_duplicates",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents),
+    grid AS (
+      SELECT doc_id, w, h, xx.x AS x, yy.y AS y,
+             (xx.x * w) // 9 AS sx, (yy.y * h) // 8 AS sy
+      FROM d, LATERAL (SELECT unnest(range(9)) AS x) xx,
+              LATERAL (SELECT unnest(range(8)) AS y) yy),
+    g AS (
+      SELECT doc_id, x, y,
+             ((doc_id*31 + sx*7 + sy*13) % 256)
+             + ((doc_id*57 + sx*7 + sy*13) % 256)
+             + ((doc_id*97 + sx*7 + sy*13) % 256) AS gray
+      FROM grid),
+    bits AS (
+      SELECT a.doc_id, (a.y * 8 + a.x) AS k
+      FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8 AND b.gray > a.gray),
+    bl AS (SELECT d.doc_id, bb.blk FROM d,
+           LATERAL (SELECT unnest(range(4)) AS blk) bb),
+    bsum AS (SELECT doc_id, k // 16 AS blk,
+                    CAST(sum(CAST(1 AS BIGINT) << (k % 16)) AS BIGINT) AS v
+             FROM bits GROUP BY 1, 2),
+    hb AS (SELECT bl.doc_id, bl.blk, CAST(coalesce(bsum.v, 0) AS BIGINT) AS v
+           FROM bl LEFT JOIN bsum ON bl.doc_id = bsum.doc_id AND bl.blk = bsum.blk),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM hb a JOIN hb b
+               ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id),
+    hw AS (SELECT doc_id,
+                  max(CASE WHEN blk = 0 THEN v END) AS b0,
+                  max(CASE WHEN blk = 1 THEN v END) AS b1,
+                  max(CASE WHEN blk = 2 THEN v END) AS b2,
+                  max(CASE WHEN blk = 3 THEN v END) AS b3
+           FROM hb GROUP BY doc_id),
+    p AS (
+      SELECT c.id_a, c.id_b,
+             bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+             + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+      FROM cand c JOIN hw x ON c.id_a = x.doc_id JOIN hw y ON c.id_b = y.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 2
+    """,
+)
+def q221_image_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by REAL perceptual hash
+    (multimodal.image_near_duplicates): decode the actual BMP/PPM bytes,
+    nearest-neighbor resize to the canonical 9x8 grid with the integer
+    floor mapping, dHash gradient bits over the gray sums, then the q34
+    SimHash discipline — pigeonhole 16-bit block equi-join for candidates
+    (hamming <= 2 forces >= 2 identical blocks) and exact per-block XOR
+    popcount verify.  The oracle recomputes the hash from the generating
+    pixel formula alone, so the row only matches if decode -> resize ->
+    hash is faithful end-to-end.  This is how image dedup runs at 100 TB:
+    one decode pass, then integer equi-joins — never pixel-space
+    comparisons between pairs."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        image_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return image_near_duplicates(attach_real_media(d), max_hamming=2)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

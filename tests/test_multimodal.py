@@ -265,3 +265,46 @@ def test_frame_sample_matches_formula(spark):
                 for y in range(h)
             )
             assert by_key[(i, f)]["mean_r_micro"] == s * 1_000_000 // (w * h)
+
+
+def test_perceptual_dhash_matches_formula(spark):
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        perceptual_dhash_blocks,
+    )
+
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    rows = {r["doc_id"]: r for r in perceptual_dhash_blocks(attach_real_media(df)).collect()}
+    for i in range(12):
+        w, h = 8 + i % 5, 8 + i % 7
+        gray = {}
+        for X in range(9):
+            for Y in range(8):
+                sx, sy = X * w // 9, Y * h // 8
+                e = sx * 7 + sy * 13
+                gray[(X, Y)] = sum((i * k + e) % 256 for k in (31, 57, 97))
+        bits = [
+            1 if gray[(X + 1, Y)] > gray[(X, Y)] else 0
+            for Y in range(8)
+            for X in range(8)
+        ]
+        for b in range(4):
+            want = sum(bits[b * 16 + j] << j for j in range(16))
+            assert rows[i][f"b{b}"] == want, (i, b)
+
+
+def test_image_near_duplicates_finds_planted_copy(spark):
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        image_near_duplicates,
+    )
+
+    base = spark.range(6).select(F.col("id").alias("doc_id"))
+    media = attach_real_media(base)
+    # plant an exact pixel copy of doc 0 under a new id
+    twin = media.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        "payload", "media_type", "width", "height",
+    )
+    pairs = image_near_duplicates(media.unionByName(twin), max_hamming=0).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100 and r["hamming"] == 0 for r in pairs)
