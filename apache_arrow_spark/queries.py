@@ -7125,6 +7125,55 @@ def q221_image_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q222 — dedup threshold tuning profile: exact pair counts per Jaccard
+# decile above 0.3 (how aggressive should the near-dup cutoff be?).
+# --------------------------------------------------------------------------
+@register(
+    "q222_similarity_profile",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    tk AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(t, '\\s+') END AS toks
+      FROM d),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+      FROM tk WHERE len(toks) >= 3),
+    s2 AS (SELECT doc_id, g, len(g) AS ls FROM s WHERE len(g) > 0),
+    p AS (
+      SELECT round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / greatest(a.ls + b.ls - len(list_intersect(a.g, b.g)), 1), 6) AS j
+      FROM s2 a JOIN s2 b
+        ON a.doc_id < b.doc_id
+       AND b.ls >= 0.3 * a.ls AND a.ls >= 0.3 * b.ls)
+    SELECT CAST(floor(j * 10) AS INT) AS decile,
+           count(*) AS n_pairs
+    FROM p WHERE j >= 0.3 GROUP BY 1
+    """,
+)
+def q222_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold TUNING readout: exact word-trigram Jaccard pair
+    counts per similarity decile above 0.3 — the curve an operator reads
+    before choosing how aggressive the near-dup cutoff should be (a
+    cliff between deciles = a natural threshold; a smooth tail = hard
+    dedup will cut real variation).  Reuses q140's prefix-filtered exact
+    similarity join at the lower cutoff (the length-ratio and pair-count
+    bounds are theorems at ANY threshold, just weaker at 0.3), then a
+    bounded 7-row histogram.  The oracle is the brute-force all-pairs
+    form."""
+    from apache_arrow_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, jaccard_threshold=0.3)
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -9415,8 +9464,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q207 (EWMA through
-# streaming ANN index maintenance — the late-round-3 operator additions)
+# deferred below with per-line justifications).  q145-q222 (EWMA through
+# the similarity-threshold tuning profile — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
