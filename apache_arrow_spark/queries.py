@@ -7174,6 +7174,68 @@ def q222_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q223 — incremental MIN maintenance under deletes: non-invertible
+# aggregates recompute ONLY the groups the changelog touches.
+# --------------------------------------------------------------------------
+@register(
+    "q223_incremental_min_maintenance",
+    f"""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             {sql_hash_bucket("o_orderkey", "q223")} AS hb
+      FROM orders),
+    remaining AS (SELECT * FROM base WHERE hb >= 50000)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS min_price_cents
+    FROM remaining GROUP BY o_custkey
+    """,
+)
+def q223_incremental_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a NON-invertible aggregate (MIN) under
+    deletes: counts and sums subtract deltas (q169's path), but a deleted
+    row that WAS the group minimum forces a re-scan — the correct
+    incremental plan recomputes ONLY touched groups and unions the
+    untouched snapshot rows through unchanged.  Implementation: the
+    changelog's customer keyset semi-joins the base (touched-group
+    re-aggregate) and anti-joins the prior snapshot (untouched rows pass
+    through); the oracle is the full recompute, so the graded row proves
+    partial-recompute == full-recompute.  At 100 TB the re-scan cost is
+    proportional to TOUCHED groups' rows, not the table."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey"), "q223").alias("hb"),
+    )
+    deleted = base.filter(F.col("hb") < 50000)
+    remaining = base.filter(F.col("hb") >= 50000)
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.min("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("min_price_cents"),
+        )
+
+    # prior snapshot = aggregate over the FULL base (what a materialized
+    # view held before the deletes arrived)
+    snapshot = agg(base.drop("hb"))
+    touched_keys = deleted.select("o_custkey").distinct()
+    recomputed = agg(
+        remaining.join(F.broadcast(touched_keys), "o_custkey", "left_semi")
+    )
+    untouched = snapshot.join(
+        F.broadcast(touched_keys), "o_custkey", "left_anti"
+    )
+    return untouched.unionByName(recomputed)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
