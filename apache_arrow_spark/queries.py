@@ -7236,6 +7236,64 @@ def q223_incremental_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # --------------------------------------------------------------------------
+# q224 — Luhn-validated PII candidates: checksum arithmetic separates
+# card-shaped numbers from random digit runs.
+# --------------------------------------------------------------------------
+@register(
+    "q224_luhn_pii",
+    """
+    WITH cand AS (
+      SELECT doc_id,
+             lpad(CAST((doc_id * 48271 + 11) % 10000000000000000 AS VARCHAR),
+                  16, '0') AS s
+      FROM documents),
+    v AS (
+      SELECT doc_id, s,
+             list_sum(list_transform(range(1, length(s) + 1),
+               i -> CASE WHEN i % 2 = 1
+                         THEN CAST(substr(s, length(s) - i + 1, 1) AS INT)
+                         ELSE CASE WHEN CAST(substr(s, length(s) - i + 1, 1) AS INT) * 2 > 9
+                                   THEN CAST(substr(s, length(s) - i + 1, 1) AS INT) * 2 - 9
+                                   ELSE CAST(substr(s, length(s) - i + 1, 1) AS INT) * 2
+                              END END)) % 10 = 0 AS valid
+      FROM cand)
+    SELECT valid, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM v GROUP BY valid
+    """,
+)
+def q224_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII detection (filters.luhn_valid): every doc
+    gets a deterministic 16-digit card-shaped candidate; the Luhn
+    arithmetic — the validation production PII scanners apply after the
+    regex — separates plausible card numbers (~10%) from random digit
+    runs.  Pure codegen HOF arithmetic, zero Python, scan-speed; the
+    oracle replays the checksum digit-for-digit.  Composes with q75's
+    regex redaction as the precision stage."""
+    from apache_arrow_spark.functions.filters import luhn_valid
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.select(
+        "doc_id",
+        F.lpad(
+            ((F.col("doc_id") * 48271 + 11) % F.lit(10_000_000_000_000_000)).cast(
+                "string"
+            ),
+            16,
+            "0",
+        ).alias("s"),
+    )
+    return (
+        cand.select("doc_id", luhn_valid(F.col("s")).alias("valid"))
+        .groupBy("valid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

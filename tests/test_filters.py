@@ -133,3 +133,21 @@ def test_redact_pii_and_counts(spark):
     assert "<EMAIL>" in row["r"] and "<IP>" in row["r"] and "<PHONE>" in row["r"]
     assert "jane.doe" not in row["r"] and "192.168" not in row["r"]
     assert (row["e"], row["i"], row["p"]) == (1, 1, 1)
+
+
+def test_luhn_valid_known_numbers(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.filters import luhn_valid
+
+    cases = [
+        ("4532015112830366", True),   # canonical Visa test number
+        ("4532015112830367", False),  # off-by-one check digit
+        ("79927398713", True),        # the classic Luhn example
+        ("79927398710", False),
+        ("0000000000000000", True),
+    ]
+    df = spark.createDataFrame(cases, "s string, want boolean")
+    rows = df.select("s", "want", luhn_valid(F.col("s")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["s"]
