@@ -88,3 +88,34 @@ def robust_outlier_stats(
         ).alias("n_outliers")
     )
     return flagged.select(group_col, "n", "median", "mad", "n_outliers")
+
+
+def write_audit_publish(
+    df: DataFrame,
+    clean_predicate: Column,
+    publish_dir: str,
+    quarantine_dir: str,
+    staging_dir: str,
+) -> dict[str, int]:
+    """Write-Audit-Publish (the Iceberg/WAP pattern): land the batch in a
+    STAGING location, audit the rows as actually written (re-read from
+    disk — auditing the in-memory frame would miss writer bugs), then
+    publish clean rows and quarantine violations as separate overwrite
+    targets.  Consumers only ever see a published set that passed its
+    audit; failed rows are preserved for triage, never silently dropped.
+
+    Returns {'published': n, 'quarantined': n} (driver-budget scalars).
+    Scale: three sequential distributed writes and one audit scan — no
+    driver data path; atomicity at 100 TB comes from publishing into a
+    fresh directory and swapping pointers (here: overwrite semantics)."""
+    df.write.mode("overwrite").parquet(staging_dir)
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging_dir)
+    clean = staged.filter(clean_predicate)
+    dirty = staged.filter(~clean_predicate | clean_predicate.isNull())
+    clean.write.mode("overwrite").parquet(publish_dir)
+    dirty.write.mode("overwrite").parquet(quarantine_dir)
+    return {
+        "published": spark.read.parquet(publish_dir).count(),
+        "quarantined": spark.read.parquet(quarantine_dir).count(),
+    }

@@ -7294,6 +7294,105 @@ def q224_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q225 — balance deciles per segment: ntile + cume_dist completing the
+# ranking-window surface (row_number/rank/percent_rank graded earlier).
+# --------------------------------------------------------------------------
+@register(
+    "q225_balance_deciles",
+    """
+    WITH r AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS cd
+      FROM customer)
+    SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+           count(*) AS n,
+           CAST(floor(min(c_acctbal) * 100) AS BIGINT) AS lo_cents,
+           CAST(floor(max(c_acctbal) * 100) AS BIGINT) AS hi_cents,
+           CAST(floor(max(cd) * 1000000) AS BIGINT) AS max_cume_micro
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q225_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance deciles via ntile + cume_dist — the two
+    ranking windows not yet driver-graded (row_number q23, rank/
+    percent_rank q188).  Both are deterministic once the ordering is a
+    total order (the (value, key) tie-break discipline); cume_dist is an
+    exact rational count/count so floor-micro quantization is
+    engine-stable.  One shuffle on the segment key; decile readout is
+    bounded at 10 rows per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.min("c_acctbal") * 100).cast("bigint").alias("lo_cents"),
+        F.floor(F.max("c_acctbal") * 100).cast("bigint").alias("hi_cents"),
+        F.floor(F.max("cd") * 1_000_000).cast("bigint").alias("max_cume_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q226 — Write-Audit-Publish: stage to disk, audit the written rows,
+# publish clean / quarantine dirty; readout from the PUBLISHED artifact.
+# --------------------------------------------------------------------------
+@register(
+    "q226_write_audit_publish",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_SQL_TOKCNT} AS tc FROM documents),
+    lab AS (SELECT doc_id, lang,
+                   CASE WHEN tc >= 5 THEN 'published' ELSE 'quarantined' END AS status
+            FROM d)
+    SELECT status, lang, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def q226_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (validation.write_audit_publish), the pattern
+    that keeps bad batches out of consumer view: the batch lands in
+    STAGING, the audit runs on rows as actually WRITTEN (re-read from
+    disk — catching writer bugs an in-memory audit would miss), clean
+    rows publish and violations quarantine for triage.  The readout
+    aggregates BOTH final artifacts read back from disk, so the graded
+    row proves the published+quarantined partition of the staged batch
+    is exactly the audit predicate applied to the input — three real
+    parquet round trips, no silent drops."""
+    import tempfile
+
+    from apache_arrow_spark.functions.text import token_count
+    from apache_arrow_spark.functions.validation import write_audit_publish
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q226_", dir=shm)
+    write_audit_publish(
+        d,
+        token_count(F.col("text")) >= 5,
+        f"{root}/publish",
+        f"{root}/quarantine",
+        f"{root}/staging",
+    )
+    pub = spark.read.parquet(f"{root}/publish").select(
+        F.lit("published").alias("status"), "doc_id", "lang"
+    )
+    qua = spark.read.parquet(f"{root}/quarantine").select(
+        F.lit("quarantined").alias("status"), "doc_id", "lang"
+    )
+    return pub.unionByName(qua).groupBy("status", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
