@@ -7393,6 +7393,89 @@ def q226_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q227 — shard rebalancing audit: rendezvous (highest-random-weight)
+# hashing moves ~1/(n+1) of keys when a shard is added; mod-N moves
+# almost everything.  The topology-change planning readout.
+# --------------------------------------------------------------------------
+def _q227_rdv_sql(n_shards: int, alias: str) -> str:
+    keys = [
+        "CAST(user_id AS VARCHAR) || '#" + str(s) + "'" for s in range(n_shards)
+    ]
+    cases = ", ".join(sql_hash_bucket(k, "rdv") for k in keys)
+    return f"list_position([{cases}], list_max([{cases}])) - 1 AS {alias}"
+
+
+@register(
+    "q227_shard_rebalance",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+      SELECT user_id,
+             {_q227_rdv_sql(4, "rdv_old")},
+             {_q227_rdv_sql(5, "rdv_new")},
+             {sql_hash_bucket("user_id", "modh")} % 4 AS mod_old,
+             {sql_hash_bucket("user_id", "modh")} % 5 AS mod_new
+      FROM u)
+    SELECT 'rendezvous' AS method, count(*) AS n_keys,
+           CAST(sum(CASE WHEN rdv_old <> rdv_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+    FROM a
+    UNION ALL
+    SELECT 'mod', count(*),
+           CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a
+    """,
+)
+def q227_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-topology change planning: when a 4-shard keyspace grows to
+    5, rendezvous (highest-random-weight) hashing — shard = argmax over
+    shards of hash(key # shard) — relocates only the ~1/5 of keys whose
+    NEW shard wins their rendezvous, while mod-N hashing relocates ~4/5
+    (every key whose residue changes).  The readout quantifies exactly
+    that movement cost on the real user keyspace; at 100 TB this is the
+    difference between a rebalance that reshuffles 20 TB and one that
+    reshuffles 80 TB.  Pure hash expressions, one distinct + one
+    aggregate; ties are impossible in practice (distinct 60-bit hashes)
+    and would break identically by argmax position in both engines."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+
+    def rdv(n):
+        hs = F.array(
+            *[
+                hash_bucket(
+                    F.concat(F.col("user_id").cast("string"), F.lit(f"#{s}")),
+                    "rdv",
+                )
+                for s in range(n)
+            ]
+        )
+        return F.array_position(hs, F.array_max(hs)) - 1
+
+    mod = hash_bucket(F.col("user_id"), "modh")
+    a = u.select(
+        rdv(4).alias("rdv_old"),
+        rdv(5).alias("rdv_new"),
+        (mod % 4).alias("mod_old"),
+        (mod % 5).alias("mod_new"),
+    )
+    r1 = a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("rdv_old") != F.col("rdv_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    ).select(F.lit("rendezvous").alias("method"), "n_keys", "n_moved")
+    r2 = a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    ).select(F.lit("mod").alias("method"), "n_keys", "n_moved")
+    return r1.unionByName(r2)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
