@@ -7476,6 +7476,85 @@ def q227_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q228 — Theil-Sen robust trend: median of pairwise daily-revenue slopes
+# per event type, with a DISCRETE median (exact element, no
+# interpolation arithmetic).
+# --------------------------------------------------------------------------
+@register(
+    "q228_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pairs)
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(floor(slope * 1000000) AS BIGINT) AS median_slope_micro
+    FROM r WHERE rn = (cnt + 1) // 2
+    """,
+)
+def q228_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend per event type via Theil-Sen: the
+    median of all pairwise day-to-day slopes — immune to outlier days
+    that wreck least-squares (q121's grouped regression is its fragile
+    cousin).  Pair count is C(days, 2) per type — calendar-bounded, so
+    the 'quadratic' join is a few hundred rows regardless of corpus
+    size (the q189 moments lesson: dispersion-family stats must never
+    pair-join ROWS, only bounded summaries).  The median is DISCRETE
+    (exact rank-selected element, ties broken by the day pair) — no
+    interpolation arithmetic exists to differ between engines; slopes
+    are exact-int differences divided once, bit-identical IEEE."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    cw = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    return r.filter(F.expr("rn = (cnt + 1) div 2")).select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+        F.floor(F.col("slope") * 1_000_000).cast("bigint").alias("median_slope_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
