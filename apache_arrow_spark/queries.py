@@ -9845,8 +9845,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q222 (EWMA through
-# the similarity-threshold tuning profile — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q228 (EWMA through
+# the Theil-Sen robust trend — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
