@@ -7555,6 +7555,117 @@ def q228_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q229 — distributed synthetic data generation (the dbgen pattern):
+# spark.range + hash formulas, zero driver involvement, checksummed.
+# --------------------------------------------------------------------------
+@register(
+    "q229_synthetic_generation",
+    f"""
+    WITH g AS (
+      SELECT i,
+             {sql_hash_bucket("i", "amt")} AS amt_cents,
+             {sql_hash_bucket("i", "grp")} % 7 AS grp,
+             {sql_hash_bucket("i", "flag")} % 100 < 15 AS flagged
+      FROM (SELECT unnest(range(100000)) AS i))
+    SELECT CAST(grp AS BIGINT) AS grp, count(*) AS n,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(amt_cents) AS BIGINT) AS amt_total_cents,
+           CAST(bit_xor({sql_hash_bucket("i", "chk")}) AS BIGINT) AS row_checksum
+    FROM g GROUP BY grp
+    """,
+)
+def q229_synthetic_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed synthetic data generation — the dbgen/TPC pattern that
+    produced this repo's own fixtures: ``spark.range(N)`` partitions the
+    id space across executors and every attribute is a pure hash formula
+    of the row id, so a 100 TB synthetic corpus generates with ZERO
+    driver involvement, no RNG state, and bit-identical content at any
+    partitioning (retries/speculation safe — the property rand() lacks).
+    The readout checksums the generated table per group; the oracle
+    regenerates from the same formulas over ``range()``."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    g = spark.range(100_000).select(
+        F.col("id").alias("i"),
+        hash_bucket(F.col("id"), "amt").alias("amt_cents"),
+        (hash_bucket(F.col("id"), "grp") % 7).alias("grp"),
+        (hash_bucket(F.col("id"), "flag") % 100 < 15).alias("flagged"),
+        hash_bucket(F.col("id"), "chk").alias("chk"),
+    )
+    return g.groupBy(F.col("grp").cast("bigint").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("amt_cents").cast("bigint").alias("amt_total_cents"),
+        F.bit_xor("chk").cast("bigint").alias("row_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q230 — late-arriving dimension repair: orphan facts park, then heal
+# when the full dimension lands; union must equal the direct join.
+# --------------------------------------------------------------------------
+@register(
+    "q230_late_dimension_repair",
+    f"""
+    WITH early_dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE {sql_hash_bucket("c_custkey", "q230")} < 600000),
+    matched AS (
+      SELECT o.o_orderkey, d.c_mktsegment, 'initial' AS phase
+      FROM orders o JOIN early_dim d ON o.o_custkey = d.c_custkey),
+    orphans AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM early_dim d
+                        WHERE d.c_custkey = o.o_custkey)),
+    healed AS (
+      SELECT o.o_orderkey, c.c_mktsegment, 'repaired' AS phase
+      FROM orphans o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT phase, c_mktsegment, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM healed)
+    GROUP BY 1, 2
+    """,
+)
+def q230_late_dimension_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling, the warehouse pattern for facts
+    that land before their dimension rows: the initial load joins
+    against the PARTIAL dim snapshot (60% of customers, hash-selected),
+    orphaned facts PARK via an anti-join (never dropped, never blocking
+    the load), and when the full dimension lands the parked facts heal
+    through a repair join.  The graded readout aggregates both phases —
+    initial + repaired must partition the direct full join exactly
+    (every order appears once, under the right segment).  Both joins
+    broadcast the dim side; the orphan park is a broadcast anti-join."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    early = c.filter(hash_bucket(F.col("c_custkey"), "q230") < 600000).select(
+        "c_custkey", "c_mktsegment"
+    )
+    matched = o.join(F.broadcast(early), o.o_custkey == early.c_custkey).select(
+        "o_orderkey", "c_mktsegment", F.lit("initial").alias("phase")
+    )
+    orphans = o.join(
+        F.broadcast(early), o.o_custkey == early.c_custkey, "left_anti"
+    )
+    healed = orphans.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        orphans.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_mktsegment", F.lit("repaired").alias("phase"))
+    return (
+        matched.unionByName(healed)
+        .groupBy("phase", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -9845,8 +9956,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q228 (EWMA through
-# the Theil-Sen robust trend — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q230 (EWMA through
+# late-arriving dimension repair — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
