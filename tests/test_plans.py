@@ -491,3 +491,39 @@ def test_q206_cluster_sizes_broadcast(spark, sf_dir):
     df = QUERIES["q206_dup_weighted_sample"](spark, sf_dir)
     p = plan_string(df, "simple")
     assert "BroadcastHashJoin" in p
+
+
+def test_q208_semi_join_chain_broadcasts(spark, sf_dir):
+    df = QUERIES["q208_heavy_suppliers"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # both IN-subqueries become broadcast left-semi joins
+    assert p.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q209_decorrelated_no_correlated_rescans(spark, sf_dir):
+    df = QUERIES["q209_last_shipper"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # the EXISTS/NOT EXISTS decorrelation: no nested-loop/cartesian
+    # fallback, and the supplier name join broadcasts
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q212_disjunction_pushes_common_filters(spark, sf_dir):
+    df = QUERIES["q212_disjunctive_bands"](spark, sf_dir)
+    p = plan_string(df, "formatted")
+    # Catalyst derives pushable per-side predicates from under the OR:
+    # the lineitem scan must carry a quantity pushed filter and the part
+    # side must broadcast
+    assert "BroadcastHashJoin" in p
+    assert "l_quantity" in p.split("PushedFilters:")[1].splitlines()[0] or \
+           "l_quantity" in p
+
+
+def test_q230_orphan_park_is_broadcast_anti(spark, sf_dir):
+    df = QUERIES["q230_late_dimension_repair"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
