@@ -259,8 +259,10 @@ def channel_stats(media_df: DataFrame) -> DataFrame:
 
 
 def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through a mapInPandas stage and
-    rewrites the metadata (real resampling would replace `payload`)."""
+    """Resize plumbing for payloads with NO real codec (fake media):
+    passes bytes through a mapInPandas stage and rewrites the metadata.
+    For BMP/PPM payloads use :func:`resize_image` — the REAL
+    nearest-neighbor resampler."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -441,9 +443,10 @@ def frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def frame_sample_stub(media_df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits one row per sampled 'frame'
-    (deterministic fake: chunks of the payload), exploding rows batch-wise —
-    the exact shape a real ffmpeg-backed sampler would produce."""
+    """Video frame-sampling plumbing for payloads with NO container
+    format (fake media): emits one row per sampled 'frame' (chunks of
+    the payload), exploding rows batch-wise.  For MVID payloads use
+    :func:`frame_sample` — the REAL index-seeking sampler."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
