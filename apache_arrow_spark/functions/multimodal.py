@@ -677,3 +677,37 @@ def image_near_duplicates(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decimate_audio(media_df: DataFrame) -> DataFrame:
+    """REAL audio downsampling: decode each WAV payload, decimate by 2
+    with pair averaging (d[j] = floor((s[2j] + s[2j+1]) / 2) — the
+    box-filter anti-alias step before dropping samples), and RE-ENCODE
+    at half the rate.  One mapInPandas stage; at 100 TB this is the
+    canonical rate-normalization pass before audio feature extraction
+    (16 kHz corpora downsampled for bandwidth-limited models)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, rates, ns = [], [], [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(p))
+                n2 = (len(s) // 2) * 2
+                pair = s[:n2].astype(np.int64).reshape(-1, 2)
+                d = (pair.sum(axis=1) // 2).astype(np.int16)
+                payloads.append(encode_wav(d, rate // 2))
+                ids.append(int(i))
+                rates.append(rate // 2)
+                ns.append(len(d))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "payload": payloads,
+                    "sample_rate": np.array(rates, dtype="int32"),
+                    "n_samples": np.array(ns, dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        _dec, "doc_id bigint, payload binary, sample_rate int, n_samples int"
+    )

@@ -7666,6 +7666,50 @@ def q230_late_dimension_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q231 — REAL audio downsampling: decode -> box-filter decimate by 2 ->
+# re-encode at half rate -> decode again, proven against the formula.
+# --------------------------------------------------------------------------
+@register(
+    "q231_audio_decimate",
+    """
+    WITH d AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents),
+    j AS (
+      SELECT doc_id, n, jj.j AS j,
+             CAST(floor((((doc_id*31 + (2*jj.j)*7) % 2003 - 1001)
+                         + ((doc_id*31 + (2*jj.j+1)*7) % 2003 - 1001))
+                        / 2.0) AS BIGINT) AS s
+      FROM d, LATERAL (SELECT unnest(range(n // 2)) AS j) jj),
+    z AS (
+      SELECT doc_id, n, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS sp
+      FROM j)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(n // 2 AS INT) AS n_samples,
+           CAST(sum(s * s) * 1000000 // (n // 2) AS BIGINT) AS energy_micro,
+           CAST(sum(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM z GROUP BY doc_id, n
+    """,
+)
+def q231_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling end-to-end (multimodal.decimate_audio):
+    decode the WAV bytes, box-filter decimate by 2 (floor pair average —
+    the anti-alias step before dropping samples), RE-ENCODE at 8 kHz,
+    then decode again and compute exact integer features.  The oracle
+    recomputes the decimated signal from the generating sample formula —
+    matching only if decode -> filter -> encode -> decode is
+    sample-faithful.  The audio twin of q201's resize proof; at 100 TB
+    this is the rate-normalization pass before feature extraction."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_audio,
+        audio_features,
+        decimate_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_features(decimate_audio(attach_real_audio(d)))
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------

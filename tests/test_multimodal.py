@@ -308,3 +308,25 @@ def test_image_near_duplicates_finds_planted_copy(spark):
     )
     pairs = image_near_duplicates(media.unionByName(twin), max_hamming=0).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 100 and r["hamming"] == 0 for r in pairs)
+
+
+def test_decimate_audio_matches_formula(spark):
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_audio,
+        audio_features,
+        decimate_audio,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    out = audio_features(decimate_audio(attach_real_audio(df)))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i in range(5):
+        n = 800 + (i % 5) * 160
+        s = [((i * 31 + k * 7) % 2003) - 1001 for k in range(n)]
+        d = [(s[2 * j] + s[2 * j + 1]) // 2 for j in range(n // 2)]
+        assert rows[i]["sample_rate"] == 8000
+        assert rows[i]["n_samples"] == n // 2
+        assert rows[i]["energy_micro"] == sum(v * v for v in d) * 1_000_000 // (n // 2)
+        assert rows[i]["zero_crossings"] == sum(
+            1 for a, b in zip(d, d[1:]) if a * b < 0
+        )
