@@ -711,3 +711,42 @@ def decimate_audio(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(
         _dec, "doc_id bigint, payload binary, sample_rate int, n_samples int"
     )
+
+
+def equalize_image(media_df: DataFrame) -> DataFrame:
+    """REAL per-channel histogram equalization (the classic contrast
+    normalization): for each image channel, v' = floor(255 * (cdf(v) -
+    cdf_min) / (n_pixels - cdf_min)) with the all-one-value degenerate
+    case mapping to 0.  Decode -> remap -> re-encode in the source
+    container, one mapInPandas pass — the canonical per-image
+    normalization applied before visual feature extraction."""
+
+    def _eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                px = decode_image_pixels(raw)
+                out = np.empty_like(px)
+                npix = px.shape[0] * px.shape[1]
+                for c in range(3):
+                    ch = px[:, :, c]
+                    hist = np.bincount(ch.ravel(), minlength=256)
+                    cdf = hist.cumsum()
+                    cdf_min = int(cdf[np.nonzero(hist)[0][0]])
+                    denom = npix - cdf_min
+                    if denom <= 0:
+                        out[:, :, c] = 0
+                    else:
+                        lut = np.floor(
+                            255.0 * (cdf - cdf_min) / denom
+                        ).astype(np.int64).clip(0, 255).astype(np.uint8)
+                        out[:, :, c] = lut[ch]
+                payloads.append(
+                    encode_bmp(out) if raw[:2] == b"BM" else encode_ppm(out)
+                )
+            o = pdf.copy()
+            o["payload"] = payloads
+            yield o
+
+    return media_df.mapInPandas(_eq, MEDIA_SCHEMA)

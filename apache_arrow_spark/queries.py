@@ -7710,6 +7710,70 @@ def q231_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q232 — REAL histogram equalization: per-channel CDF remap proven
+# against the formula (decode -> remap -> re-encode -> decode).
+# --------------------------------------------------------------------------
+@register(
+    "q232_equalize_channel_stats",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents),
+    px AS (
+      SELECT doc_id, w, h, cc.c AS ch, rx.x AS x, ry.y AS y,
+             (doc_id * (CASE cc.c WHEN 0 THEN 31 WHEN 1 THEN 57 ELSE 97 END)
+              + rx.x*7 + ry.y*13) % 256 AS v
+      FROM d, LATERAL (SELECT unnest(range(w)) AS x) rx,
+              LATERAL (SELECT unnest(range(h)) AS y) ry,
+              LATERAL (SELECT unnest(range(3)) AS c) cc),
+    cnt AS (SELECT doc_id, ch, v, count(*) AS n, max(w*h) AS npix
+            FROM px GROUP BY doc_id, ch, v),
+    cdf AS (
+      SELECT doc_id, ch, v, npix,
+             sum(n) OVER (PARTITION BY doc_id, ch ORDER BY v) AS cdf
+      FROM cnt),
+    cm AS (SELECT doc_id, ch, min(cdf) AS cdf_min FROM cdf GROUP BY doc_id, ch),
+    lut AS (
+      SELECT c.doc_id, c.ch, c.v,
+             CASE WHEN c.npix - m.cdf_min <= 0 THEN 0
+                  ELSE CAST(floor(255.0 * (c.cdf - m.cdf_min)
+                                  / (c.npix - m.cdf_min)) AS BIGINT) END AS vp
+      FROM cdf c JOIN cm m ON c.doc_id = m.doc_id AND c.ch = m.ch),
+    mapped AS (
+      SELECT p.doc_id, p.ch, p.w, p.h, l.vp
+      FROM px p JOIN lut l ON p.doc_id = l.doc_id AND p.ch = l.ch AND p.v = l.v),
+    agg AS (
+      SELECT doc_id, ch, CAST(sum(vp) * 1000000 // max(w*h) AS BIGINT) AS mean_micro
+      FROM mapped GROUP BY doc_id, ch)
+    SELECT doc_id,
+           max(CASE WHEN ch = 0 THEN mean_micro END) AS mean_r_micro,
+           max(CASE WHEN ch = 1 THEN mean_micro END) AS mean_g_micro,
+           max(CASE WHEN ch = 2 THEN mean_micro END) AS mean_b_micro
+    FROM agg GROUP BY doc_id
+    """,
+)
+def q232_equalize_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL histogram equalization end-to-end (multimodal.equalize_image):
+    decode the actual BMP/PPM bytes, remap each channel through its own
+    CDF (v' = floor(255 * (cdf - cdf_min) / (npix - cdf_min))),
+    re-encode in the source container, decode AGAIN and take exact
+    channel means.  The oracle rebuilds the per-image histograms, CDFs,
+    and lookup tables from the generating formula in SQL — the row
+    matches only if every stage of decode -> equalize -> encode ->
+    decode is pixel-faithful.  Completes the real image-transform set
+    (channel stats q138, resize q201, dHash q221)."""
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        channel_stats,
+        equalize_image,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eq = equalize_image(attach_real_media(d))
+    return channel_stats(eq).select(
+        "doc_id", "mean_r_micro", "mean_g_micro", "mean_b_micro"
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10000,8 +10064,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q230 (EWMA through
-# late-arriving dimension repair — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q232 (EWMA through
+# real histogram equalization — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

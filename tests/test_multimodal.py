@@ -330,3 +330,37 @@ def test_decimate_audio_matches_formula(spark):
         assert rows[i]["zero_crossings"] == sum(
             1 for a, b in zip(d, d[1:]) if a * b < 0
         )
+
+
+def test_equalize_image_matches_numpy_reference(spark):
+    from apache_arrow_spark.functions.multimodal import (
+        attach_real_media,
+        decode_image_pixels,
+        equalize_image,
+    )
+
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    rows = equalize_image(attach_real_media(df)).collect()
+    for r in rows:
+        i = r["doc_id"]
+        w, h = 8 + i % 5, 8 + i % 7
+        # rebuild source pixels and the reference equalization
+        x = np.arange(w, dtype=np.int64) * 7
+        y = np.arange(h, dtype=np.int64) * 13
+        base = y[:, None] + x[None, :]
+        src = np.stack([(i * k + base) % 256 for k in (31, 57, 97)], axis=-1)
+        want = np.empty_like(src)
+        for c in range(3):
+            ch = src[:, :, c]
+            hist = np.bincount(ch.ravel(), minlength=256)
+            cdf = hist.cumsum()
+            cdf_min = int(cdf[np.nonzero(hist)[0][0]])
+            denom = w * h - cdf_min
+            lut = (
+                np.floor(255.0 * (cdf - cdf_min) / denom).astype(np.int64)
+                if denom > 0
+                else np.zeros(256, dtype=np.int64)
+            )
+            want[:, :, c] = lut[ch]
+        got = decode_image_pixels(bytes(r["payload"]))
+        assert (got == want.astype(np.uint8)).all(), i
