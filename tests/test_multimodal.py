@@ -301,13 +301,17 @@ def test_image_near_duplicates_finds_planted_copy(spark):
 
     base = spark.range(6).select(F.col("id").alias("doc_id"))
     media = attach_real_media(base)
-    # plant an exact pixel copy of doc 0 under a new id
+    # plant an exact pixel copy of doc 0 under a new id: the identical
+    # hash group {0, 100} reports as ONE cluster row on its representative
     twin = media.filter(F.col("doc_id") == 0).select(
         (F.col("doc_id") + 100).alias("doc_id"),
         "payload", "media_type", "width", "height",
     )
-    pairs = image_near_duplicates(media.unionByName(twin), max_hamming=0).collect()
-    assert any(r["id_a"] == 0 and r["id_b"] == 100 and r["hamming"] == 0 for r in pairs)
+    rows = image_near_duplicates(media.unionByName(twin), max_hamming=0).collect()
+    assert any(
+        r["id_a"] == 0 and r["id_b"] == 0 and r["hamming"] == 0 and r["n_pairs"] == 1
+        for r in rows
+    )
 
 
 def test_decimate_audio_matches_formula(spark):
