@@ -305,3 +305,91 @@ def intersection_estimate(
             <= F.greatest(F.col("exact_union") * F.lit(0.05), F.lit(1.0))
         ).alias("within_tol"),
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    mg_capacity: int = 64,
+    n_shards: int = 32,
+) -> DataFrame:
+    """EXACT top-k heavy hitters via a Misra-Gries candidate pass — the
+    two-pass recipe for key spaces too large to aggregate exactly in one
+    shot: shard BY KEY (each key's whole mass lands in one shard), run a
+    capacity-bounded Misra-Gries summary per shard inside one
+    applyInPandas pass (candidates only — MG never reports exact
+    counts), then count and rank ONLY the candidate keys exactly.
+
+    Completeness: MG guarantees any key with shard frequency >
+    shard_rows / capacity survives its shard's summary; key-sharding
+    makes shard frequency == global frequency, so every key whose count
+    clears every shard's bound is a candidate.  The function ASSERTS the
+    k-th result clears the largest shard bound and raises otherwise
+    (fail loud, never silently wrong) — at real scale you size
+    ``mg_capacity`` ~10x k and the bound is loose.
+
+    Returns (rnk, key_col, n) — identical to the exact one-pass top-k,
+    which is what the oracle computes; the sketch is pure pruning, the
+    bloom/q99 contract."""
+    import pandas as pd
+
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    sharded = df.select(
+        F.col(key_col).alias("key"),
+        (hash_bucket(F.col(key_col), "mgshard") % n_shards).alias("shard"),
+    )
+
+    def mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters: dict = {}
+        for key in pdf["key"]:
+            if key in counters:
+                counters[key] += 1
+            elif len(counters) < mg_capacity:
+                counters[key] = 1
+            else:
+                dead = [c for c in counters if counters[c] == 1]
+                for c in counters:
+                    counters[c] -= 1
+                for c in dead:
+                    del counters[c]
+        return pd.DataFrame(
+            {"key": list(counters), "shard_rows": len(pdf)}
+        )
+
+    cand = sharded.groupBy("shard").applyInPandas(
+        mg, "key bigint, shard_rows bigint"
+    )
+    cand_keys = cand.select("key").distinct()
+    exact = (
+        sharded.join(F.broadcast(cand_keys), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("n").desc(), F.col("key").asc())
+    top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("rnk").cast("int"), F.col("key").alias(key_col),
+                F.col("n").cast("bigint"))
+    )
+    # fail-loud completeness check (conservative): on non-empty input the
+    # k-th count must STRICTLY clear the loosest shard bound
+    # (shard_rows / capacity) — below it, a non-candidate key could
+    # outrank the result.  Near-uniform data can even churn MG to an
+    # empty candidate set; that's the same failure, not an empty corpus.
+    rows = top.collect()
+    if sharded.take(1):
+        max_bound = (
+            cand.agg(F.max("shard_rows").alias("m")).first()["m"] or 0
+        ) / mg_capacity
+        kth = min((r["n"] for r in rows), default=0)
+        if not rows or kth <= max_bound:
+            raise ValueError(
+                f"MG capacity too small for exact top-{k}: kth count {kth} "
+                f"<= shard bound {max_bound}; raise mg_capacity"
+            )
+    return df.sparkSession.createDataFrame(rows, top.schema)

@@ -7791,6 +7791,107 @@ def q232_equalize_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q233 — Gini concentration of customer order value per segment:
+# inequality measurement, integer-exact via the rank formula.
+# --------------------------------------------------------------------------
+@register(
+    "q233_gini_concentration",
+    """
+    WITH cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_custkey) AS i,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM cust)
+    SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(floor(CAST(sum((2 * i - n - 1) * cents) AS DOUBLE) * 1000000
+                      / (CAST(max(n) AS DOUBLE) * sum(cents))) AS BIGINT)
+             AS gini_micro
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as a Gini coefficient —
+    the inequality readout behind 'whale customer' risk analyses — via
+    the exact rank formula G = sum((2i - n - 1) * x_i) / (n * sum x)
+    over values sorted ascending with an id tie-break.  Everything up to
+    the final division is int64 arithmetic on cents (order-independent);
+    one double division + floor at the end.  One aggregation + one
+    per-segment window (partition-keyed, never global); at 100 TB the
+    window input is customers, already collapsed from orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    cw = Window.partitionBy("c_mktsegment")
+    r = cust.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.floor(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+            .cast("double")
+            * 1_000_000
+            / (F.max("n").cast("double") * F.sum("cents"))
+        )
+        .cast("bigint")
+        .alias("gini_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q234 — exact heavy hitters through a Misra-Gries candidate pass: the
+# two-pass recipe for key spaces too big for a one-shot exact aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q234_heavy_hitters",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+          FROM c)
+    SELECT CAST(rnk AS INT) AS rnk, user_id, CAST(n AS BIGINT) AS n
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q234_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most active users via the two-pass Misra-Gries recipe
+    (sketches.heavy_hitters_exact): shard by key, bounded-memory MG
+    summaries produce the candidate set in one applyInPandas pass, and
+    only candidates get exact counts — at 100 TB with billions of keys
+    this replaces a full-keyspace aggregate with a candidate set of
+    ~capacity x shards keys.  Key-sharding makes the MG survival bound
+    global (a key's shard count IS its global count), the function
+    fail-loud-asserts the k-th result clears every shard's bound, and
+    the output is bit-identical to the exact one-pass top-k the oracle
+    computes — the sketch is pure pruning (the Bloom/q99 contract)."""
+    from apache_arrow_spark.functions.sketches import heavy_hitters_exact
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(e, "user_id", k=20, mg_capacity=64, n_shards=32)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10081,8 +10182,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q232 (EWMA through
-# real histogram equalization — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q234 (EWMA through
+# Misra-Gries exact heavy hitters — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

@@ -179,3 +179,27 @@ def test_intersection_estimate_empty_and_small_overlap(spark):
     big = spark.createDataFrame(rows, "user_id long, tag string")
     out = intersection_estimate(big, "user_id", "tag", "a", "b").collect()[0]
     assert out["exact_intersection"] == 10 and out["within_tol"] is True
+
+
+def test_heavy_hitters_exact_matches_full_aggregate(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.sketches import heavy_hitters_exact
+
+    # skewed key distribution: key i appears (50 - i) times for i < 40
+    rows = [(i,) for i in range(40) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = heavy_hitters_exact(df, "user_id", k=10, mg_capacity=32, n_shards=8)
+    want = [(i + 1, i, 50 - i) for i in range(10)]
+    assert [(r["rnk"], r["user_id"], r["n"]) for r in got.collect()] == want
+
+
+def test_heavy_hitters_fail_loud_when_capacity_too_small(spark):
+    import pytest as _pytest
+
+    from apache_arrow_spark.functions.sketches import heavy_hitters_exact
+
+    # near-uniform keys: nothing clears the shard bound at capacity 2
+    df = spark.createDataFrame([(i % 300,) for i in range(900)], "user_id long")
+    with _pytest.raises(ValueError, match="MG capacity too small"):
+        heavy_hitters_exact(df, "user_id", k=5, mg_capacity=2, n_shards=2)
