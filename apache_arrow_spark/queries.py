@@ -7892,6 +7892,116 @@ def q234_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q235 — max-min fair-share (water-filling) token budget allocation:
+# the scheduler recurrence in closed window form.
+# --------------------------------------------------------------------------
+@register(
+    "q235_fair_share_allocation",
+    f"""
+    WITH dem AS (
+      SELECT source, CAST(sum({_SQL_TOKCNT}) AS BIGINT) AS demand
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(demand) // 2 AS BIGINT) AS budget,
+                   count(*) AS n FROM dem),
+    r AS (
+      SELECT source, demand,
+             row_number() OVER (ORDER BY demand, source) AS i,
+             sum(demand) OVER (ORDER BY demand, source
+                               ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM dem),
+    m AS (
+      SELECT coalesce(max(i), 0) AS m,
+             coalesce(max(CASE WHEN sat THEN pfx END), 0) AS pm
+      FROM (SELECT i, pfx,
+                   pfx + demand * (t.n - i) <= t.budget AS sat
+            FROM r, tot t) s
+      WHERE sat),
+    lvl AS (
+      SELECT m.m, m.pm, t.budget, t.n,
+             CASE WHEN t.n - m.m > 0
+                  THEN (t.budget - m.pm) // (t.n - m.m) ELSE 0 END AS lv,
+             CASE WHEN t.n - m.m > 0
+                  THEN (t.budget - m.pm) % (t.n - m.m) ELSE 0 END AS rem
+      FROM m, tot t)
+    SELECT r.source, r.demand,
+           CAST(CASE WHEN r.i <= l.m THEN r.demand
+                     ELSE l.lv + CASE WHEN r.i - l.m <= l.rem THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocation
+    FROM r, lvl l
+    """,
+)
+def q235_fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min FAIR-SHARE allocation of a token budget across sources —
+    the water-filling algorithm schedulers and multi-tenant quota systems
+    run: small demands are satisfied in full; everyone else gets the
+    common water level, with the integer remainder spread to the
+    smallest-demand unfull sources (deterministic largest-remainder tie
+    rule).  The sequential recurrence has a closed WINDOW form: sort
+    demands ascending, m = the largest rank whose full satisfaction is
+    feasible (pfx + d*(n-rank) <= budget), level = (budget - pfx_m) div
+    (n - m).  Two tiny aggregates + one window over |sources| rows —
+    driver-free at any corpus size (the corpus pass is only the demand
+    aggregate).  sum(allocation) == budget exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    from apache_arrow_spark.functions.text import token_count
+
+    dem = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("demand")
+    )
+    tot = dem.agg(
+        F.expr("cast(sum(demand) div 2 as bigint)").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("demand", "source")
+    r = dem.select(
+        "source",
+        "demand",
+        F.row_number().over(w).alias("i"),
+        F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    ).crossJoin(F.broadcast(tot))
+    sat = r.withColumn(
+        "sat", F.col("pfx") + F.col("demand") * (F.col("n") - F.col("i")) <= F.col("budget")
+    )
+    m = sat.filter(F.col("sat")).agg(
+        F.coalesce(F.max("i"), F.lit(0)).alias("m"),
+        F.coalesce(F.max(F.when(F.col("sat"), F.col("pfx"))), F.lit(0)).alias("pm"),
+    )
+    lvl = m.crossJoin(F.broadcast(tot)).select(
+        "m",
+        "pm",
+        "budget",
+        "n",
+        F.when(
+            F.col("n") - F.col("m") > 0,
+            F.expr("(budget - pm) div (n - m)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("lv"),
+        F.when(
+            F.col("n") - F.col("m") > 0,
+            (F.col("budget") - F.col("pm")) % (F.col("n") - F.col("m")),
+        )
+        .otherwise(F.lit(0))
+        .alias("rem"),
+    )
+    return (
+        sat.select("source", "demand", "i")
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "demand",
+            F.when(F.col("i") <= F.col("m"), F.col("demand"))
+            .otherwise(
+                F.col("lv")
+                + F.when(F.col("i") - F.col("m") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocation"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10182,8 +10292,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q234 (EWMA through
-# Misra-Gries exact heavy hitters — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q235 (EWMA through
+# max-min fair-share allocation — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
