@@ -8002,6 +8002,143 @@ def q235_fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q236 — biggest movers: brand revenue rank deltas between consecutive
+# half-years (the period-over-period leaderboard report).
+# --------------------------------------------------------------------------
+@register(
+    "q236_rank_movers",
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_shipdate < DATE '1997-07-01' THEN 'H1' ELSE 'H2' END AS half,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT p_brand, half, cents,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY cents DESC, p_brand) AS rnk
+      FROM rev),
+    j AS (
+      SELECT coalesce(a.p_brand, b.p_brand) AS p_brand,
+             a.rnk AS rank_h1, b.rnk AS rank_h2,
+             coalesce(a.cents, 0) AS cents_h1, coalesce(b.cents, 0) AS cents_h2
+      FROM (SELECT * FROM rk WHERE half = 'H1') a
+      FULL OUTER JOIN (SELECT * FROM rk WHERE half = 'H2') b
+        ON a.p_brand = b.p_brand)
+    SELECT p_brand, rank_h1, rank_h2,
+           CAST(coalesce(rank_h1, 999) - coalesce(rank_h2, 999) AS BIGINT) AS rank_gain,
+           cents_h1, cents_h2
+    FROM j
+    """,
+)
+def q236_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period leaderboard movement: brand revenue ranks in
+    1997 H1 vs H2 full-outer joined into rank deltas (entrants/dropouts
+    carry a 999 sentinel) — the BI 'biggest movers' report.  Two
+    partition-keyed rank windows over an already-collapsed (brand, half)
+    aggregate; the movement join is |brands|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.when(
+                F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"),
+                "H1",
+            ).otherwise("H2").alias("half"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("p_brand", "half")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("half").orderBy(F.col("cents").desc(), F.col("p_brand"))
+    rk = rev.withColumn("rnk", F.row_number().over(w))
+    a = rk.filter(F.col("half") == "H1").select(
+        F.col("p_brand").alias("ba"), F.col("rnk").alias("rank_h1"),
+        F.col("cents").alias("cents_h1"))
+    b = rk.filter(F.col("half") == "H2").select(
+        F.col("p_brand").alias("bb"), F.col("rnk").alias("rank_h2"),
+        F.col("cents").alias("cents_h2"))
+    j = a.join(b, a.ba == b.bb, "full_outer")
+    return j.select(
+        F.coalesce(F.col("ba"), F.col("bb")).alias("p_brand"),
+        "rank_h1",
+        "rank_h2",
+        (
+            F.coalesce(F.col("rank_h1"), F.lit(999))
+            - F.coalesce(F.col("rank_h2"), F.lit(999))
+        ).cast("bigint").alias("rank_gain"),
+        F.coalesce(F.col("cents_h1"), F.lit(0)).alias("cents_h1"),
+        F.coalesce(F.col("cents_h2"), F.lit(0)).alias("cents_h2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q237 — time-decayed trending scores: exponential decay by age-in-days
+# through a PINNED integer weight table (the transcendental never
+# crosses engines).
+# --------------------------------------------------------------------------
+def _q237_weights() -> list[int]:
+    import math
+
+    return [int(math.floor(math.exp(-a / 7.0) * 1_000_000)) for a in range(64)]
+
+
+@register(
+    "q237_trending_decay",
+    f"""
+    WITH w(age, wt) AS (VALUES
+      {", ".join(f"({a}, {wt})" for a, wt in enumerate(_q237_weights()))}),
+    e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events),
+    mx AS (SELECT max(d) AS md FROM e),
+    aged AS (SELECT e.event_type, CAST(mx.md - e.d AS INT) AS age FROM e, mx)
+    SELECT a.event_type, count(*) AS n_events,
+           CAST(sum(w.wt) AS BIGINT) AS trend_score
+    FROM aged a JOIN w ON w.age = a.age
+    GROUP BY a.event_type
+    """,
+)
+def q237_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending scores with exponential time decay — the recency
+    weighting behind every 'hot right now' ranking: each event
+    contributes exp(-age_days / 7), but the transcendental is evaluated
+    ONCE per age in Python and shipped as a 64-row integer weight table
+    to BOTH engines (the pinned-literal idiom — exp() bit-parity across
+    engines is never assumed), so scores are exact int64 sums.  The
+    weight table broadcasts; the corpus pass is one combinable aggregate.
+    At 100 TB the same table join replaces a per-row exp() that would
+    also be 10x slower than the hash join."""
+    e = load_table(spark, sf_dir, "events")
+    weights = _q237_weights()
+    wdf = spark.createDataFrame(
+        list(enumerate(weights)), "age int, wt bigint"
+    )
+    d = F.expr("ts div 86400000000000")
+    base = e.select("event_type", d.alias("d"))
+    mx = base.agg(F.max("d").alias("md"))
+    aged = base.crossJoin(F.broadcast(mx)).select(
+        "event_type", (F.col("md") - F.col("d")).cast("int").alias("age")
+    )
+    return (
+        aged.join(F.broadcast(wdf), "age")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("wt").cast("bigint").alias("trend_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10292,8 +10429,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q235 (EWMA through
-# max-min fair-share allocation — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q237 (EWMA through
+# time-decayed trending — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
