@@ -679,3 +679,50 @@ def greedy_coverage_select(
         picks.append((wid, gain, len(covered)))
     cells.unpersist()
     return picks
+
+
+def global_running_min(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_min_before",
+) -> DataFrame:
+    """EXCLUSIVE global running minimum of ``value_col`` in ``order_cols``
+    order (NULL for the first row), distributed like
+    :func:`global_value_rank`: range-repartition, per-partition local
+    running min, then fold in the broadcast minima of all EARLIER
+    partitions — no single-task global window.  The primitive under
+    skyline/Pareto sweeps and "best seen so far" scans at 100 TB."""
+    cols = [F.col(c) for c in order_cols]
+    p = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    mins = sorted(
+        p.groupBy("__pid").agg(F.min(value_col).alias("__m")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    prefix: dict[int, int | None] = {}
+    best = None
+    for r in mins:
+        prefix[r["__pid"]] = best
+        v = r["__m"]
+        best = v if best is None else min(best, v)
+    pairs = []
+    for pid, pre in prefix.items():
+        pairs += [F.lit(pid), F.lit(pre)]
+    pmap = (
+        F.create_map(*pairs)
+        if pairs
+        else F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<bigint>")
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = F.min(value_col).over(w)
+    return p.withColumn(
+        out_col, F.least(local, pmap[F.col("__pid")])
+    ).drop("__pid")

@@ -8139,6 +8139,111 @@ def q237_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q238 — Pareto (skyline) frontier: parts minimizing (price, size) that
+# no other part dominates, via the sort + running-min sweep.
+# --------------------------------------------------------------------------
+@register(
+    "q238_pareto_frontier",
+    """
+    WITH p2 AS (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    s AS (
+      SELECT p_partkey, p_size, cents,
+             min(p_size) OVER (ORDER BY cents, p_size, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_size_before
+      FROM p2)
+    SELECT p_partkey, cents, CAST(p_size AS INT) AS p_size
+    FROM s
+    WHERE best_size_before IS NULL OR p_size < best_size_before
+    """,
+)
+def q238_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (skyline) frontier over (price, size) — the parts no other
+    part beats on BOTH dimensions, the dominance analysis behind
+    cheapest-smallest style procurement queries.  The classic sweep: sort
+    by (price, size, key), keep a row iff its size strictly undercuts the
+    running minimum of everything cheaper — no pairwise dominance join
+    (the naive NOT EXISTS is quadratic).  The running minimum is the
+    DISTRIBUTED one (pipeline.global_running_min: range partitions +
+    local sweep + broadcast prefix minima), so no single-task global
+    window exists even though the sweep is globally ordered.  Ties at
+    equal (price, size) are dominated by their predecessor."""
+    from apache_arrow_spark.functions.pipeline import global_running_min
+
+    p = load_table(spark, sf_dir, "part")
+    p2 = p.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = global_running_min(
+        p2, ["cents", "p_size", "p_partkey"], "p_size", "best_size_before"
+    )
+    return s.filter(
+        F.col("best_size_before").isNull()
+        | (F.col("p_size") < F.col("best_size_before"))
+    ).select("p_partkey", "cents", F.col("p_size").cast("int").alias("p_size"))
+
+
+# --------------------------------------------------------------------------
+# q239 — deterministic negative sampling: k hash-drawn negatives per
+# anchor document (contrastive-pair assembly), collision-shifted.
+# --------------------------------------------------------------------------
+@register(
+    "q239_negative_sampling",
+    f"""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    raw AS (
+      SELECT d.doc_id, kk.k AS k,
+             ({sql_hash_bucket("d.doc_id * 10 + kk.k", "neg")} + d.doc_id) % n.nd AS neg0
+      FROM documents d, LATERAL (SELECT unnest(range(3)) AS k) kk, n),
+    neg AS (
+      SELECT doc_id, k,
+             CASE WHEN neg0 = doc_id THEN (neg0 + 1) % (SELECT nd FROM n)
+                  ELSE neg0 END AS neg_id
+      FROM raw)
+    SELECT neg.doc_id, CAST(neg.k AS INT) AS k, neg.neg_id, d2.lang AS neg_lang
+    FROM neg JOIN documents d2 ON neg.neg_id = d2.doc_id
+    """,
+)
+def q239_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training data
+    assembly step (k random non-matching documents per anchor): negatives
+    draw from a salted hash of (anchor, k), shift by one on the
+    self-collision, and land on real corpus ids because doc ids are the
+    dense 0..n-1 range.  No RNG state: the SAME pairs re-materialize
+    under retries, re-partitioning, and in the oracle engine — the
+    property `rand()`-based samplers lack and exactly why this pattern
+    is how reproducible training pipelines draw negatives.  One scalar
+    count, per-row hash expressions, one join to attach negative-side
+    features."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.count()
+    ks = d.select(
+        "doc_id", F.explode(F.array(*[F.lit(k) for k in range(3)])).alias("k")
+    )
+    neg0 = (
+        hash_bucket(F.col("doc_id") * 10 + F.col("k"), "neg") + F.col("doc_id")
+    ) % F.lit(nd)
+    neg = ks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("k"),
+        F.when(neg0 == F.col("doc_id"), (neg0 + 1) % F.lit(nd))
+        .otherwise(neg0)
+        .alias("neg_id"),
+    )
+    d2 = d.select(F.col("doc_id").alias("nid"), F.col("lang").alias("neg_lang"))
+    return neg.join(F.broadcast(d2), neg.neg_id == F.col("nid")).select(
+        "doc_id", "k", "neg_id", "neg_lang"
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10429,8 +10534,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q237 (EWMA through
-# time-decayed trending — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q239 (EWMA through
+# deterministic negative sampling — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

@@ -236,3 +236,25 @@ def test_greedy_coverage_select_reference(spark):
     # round 1: doc 1 covers {a,b,c,d} (gain 4); round 2: doc 3 adds {e,f,g}
     # (gain 3); round 3: doc 5 adds {h}; then saturated -> early stop
     assert picks == [(1, 4, 4), (3, 3, 7), (5, 1, 8)]
+
+
+def test_global_running_min_matches_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_arrow_spark.functions.pipeline import global_running_min
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 50, (i * 13) % 20) for i in range(300)],
+        "id long, k long, v long",
+    )
+    got = {
+        r["id"]: r["running_min_before"]
+        for r in global_running_min(df, ["k", "id"], "v").collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.min("v").over(w)).collect()
+    }
+    assert got == want
