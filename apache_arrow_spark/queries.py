@@ -8244,6 +8244,143 @@ def q239_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q240 — Merkle-style hierarchical reconciliation: quarter-level digests
+# narrow the month-level comparison to mismatched quarters only.
+# --------------------------------------------------------------------------
+_Q240_DIGEST = (
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || chr(31) "
+    "|| o_orderpriority), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "q240_merkle_reconcile",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             strftime(o_orderdate, '%Y') || '-Q'
+               || CAST(quarter(o_orderdate) AS VARCHAR) AS qk,
+             strftime(o_orderdate, '%Y-%m') AS mk,
+             {sql_hash_bucket("o_orderkey", "q240")} AS hb
+      FROM orders),
+    v1 AS (SELECT qk, mk, o_orderkey, o_orderpriority FROM base),
+    v2 AS (
+      SELECT qk, mk, o_orderkey,
+             CASE WHEN qk LIKE '1997%' AND hb < 300000
+                  THEN '9-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
+      FROM base),
+    q1 AS (SELECT qk, CAST(bit_xor({_Q240_DIGEST}) AS BIGINT) AS d,
+                  count(*) AS n FROM v1 GROUP BY qk),
+    q2 AS (SELECT qk, CAST(bit_xor({_Q240_DIGEST}) AS BIGINT) AS d,
+                  count(*) AS n FROM v2 GROUP BY qk),
+    qcmp AS (
+      SELECT q1.qk, q1.d <> q2.d OR q1.n <> q2.n AS mismatched
+      FROM q1 JOIN q2 USING (qk)),
+    bad AS (SELECT qk FROM qcmp WHERE mismatched),
+    m1 AS (SELECT mk, CAST(bit_xor({_Q240_DIGEST}) AS BIGINT) AS d
+           FROM v1 WHERE qk IN (SELECT qk FROM bad) GROUP BY mk),
+    m2 AS (SELECT mk, CAST(bit_xor({_Q240_DIGEST}) AS BIGINT) AS d
+           FROM v2 WHERE qk IN (SELECT qk FROM bad) GROUP BY mk)
+    SELECT 'quarter' AS level, qk AS key,
+           CASE WHEN mismatched THEN 'mismatched' ELSE 'ok' END AS status
+    FROM qcmp
+    UNION ALL
+    SELECT 'month', m1.mk,
+           CASE WHEN m1.d <> m2.d THEN 'mismatched' ELSE 'ok' END
+    FROM m1 JOIN m2 USING (mk)
+    """,
+)
+def q240_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (Merkle-style) replica reconciliation: digest both
+    snapshot versions at QUARTER granularity first, and descend to MONTH
+    digests ONLY inside mismatched quarters — the log-narrowing that
+    makes anti-entropy repair of a 100 TB replica cost proportional to
+    the DIVERGED slice, not the table (clean quarters are certified by
+    one digest row and never rescanned at finer grain).  The fixture
+    rewrites priorities in 1997 only, so exactly the 1997 quarters
+    descend.  Digests are the q166/q211 md5-fold discipline; the oracle
+    replays both levels and the pruning decision."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("qk"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mk"),
+        hash_bucket(F.col("o_orderkey"), "q240").alias("hb"),
+    )
+    dg = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("\x1f"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    v1 = base.select("qk", "mk", "o_orderkey", "o_orderpriority")
+    v2 = base.select(
+        "qk",
+        "mk",
+        "o_orderkey",
+        F.when(
+            F.col("qk").startswith("1997") & (F.col("hb") < 300000),
+            F.lit("9-REWRITTEN"),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+    def digest(df, key):
+        return df.groupBy(key).agg(
+            F.bit_xor(dg).alias("d"), F.count(F.lit(1)).alias("n")
+        )
+
+    q1, q2 = digest(v1, "qk"), digest(v2, "qk")
+    qcmp = (
+        q1.alias("a")
+        .join(q2.alias("b"), "qk")
+        .select(
+            "qk",
+            (
+                (F.col("a.d") != F.col("b.d")) | (F.col("a.n") != F.col("b.n"))
+            ).alias("mismatched"),
+        )
+    )
+    bad = qcmp.filter(F.col("mismatched")).select("qk")
+    m1 = digest(v1.join(F.broadcast(bad), "qk", "left_semi"), "mk")
+    m2 = digest(v2.join(F.broadcast(bad), "qk", "left_semi"), "mk")
+    quarter_rows = qcmp.select(
+        F.lit("quarter").alias("level"),
+        F.col("qk").alias("key"),
+        F.when(F.col("mismatched"), "mismatched").otherwise("ok").alias("status"),
+    )
+    month_rows = (
+        m1.alias("x")
+        .join(m2.alias("y"), "mk")
+        .select(
+            F.lit("month").alias("level"),
+            F.col("mk").alias("key"),
+            F.when(F.col("x.d") != F.col("y.d"), "mismatched")
+            .otherwise("ok")
+            .alias("status"),
+        )
+    )
+    return quarter_rows.unionByName(month_rows)
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10534,8 +10671,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q239 (EWMA through
-# deterministic negative sampling — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q240 (EWMA through
+# Merkle hierarchical reconciliation — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
