@@ -726,3 +726,44 @@ def global_running_min(
     return p.withColumn(
         out_col, F.least(local, pmap[F.col("__pid")])
     ).drop("__pid")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """INCLUSIVE global running sum of ``value_col`` in ``order_cols``
+    order, distributed like :func:`global_value_rank`: range-repartition,
+    per-partition local cumsum, add the broadcast totals of all EARLIER
+    partitions.  The sweep-line primitive (interval concurrency, token
+    budgets, gap accounting) with no single-task window."""
+    cols = [F.col(c) for c in order_cols]
+    p = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        p.groupBy("__pid").agg(F.sum(value_col).alias("__s")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    acc, pairs = 0, []
+    for r in totals:
+        pairs += [F.lit(r["__pid"]), F.lit(acc)]
+        acc += int(r["__s"] or 0)
+    pmap = (
+        F.create_map(*pairs)
+        if pairs
+        else F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<bigint>")
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return p.withColumn(
+        out_col,
+        (F.sum(value_col).over(w) + pmap[F.col("__pid")]).cast("bigint"),
+    ).drop("__pid")

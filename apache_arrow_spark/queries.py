@@ -8381,6 +8381,74 @@ def q240_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q241 — peak concurrent sessions via the sweep line: +1/-1 boundary
+# events, distributed running sum, per-day maxima.
+# --------------------------------------------------------------------------
+@register(
+    "q241_peak_concurrency",
+    """
+    WITH s AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+             epoch_us(ts) // 86400000000 AS d0
+      FROM events
+      GROUP BY user_id, epoch_us(ts) // 86400000000),
+    b AS (
+      SELECT d0 AS d, t0 AS t, 1 AS delta FROM s
+      UNION ALL
+      SELECT d0, t1 + 1, -1 FROM s),
+    r AS (
+      SELECT d, t, delta,
+             sum(delta) OVER (ORDER BY t, delta, d
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b)
+    SELECT d AS day, CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM r WHERE delta = 1 GROUP BY d
+    """,
+)
+def q241_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user activity per day — the capacity-planning
+    metric — via the classic sweep line: each (user, day) activity span
+    emits +1 at its start and -1 just after its end; the running sum over
+    the globally time-ordered boundary stream IS the concurrency curve,
+    and the per-day max of the curve at start events is the peak.  The
+    running sum is DISTRIBUTED (pipeline.global_running_sum:
+    range-partitioned cumsum + broadcast prefix totals — no single-task
+    window); spans' whole boundary stream is 2 rows per (user, day),
+    already collapsed from the raw events.  The day of a span anchors at
+    its start day (the tie-break (t, delta, d) makes the global order
+    total, so both engines walk the identical sweep)."""
+    from apache_arrow_spark.functions.pipeline import global_running_sum
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    s = (
+        e.select(
+            "user_id",
+            us.alias("t"),
+            F.expr("ts div 86400000000000").alias("d0"),
+        )
+        .groupBy("user_id", "d0")
+        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    )
+    b = s.select(
+        F.col("d0").alias("d"), F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        s.select(
+            F.col("d0").alias("d"),
+            (F.col("t1") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    r = global_running_sum(b, ["t", "delta", "d"], "delta", "conc")
+    return (
+        r.filter(F.col("delta") == 1)
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10671,8 +10739,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q240 (EWMA through
-# Merkle hierarchical reconciliation — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q241 (EWMA through
+# sweep-line peak concurrency — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

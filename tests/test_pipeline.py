@@ -258,3 +258,25 @@ def test_global_running_min_matches_single_window(spark):
         for r in df.withColumn("m", F.min("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_global_running_sum_matches_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_arrow_spark.functions.pipeline import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23, 1 if i % 3 else -1) for i in range(200)],
+        "id long, k long, delta long",
+    )
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(df, ["k", "id"], "delta").collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", F.sum("delta").over(w)).collect()
+    }
+    assert got == want
