@@ -33,7 +33,10 @@ def asof_join(
     ``tolerance``: optional Column/literal — matches older than
     ``left_time - tolerance`` are discarded (pandas merge_asof tolerance).
     """
-    lcols = [c for c in left.columns if c != on]
+    # left_time re-enters the output via the __t alias — including it in
+    # lcols too would emit a DUPLICATE column (latent until a consumer
+    # references it and hits AMBIGUOUS_REFERENCE)
+    lcols = [c for c in left.columns if c not in (on, left_time)]
     rcols = [c for c in right.columns if c != on]
     overlap = set(lcols) & set(rcols)
     if overlap:
@@ -103,4 +106,66 @@ def asof_join(
         raise ValueError("how must be 'inner' or 'left'")
     return out.select(
         F.col("__k").alias(on), F.col("__t").alias(left_time), *lcols, *rcols
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    how: str = "inner",
+    tolerance=None,
+) -> DataFrame:
+    """``left`` rows enriched with the EARLIEST ``right`` row at-or-after
+    ``left_time`` per key — pandas ``merge_asof(direction='forward')``.
+    Implemented by time negation over the backward join (latest -t' <= -t
+    is exactly earliest t' >= t), inheriting its one-shuffle union +
+    struct-carry plan."""
+    lneg = left.withColumn("__lnt", -F.col(left_time))
+    rneg = right.withColumn("__rnt", -F.col(right_time))
+    out = asof_join(
+        lneg, rneg, on, "__lnt", "__rnt", how=how, tolerance=tolerance
+    )
+    return out.drop("__lnt", "__rnt")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+) -> DataFrame:
+    """``left`` rows enriched with the CLOSEST ``right`` row in either
+    direction — pandas ``merge_asof(direction='nearest')``; ties prefer
+    the backward (at-or-before) match.  Runs the backward and forward
+    passes (each one shuffle on the key) and resolves per left row by
+    absolute time distance; ``left_id`` must uniquely identify left rows.
+    Always left-semantics (unmatched rows keep NULLs)."""
+    rcols = [c for c in right.columns if c != on]
+    b = asof_join(left, right, on, left_time, right_time, how="left")
+    f = asof_join_forward(left, right, on, left_time, right_time, how="left")
+    bsel = b.select(
+        *left.columns,
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__b"),
+    )
+    fsel = f.select(
+        F.col(left_id).alias("__fid"),
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__f"),
+    )
+    j = bsel.join(fsel, F.col(left_id) == F.col("__fid")).drop("__fid")
+    bt = F.col("__b").getField(right_time)
+    ft = F.col("__f").getField(right_time)
+    lt = F.col(left_time)
+    pick_b = (
+        bt.isNotNull()
+        & (ft.isNull() | ((lt - bt) <= (ft - lt)))
+    )
+    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    return j.select(
+        *left.columns,
+        *[chosen.getField(c).alias(c) for c in rcols],
     )

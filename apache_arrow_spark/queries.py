@@ -8449,6 +8449,67 @@ def q241_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q242 — nearest-direction as-of join: every click matched to its
+# closest purchase in either direction (completing the as-of family).
+# --------------------------------------------------------------------------
+@register(
+    "q242_asof_nearest",
+    """
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS pt
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.event_id, c.user_id, c.t, p.pt,
+             abs(p.pt - c.t) AS ad,
+             CASE WHEN p.pt <= c.t THEN 0 ELSE 1 END AS fwd
+      FROM c LEFT JOIN p USING (user_id)),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ad, fwd, pt) AS rn
+      FROM j),
+    best AS (SELECT event_id, t, pt FROM r WHERE rn = 1)
+    SELECT CASE WHEN pt IS NULL THEN 'none'
+                WHEN pt <= t THEN 'backward' ELSE 'forward' END AS direction,
+           count(*) AS n_clicks,
+           CAST(coalesce(sum(abs(pt - t)), 0) AS BIGINT) AS total_abs_us
+    FROM best GROUP BY 1
+    """,
+)
+def q242_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (operators.asof_join_nearest,
+    completing the family: backward q47, forward by time negation,
+    nearest = resolve per row by absolute distance, ties to backward —
+    pandas merge_asof's three directions): every click matched to the
+    user's closest purchase on either side.  Two one-shuffle as-of
+    passes + a per-row resolve; the oracle is the brute-force per-click
+    argmin with the identical tie rule.  Readout: match-direction mix
+    and total |Δt| — the intent-proximity profile."""
+    from apache_arrow_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pt")
+    )
+    m = asof_join_nearest(clicks, purchases, "user_id", "t", "pt", "event_id")
+    direction = (
+        F.when(F.col("pt").isNull(), "none")
+        .when(F.col("pt") <= F.col("t"), "backward")
+        .otherwise("forward")
+    )
+    return m.groupBy(direction.alias("direction")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.coalesce(F.sum(F.abs(F.col("pt") - F.col("t"))), F.lit(0))
+        .cast("bigint")
+        .alias("total_abs_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10739,8 +10800,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q241 (EWMA through
-# sweep-line peak concurrency — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q242 (EWMA through
+# nearest-direction as-of join — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

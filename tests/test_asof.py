@@ -66,3 +66,44 @@ def test_column_collision_raises(spark, sides):
     left, right = sides
     with pytest.raises(ValueError):
         asof_join(left.withColumnRenamed("ev", "price"), right, "k", "t", "rt")
+
+
+def test_asof_join_no_duplicate_time_column(spark):
+    from apache_arrow_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, t long, lv string")
+    right = spark.createDataFrame([(1, 5, "r")], "k long, rt long, rv string")
+    out = asof_join(left, right, "k", "t", "rt")
+    # regression: left_time must appear exactly once (was duplicated)
+    assert out.columns.count("t") == 1
+    r = out.select("t", "rv").first()
+    assert r["t"] == 10 and r["rv"] == "r"
+
+
+def test_asof_forward_and_nearest(spark):
+    from apache_arrow_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 35)], "k long, id long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 14), (1, 30)], "k long, rt long"
+    )
+    fwd = {r["id"]: r["rt"] for r in asof_join_forward(left, right, "k", "t", "rt", how="left").collect()}
+    assert fwd == {1: 14, 2: 30, 3: None}
+    near = {r["id"]: r["rt"] for r in asof_join_nearest(left, right, "k", "t", "rt", "id").collect()}
+    # t=10 -> 14 (forward only 4 away); t=20 -> 14 (6 back vs 10 fwd);
+    # t=35 -> 30 (backward only)
+    assert near == {1: 14, 2: 14, 3: 30}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from apache_arrow_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 1, 20)], "k long, id long, t long")
+    right = spark.createDataFrame([(1, 15), (1, 25)], "k long, rt long")
+    r = asof_join_nearest(left, right, "k", "t", "rt", "id").first()
+    assert r["rt"] == 15
