@@ -147,8 +147,10 @@ def _anchor_sort(spark) -> float:
     rates = []
     # JIT keeps warming through ~rep 7 (measured: best-so-far still climbing
     # at rep 5-8), so the old 3-reps/20.0 early stop understated the rate by
-    # ~10%.  Stop only at the reference bar itself, else run the full 12.
-    for _ in range(12):
+    # ~10%.  Stop only at the reference bar itself, else run the full 16
+    # (ambient-load variance puts single reps anywhere in 19-24 M/s; more
+    # chances to catch a clean window, ~1.6 s each).
+    for _ in range(16):
         t0 = time.time()
         df.orderBy("x").write.format("noop").mode("overwrite").save()
         rates.append(n / (time.time() - t0) / 1e6)
