@@ -8510,6 +8510,90 @@ def q242_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q243 — dedup match explainability: the rarest shared shingles behind
+# each near-duplicate pair (why did these two documents match?).
+# --------------------------------------------------------------------------
+@register(
+    "q243_match_evidence",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS s
+      FROM d),
+    sh2 AS (SELECT doc_id, s, len(s) AS ls FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.s, b.s)) AS i, a.ls AS la, b.ls AS lb
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.ls * 2 >= b.ls AND b.ls * 2 >= a.ls),
+    pr AS (
+      SELECT ia, ib FROM p
+      WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5),
+    cells AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    freq AS (SELECT g, count(*) AS df FROM cells GROUP BY g),
+    shared AS (
+      SELECT pr.ia, pr.ib, ca.g, f.df
+      FROM pr
+      JOIN cells ca ON ca.doc_id = pr.ia
+      JOIN cells cb ON cb.doc_id = pr.ib AND cb.g = ca.g
+      JOIN freq f ON f.g = ca.g),
+    r AS (
+      SELECT ia, ib, g, CAST(df AS BIGINT) AS df,
+             row_number() OVER (PARTITION BY ia, ib ORDER BY df, g) AS rnk
+      FROM shared)
+    SELECT ia AS id_a, ib AS id_b, CAST(rnk AS INT) AS rnk, g AS shingle, df
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q243_match_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY did two documents match?  For every q33 near-duplicate pair,
+    the three rarest shingles the two sides share (rarity = corpus
+    document frequency, ties lexicographic) — the evidence a reviewer
+    reads to audit a dedup decision, and the debugging readout that
+    separates true duplication from boilerplate collisions (low-df
+    evidence = real shared content; high-df = stop-shingle noise).
+    Pair generation reuses the exact verified near-dup set; evidence is
+    a pair-scale join back to shingle cells + a per-pair top-3 window —
+    never a corpus-scale expansion (pairs are the tiny side)."""
+    from apache_arrow_spark.functions.dedup import minhash_near_duplicates
+    from apache_arrow_spark.functions.text import normalize_text, shingles_of_normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cells = d.select(
+        F.col("doc_id"),
+        F.explode(
+            shingles_of_normalized(normalize_text(F.col("text")), 5)
+        ).alias("g"),
+    ).distinct()
+    freq = cells.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ca = cells.select(F.col("doc_id").alias("id_a"), F.col("g"))
+    cb = cells.select(F.col("doc_id").alias("id_b"), F.col("g"))
+    shared = (
+        pairs.join(ca, "id_a")
+        .join(cb, ["id_b", "g"])
+        .join(freq, "g")
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(F.col("df"), F.col("g"))
+    return (
+        shared.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("g").alias("shingle"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10800,8 +10884,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q242 (EWMA through
-# nearest-direction as-of join — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q243 (EWMA through
+# dedup match explainability — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
