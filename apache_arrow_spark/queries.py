@@ -8594,6 +8594,51 @@ def q243_match_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q244 — custom Python DataSource connector: Arrow IPC shards through
+# spark.read.format("aas_ipc") (the Spark 4 plugin surface).
+# --------------------------------------------------------------------------
+@register(
+    "q244_custom_datasource",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS qty,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q244_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC shards read through a REGISTERED Spark 4 Python
+    DataSource (io.datasource.ArrowIPCDataSource,
+    ``format("aas_ipc")``) — the first-class connector surface the
+    reference implements as C++ readers: schema sniffed from shard
+    metadata, one InputPartition per shard (scan parallelism == shard
+    count, no driver funnel), batches yielded as Arrow (Spark 4's
+    vectorized connector path, no per-row Python).  The fixture writes
+    lineitem through the distributed IPC sink, reads it back through
+    the connector, and aggregates with the decimal discipline — the
+    graded row proves sink -> connector -> aggregate loses nothing."""
+    import tempfile
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q244_", dir=shm)
+    write_ipc(li.repartition(8), root)
+    register_ipc_source(spark)
+    back = spark.read.format("aas_ipc").load(root)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("l_quantity")).alias("qty"),
+        F.sum("l_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10884,8 +10929,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q243 (EWMA through
-# dedup match explainability — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q244 (EWMA through
+# the custom DataSource connector — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

@@ -319,3 +319,42 @@ def test_compact_dataset_clustered_restores_pruning(spark, tmp_path):
         ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
     ranges.sort()
     assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_custom_datasource_roundtrip_and_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.col("id").cast("string").alias("s")
+    )
+    root = str(tmp_path / "shards")
+    n = write_ipc(df.repartition(5), root)
+    register_ipc_source(spark)
+    back = spark.read.format("aas_ipc").load(root)
+    # schema inferred from shard metadata; one task per shard
+    assert back.schema.simpleString() == "struct<id:bigint,g:bigint,s:string>"
+    assert back.rdd.getNumPartitions() == n
+    assert back.count() == 1000
+    got = back.agg(F.sum("id"), F.sum("g")).first()
+    assert got[0] == 499500 and got[1] == df.agg(F.sum("g")).first()[0]
+
+
+def test_custom_datasource_decodes_dictionary_shards(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("cat")
+    )
+    root = str(tmp_path / "dict_shards")
+    write_ipc(df.repartition(2), root, dictionary_encode=["cat"])
+    register_ipc_source(spark)
+    back = spark.read.format("aas_ipc").load(root)
+    # dictionary columns decode to dense strings
+    assert back.schema["cat"].dataType.simpleString() == "string"
+    assert back.filter(F.col("cat") == "2").count() == df.filter(F.col("cat") == "2").count()
