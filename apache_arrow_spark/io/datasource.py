@@ -94,7 +94,56 @@ class ArrowIPCDataSource(DataSource):
     def reader(self, schema):
         return ArrowIPCShardReader(self.options["path"])
 
+    def simpleStreamReader(self, schema):
+        return ArrowIPCSimpleStreamReader(self.options["path"])
+
 
 def register_ipc_source(spark) -> None:
     """Idempotently register the connector on this session."""
     spark.dataSource.register(ArrowIPCDataSource)
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class ArrowIPCSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (SimpleDataSourceStreamReader):
+    the shard DIRECTORY is the unbounded source — files appended by the
+    distributed sink become micro-batches.  Offsets are simply the count
+    of shards consumed (shard list sorted by name, append-only by the
+    sink's uuid naming), so ``readBetweenOffsets`` replays any window
+    deterministically — exactly-once with a durable checkpoint."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # a MATERIALIZED list, not a generator: the runner's prefetch
+        # cache copy.copy()s the iterator, which generators don't support
+        try:
+            files = _shards(self._path)
+        except FileNotFoundError:
+            files = []
+        out = []
+        for p in files[lo:hi]:
+            table = _read_shard_table(p)
+            out.extend(tuple(row.values()) for row in table.to_pylist())
+        return out
+
+    def read(self, start):
+        try:
+            n = len(_shards(self._path))
+        except FileNotFoundError:
+            n = start["idx"]
+        end = {"idx": n}
+        return self._rows(start["idx"], n), end
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["idx"], end["idx"])
+
+    def commit(self, end):
+        pass
+

@@ -358,3 +358,38 @@ def test_custom_datasource_decodes_dictionary_shards(spark, tmp_path):
     # dictionary columns decode to dense strings
     assert back.schema["cat"].dataType.simpleString() == "string"
     assert back.filter(F.col("cat") == "2").count() == df.filter(F.col("cat") == "2").count()
+
+
+def test_custom_datasource_streaming_matches_batch(spark, tmp_path):
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    df = spark.range(400).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    root = str(tmp_path / "stream_shards")
+    write_ipc(df.repartition(3), root)
+    register_ipc_source(spark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("aas_ipc")
+        .load(root)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["g"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert got == want
