@@ -65,9 +65,30 @@ class _Shard(InputPartition):
 class ArrowIPCShardReader(DataSourceReader):
     def __init__(self, path: str):
         self._path = path
+        self._keep: list[str] | None = None
+
+    def pushFilters(self, filters):
+        """Statistics-based shard skipping: shards whose manifest
+        [min, max] cannot satisfy the AND of the pushed filters never
+        become partitions.  All filters are returned (Spark re-evaluates
+        them) — the manifest only PRUNES, identical to parquet row-group
+        statistics semantics, so a stale/absent manifest is safe."""
+        manifest = _load_manifest(self._path)
+        if manifest is not None:
+            flist = list(filters)
+            self._keep = [
+                p
+                for p in _shards(self._path)
+                if all(
+                    _shard_may_match(f, manifest.get(os.path.basename(p)))
+                    for f in flist
+                )
+            ]
+        return filters
 
     def partitions(self):
-        return [_Shard(p) for p in _shards(self._path)]
+        files = self._keep if self._keep is not None else _shards(self._path)
+        return [_Shard(p) for p in files]
 
     def read(self, partition):
         table = _read_shard_table(partition.path)
@@ -99,7 +120,13 @@ class ArrowIPCDataSource(DataSource):
 
 
 def register_ipc_source(spark) -> None:
-    """Idempotently register the connector on this session."""
+    """Idempotently register the connector on this session (and enable
+    Python-source filter pushdown, off by default in Spark 4.1, so the
+    manifest-based shard skipping can engage)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static-conf session: pushFilters simply won't be called
     spark.dataSource.register(ArrowIPCDataSource)
 
 
@@ -147,3 +174,79 @@ class ArrowIPCSimpleStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end):
         pass
 
+
+
+# ---------------------------------------------------------------------------
+# Statistics-based shard skipping (parquet row-group pruning, connector
+# edition): a sidecar manifest of per-shard column min/max lets
+# pushFilters drop whole shards before any task launches.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_manifest.json"
+
+
+def write_ipc_manifest(spark, path: str) -> int:
+    """Build the per-shard min/max statistics manifest for an IPC shard
+    directory (one scan, distributed — one task per shard; the manifest
+    itself is #shards x #columns driver-budget rows).  Returns the shard
+    count.  Stats cover numeric and string columns; a production sink
+    would emit these at write time, the way parquet writes footer
+    statistics."""
+    import json
+
+    files = _shards(path)
+
+    def stats(p: str):
+        table = _read_shard_table(p)
+        cols = {}
+        import pyarrow.compute as pc
+
+        for name in table.column_names:
+            col = table.column(name)
+            try:
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            except Exception:
+                continue
+            if mn is not None and not isinstance(mn, (bytes, dict, list)):
+                cols[name] = [mn, mx]
+        return os.path.basename(p), cols
+
+    entries = dict(
+        spark.sparkContext.parallelize(files, len(files)).map(stats).collect()
+    )
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(entries, fh, default=str)
+    return len(files)
+
+
+def _load_manifest(path: str):
+    import json
+
+    mf = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as fh:
+        return json.load(fh)
+
+
+def _shard_may_match(flt, stats) -> bool:
+    """Conservative may-contain test for one pushed filter against one
+    shard's [min, max]; unknown columns/filter types never prune."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    attr = getattr(flt, "attribute", None)
+    name = attr[0] if isinstance(attr, (tuple, list)) and len(attr) == 1 else None
+    if name is None or stats is None or name not in stats:
+        return True
+    if not isinstance(flt, (EqualTo, GreaterThan, LessThan)):
+        return True  # IsNotNull etc.: no range semantics, never prune
+    mn, mx = stats[name]
+    v = flt.value
+    try:
+        if isinstance(flt, EqualTo):
+            return mn <= v <= mx
+        if isinstance(flt, GreaterThan):
+            return mx > v
+        return mn < v
+    except TypeError:
+        return True

@@ -8694,6 +8694,57 @@ def q245_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q246 — connector filter pushdown: the manifest prunes IPC shards the
+# way parquet prunes row groups; results stay exact.
+# --------------------------------------------------------------------------
+@register(
+    "q246_connector_pushdown",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderpriority
+    """,
+)
+def q246_connector_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the custom connector
+    (ArrowIPCShardReader.pushFilters + the write_ipc_manifest sidecar):
+    orders land as RANGE-partitioned IPC shards (disjoint orderkey
+    ranges per shard — the write_clustered layout discipline), the
+    manifest records per-shard min/max, and the pushed ``o_orderkey <
+    5000`` predicate drops every shard whose range cannot match BEFORE
+    any task launches — parquet row-group skipping, connector edition.
+    Pruning is conservative (Spark re-evaluates all filters), so the
+    graded row is exact regardless; the pruning itself is asserted in
+    `test_custom_datasource_manifest_prunes_shards`."""
+    import tempfile
+
+    from apache_arrow_spark.io.datasource import (
+        register_ipc_source,
+        write_ipc_manifest,
+    )
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q246_", dir=shm)
+    write_ipc(o.repartitionByRange(8, "o_orderkey"), root)
+    write_ipc_manifest(spark, root)
+    register_ipc_source(spark)
+    back = spark.read.format("aas_ipc").load(root)
+    return (
+        back.filter(F.col("o_orderkey") < 5000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -10984,8 +11035,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q245 (EWMA through
-# the custom streaming source — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q246 (EWMA through
+# connector filter pushdown — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

@@ -393,3 +393,39 @@ def test_custom_datasource_streaming_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_custom_datasource_manifest_prunes_shards(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    from apache_arrow_spark.io.datasource import (
+        ArrowIPCShardReader,
+        register_ipc_source,
+        write_ipc_manifest,
+    )
+    from apache_arrow_spark.io.ipc import write_ipc
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 9).alias("g"))
+    root = str(tmp_path / "pruned")
+    # range partitioning gives shards disjoint id ranges
+    write_ipc(df.repartitionByRange(5, "id"), root)
+    n = write_ipc_manifest(spark, root)
+    assert n == 5
+
+    r = ArrowIPCShardReader(root)
+    r.pushFilters([EqualTo(("id",), 7)])
+    assert len(r.partitions()) == 1
+    r2 = ArrowIPCShardReader(root)
+    r2.pushFilters([GreaterThan(("id",), 899)])
+    assert len(r2.partitions()) <= 2
+    # unknown column never prunes
+    r3 = ArrowIPCShardReader(root)
+    r3.pushFilters([LessThan(("nope",), 1)])
+    assert len(r3.partitions()) == 5
+
+    # end-to-end: results identical to the unfiltered truth
+    register_ipc_source(spark)
+    back = spark.read.format("aas_ipc").load(root)
+    assert back.filter(F.col("id") == 7).count() == 1
+    assert back.filter(F.col("id") > 899).count() == 100
