@@ -118,6 +118,9 @@ class ArrowIPCDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return ArrowIPCSimpleStreamReader(self.options["path"])
 
+    def writer(self, schema, overwrite: bool):
+        return ArrowIPCShardWriter(self.options["path"], overwrite)
+
 
 def register_ipc_source(spark) -> None:
     """Idempotently register the connector on this session (and enable
@@ -250,3 +253,78 @@ def _shard_may_match(flt, stats) -> bool:
         return mn < v
     except TypeError:
         return True
+
+
+# ---------------------------------------------------------------------------
+# Write path (DataSourceArrowWriter): df.write.format("aas_ipc").save(dir)
+# with the standard stage -> commit protocol for exactly-once output.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    staged: str | None
+
+
+class ArrowIPCShardWriter(DataSourceArrowWriter):
+    """Vectorized connector write path: each task streams its Arrow
+    batches into ONE staged shard (`.staging-<uuid>/part-*.arrows`);
+    the driver's commit() publishes staged shards into the directory
+    root atomically-enough (rename within a filesystem), and abort()
+    discards the staging dir — the classic two-phase output protocol,
+    so failed/speculative tasks never leave partial shards visible."""
+
+    def __init__(self, path: str, overwrite: bool):
+        import uuid
+
+        self._path = path
+        self._overwrite = overwrite
+        self._staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        batches = list(iterator)
+        if not batches:
+            return _ShardCommit(None)
+        os.makedirs(self._staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex[:16]}.arrows"
+        staged = os.path.join(self._staging, name)
+        with pa.OSFile(staged, "wb") as sink:
+            writer = ipc.new_stream(sink, batches[0].schema)
+            for b in batches:
+                writer.write_batch(b)
+            writer.close()
+        return _ShardCommit(staged)
+
+    def commit(self, messages):
+        import shutil
+
+        os.makedirs(self._path, exist_ok=True)
+        if self._overwrite:
+            for old in _glob.glob(os.path.join(self._path, "*.arrows")) + _glob.glob(
+                os.path.join(self._path, "*.arrow")
+            ):
+                os.remove(old)
+            mf = os.path.join(self._path, _MANIFEST)
+            if os.path.exists(mf):
+                os.remove(mf)
+        for m in messages:
+            if m and m.staged:
+                os.rename(
+                    m.staged, os.path.join(self._path, os.path.basename(m.staged))
+                )
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+

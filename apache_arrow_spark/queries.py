@@ -8745,6 +8745,51 @@ def q246_connector_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q247 — connector WRITE path: df.write.format("aas_ipc") with the
+# two-phase stage/commit protocol, read back through the same format.
+# --------------------------------------------------------------------------
+@register(
+    "q247_connector_write",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q247_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE path (ArrowIPCShardWriter,
+    DataSourceArrowWriter): ``df.write.format("aas_ipc").save(dir)``
+    streams each task's Arrow batches into a STAGED shard and the
+    driver's commit() publishes staged shards in one pass — the
+    two-phase output protocol that keeps failed and speculative task
+    attempts invisible (no partial shards ever appear in the directory).
+    The graded row reads the committed output back through the same
+    format and must equal the source truth — write -> commit -> read
+    loses nothing.  With ``mode("overwrite")`` the commit also retires
+    prior shards and the stats manifest atomically with the publish."""
+    import tempfile
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="aas_q247_", dir=shm) + "/out"
+    register_ipc_source(spark)
+    c.repartition(4).write.format("aas_ipc").mode("overwrite").save(root)
+    back = spark.read.format("aas_ipc").load(root)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -11035,8 +11080,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q246 (EWMA through
-# connector filter pushdown — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q247 (EWMA through
+# the connector write path — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred

@@ -429,3 +429,27 @@ def test_custom_datasource_manifest_prunes_shards(spark, tmp_path):
     back = spark.read.format("aas_ipc").load(root)
     assert back.filter(F.col("id") == 7).count() == 1
     assert back.filter(F.col("id") > 899).count() == 100
+
+
+def test_custom_datasource_write_commit_protocol(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.io.datasource import register_ipc_source
+
+    register_ipc_source(spark)
+    df = spark.range(600).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    root = str(tmp_path / "w_out")
+    df.repartition(3).write.format("aas_ipc").mode("append").save(root)
+    files = [f for f in os.listdir(root) if f.endswith(".arrows")]
+    assert len(files) == 3
+    assert not [d for d in os.listdir(root) if d.startswith(".staging")]
+    back = spark.read.format("aas_ipc").load(root)
+    assert back.count() == 600
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+    # overwrite retires prior shards
+    spark.range(5).select(
+        F.col("id"), F.lit(0).cast("bigint").alias("g")
+    ).write.format("aas_ipc").mode("overwrite").save(root)
+    assert spark.read.format("aas_ipc").load(root).count() == 5
