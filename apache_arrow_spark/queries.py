@@ -8790,6 +8790,82 @@ def q247_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q248 — cogrouped applyInPandas: per-key reconciliation of two tables
+# (events vs orders) inside one Arrow-batched pandas function.
+# --------------------------------------------------------------------------
+@register(
+    "q248_cogroup_reconcile",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    o AS (SELECT o_custkey AS user_id,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS od
+          FROM orders),
+    eu AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+    ou AS (SELECT user_id, count(*) AS n_orders FROM o GROUP BY user_id),
+    near AS (
+      SELECT e.user_id, count(*) AS n_near
+      FROM e WHERE EXISTS (SELECT 1 FROM o WHERE o.user_id = e.user_id
+                           AND e.d - o.od BETWEEN 0 AND 2)
+      GROUP BY e.user_id)
+    SELECT coalesce(eu.user_id, ou.user_id) AS user_id,
+           CAST(coalesce(eu.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(ou.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_event_near_order
+    FROM eu FULL OUTER JOIN ou USING (user_id)
+    LEFT JOIN near ON near.user_id = coalesce(eu.user_id, ou.user_id)
+    """,
+)
+def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED grouped-map (groupBy.cogroup(...).applyInPandas — the
+    §2.10 surface for per-key logic that needs BOTH tables in memory at
+    once): each user's events and orders arrive as two pandas frames in
+    one Arrow-batched call; the function counts events landing within
+    two days after any of the user's order dates — per-key interval
+    logic that would otherwise need a range join.  Keys present in
+    either side appear (full-outer cogroup semantics, mirrored by the
+    oracle's FULL JOIN).  One shuffle per side on the key; group sizes
+    bound the pandas memory, the 100 TB contract of every grouped-map."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr("cast(cast(o_orderdate as timestamp) as bigint) div 86400").alias("od"),
+    )
+
+    def reconcile(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        uid = int(key[0])
+        n_ev, n_or = len(evs), len(ords)
+        n_near = 0
+        if n_ev and n_or:
+            od = ords["od"].to_numpy()
+            for d in evs["d"].to_numpy():
+                diff = d - od
+                if ((diff >= 0) & (diff <= 2)).any():
+                    n_near += 1
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_ev],
+                "n_orders": [n_or],
+                "n_event_near_order": [n_near],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, n_events bigint, n_orders bigint, "
+            "n_event_near_order bigint",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -11080,8 +11156,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q247 (EWMA through
-# the connector write path — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q248 (EWMA through
+# the cogrouped grouped-map — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
