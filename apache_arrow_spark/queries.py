@@ -8866,6 +8866,106 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q249 — VARIANT semi-structured analytics: parse once into the binary
+# variant encoding, extract with typed paths (the Spark 4 JSON story).
+# --------------------------------------------------------------------------
+@register(
+    "q249_variant_props",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS k_total,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+    FROM v GROUP BY event_type
+    """,
+)
+def q249_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    turns the JSON string into the binary variant encoding ONCE, and
+    variant_get extracts typed paths from it — at 100 TB this is the
+    difference between re-tokenizing JSON text per expression (q50's
+    get_json_object does this) and walking a compact binary tree; with
+    columnar storage, variant shredding also gives the extractor
+    column-pruned access.  The readout aggregates a typed extraction per
+    event type; the oracle runs DuckDB's native JSON extraction over
+    the same strings."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("k_total"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.countDistinct("k").cast("bigint").alias("k_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q250 — the pipeline, end to end: clean -> exact-dedup -> sample ->
+# per-language quota -> corpus manifest, one DAG.
+# --------------------------------------------------------------------------
+@register(
+    "q250_corpus_pipeline",
+    f"""
+    WITH clean AS (
+      SELECT doc_id, lang, {_SQL_TOKCNT} AS tc, md5({_SQL_NORM}) AS fp
+      FROM documents WHERE {_SQL_TOKCNT} >= 5),
+    dedup AS (
+      SELECT * FROM clean
+      WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY fp)),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE {sql_hash_bucket("doc_id", "q250")} < 700000),
+    quota AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                   ORDER BY {sql_hash_bucket("doc_id", "q250q")}, doc_id) AS rn
+        FROM sampled)
+      WHERE rn <= 40)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS tokens_total,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM quota GROUP BY lang
+    """,
+)
+def q250_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline END TO END in one DAG, composing the
+    library's canonical stages: quality gate (token floor) -> exact
+    dedup (min-id per normalized fingerprint, digests-only shuffle) ->
+    deterministic 70% hash sample (pure filter, retry-stable) ->
+    per-language quota (hash-ranked 40 docs each) -> corpus manifest.
+    Every stage is a production recipe already graded standalone (q28 /
+    q31 / q66 / q109); this row grades their COMPOSITION — the whole
+    pipeline is one lazy plan, so Catalyst sees the end-to-end DAG
+    (filters push through the dedup semi-join, the sample folds into the
+    scan) instead of materialized stage boundaries.  At 100 TB nothing
+    here shuffles more than digests, ids, and the per-language window."""
+    from apache_arrow_spark.functions.dedup import exact_dedup
+    from apache_arrow_spark.functions.pipeline import hash_sample, quota_sample
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.filter(token_count(F.col("text")) >= 5)
+    deduped = exact_dedup(clean, "text", "doc_id")
+    sampled = hash_sample(deduped, 0.7, "doc_id", salt="q250")
+    quota = quota_sample(sampled, "lang", 40, "doc_id", salt="q250q")
+    return quota.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("tokens_total"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -11156,8 +11256,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q248 (EWMA through
-# the cogrouped grouped-map — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q250 (EWMA through
+# the end-to-end corpus pipeline — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
