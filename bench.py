@@ -102,6 +102,8 @@ HEADLINE = [
     "q205_perplexity_strata",
     "q213_bpe_encode",
     "q216_nb_confusion",
+    # round 3e: the end-to-end pipeline capstone
+    "q250_corpus_pipeline",
 ]
 
 
