@@ -527,3 +527,13 @@ def test_q230_orphan_park_is_broadcast_anti(spark, sf_dir):
     df = QUERIES["q230_late_dimension_repair"](spark, sf_dir)
     p = plan_string(df, "simple")
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_q250_pipeline_composes_lazily(spark, sf_dir):
+    df = QUERIES["q250_corpus_pipeline"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    # one DAG: the dedup winners semi-join is present, nothing degenerates
+    # to a cartesian product, and no Python touches the hot path
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
