@@ -8966,6 +8966,59 @@ def q250_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q251 — SQL-registered UDTF with LATERAL correlation: the table-valued
+# function surface invoked from pure SQL.
+# --------------------------------------------------------------------------
+@register(
+    "q251_sql_udtf_lateral",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS a FROM documents),
+    pr AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2
+      FROM tk, LATERAL (SELECT unnest(list_transform(range(1, len(a)),
+                                      k -> [a[k], a[k+1]])) AS p) u
+      WHERE len(a) >= 2)
+    SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2
+    HAVING count(*) >= 100
+    """,
+)
+def q251_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued function surface, SQL edition: a Python UDTF
+    REGISTERED into the session catalog (spark.udtf.register) and
+    invoked from pure SQL with LATERAL correlation — every document row
+    feeds the TVF, whose output rows join back laterally (the ANSI TVF
+    pattern q117 exercised only through the DataFrame API).  The UDTF
+    emits adjacent word pairs; the aggregate keeps frequent bigrams.
+    Like q117, this is the API-surface demo — the codegen twin is the
+    slice/zip explode (q218's pair stage) and stays the hot-path
+    choice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w1 string, w2 string")
+    class WordPairs:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split()
+            for a, b in zip(toks, toks[1:]):
+                yield a, b
+
+    spark.udtf.register("aas_word_pairs", WordPairs)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "aas_q251_docs"
+    )
+    return spark.sql(
+        """
+        SELECT p.w1, p.w2, count(*) AS n
+        FROM aas_q251_docs d,
+             LATERAL aas_word_pairs(d.text) p
+        GROUP BY p.w1, p.w2
+        HAVING count(*) >= 100
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -11256,8 +11309,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q250 (EWMA through
-# the end-to-end corpus pipeline — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q251 (EWMA through
+# the SQL-registered lateral UDTF — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
