@@ -9019,6 +9019,113 @@ def q251_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q252 — applyInArrow grouped map: per-language min-max rescaling in
+# pure Arrow (no pandas materialization).
+# --------------------------------------------------------------------------
+@register(
+    "q252_arrow_grouped_map",
+    """
+    WITH s AS (
+      SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx,
+             count(*) AS n
+      FROM documents GROUP BY lang)
+    SELECT d.lang, CAST(s.n AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.mx > s.mn
+                         THEN (d.n_chars - s.mn) * 1000000 // (s.mx - s.mn)
+                         ELSE 0 END) AS BIGINT) AS scaled_sum_micro
+    FROM documents d JOIN s USING (lang)
+    GROUP BY d.lang, s.n
+    """,
+)
+def q252_arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped map in PURE Arrow (groupBy.applyInArrow — Spark 4's
+    zero-pandas grouped-map path): each language group arrives as one
+    pyarrow Table, min-max rescales its n_chars to integer micro-units
+    with pyarrow.compute kernels, and returns an Arrow table — no
+    pandas object materialization anywhere, which at 100 TB removes the
+    Arrow->pandas->Arrow double conversion the classic applyInPandas
+    pays.  The readout aggregates the per-doc scaled values; the oracle
+    replays the same min-max arithmetic relationally."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    # NOTE: no type annotations — pyspark's applyInArrow eval-type
+    # inference raises on partially-annotated functions (and then hits
+    # its own UnboundLocalError); unannotated functions take the
+    # default grouped-map eval type cleanly.
+    def rescale(key, table):
+        col = table.column("n_chars")
+        mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+        if mx > mn:
+            scaled = pc.divide(
+                pc.multiply(pc.subtract(col, mn), 1_000_000), mx - mn
+            )
+        else:
+            scaled = pa.chunked_array(
+                [pa.array([0] * len(table), pa.int64())]
+            )
+        lang = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        return pa.table(
+            {
+                "lang": pa.array([lang] * len(table)),
+                "scaled_micro": scaled.cast(pa.int64()),
+            }
+        )
+
+    scaled = d.groupBy("lang").applyInArrow(
+        rescale, "lang string, scaled_micro bigint"
+    )
+    return scaled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("scaled_micro").cast("bigint").alias("scaled_sum_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q253 — df.observe: pipeline metrics collected as a side channel of the
+# action, no second scan.
+# --------------------------------------------------------------------------
+@register(
+    "q253_observed_metrics",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum({_SQL_TOKCNT}) AS BIGINT) AS tokens_input,
+           CAST(sum(CASE WHEN {_SQL_TOKCNT} >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    """,
+)
+def q253_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe`` (Observation): input
+    row and token counts ride along as accumulator-style metrics ON the
+    filter job itself — the 100 TB way to audit a pipeline stage (a
+    separate metrics scan would double the IO; observe costs nothing
+    extra and is exact, unlike sampling-based monitors).  The query
+    observes the input side of the q250 quality gate while the action
+    computes the kept count, then emits observed + computed together;
+    the oracle recomputes all three from the table directly — the
+    observed numbers must be the exact truth."""
+    from pyspark.sql import Observation
+
+    from apache_arrow_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = Observation("q253")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(token_count(F.col("text"))).alias("tokens_input"),
+    ).filter(token_count(F.col("text")) >= 5)
+    n_kept = gated.count()  # the action; metrics materialize with it
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_input"]), int(m["tokens_input"]), int(n_kept))],
+        "n_input bigint, tokens_input bigint, n_kept bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # q197 — Wilson score interval for conversion rates: the uncertainty-
 # aware readout (a 40% rate over 5 users is not a 40% rate over 5000).
 # --------------------------------------------------------------------------
@@ -11309,8 +11416,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five re-grades whose execution paths changed since their last green row:
 # the exact-similarity/codec/quality operators new this round (q140-q144),
 # which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q251 (EWMA through
-# the SQL-registered lateral UDTF — the late-round-3 additions)
+# deferred below with per-line justifications).  q145-q253 (EWMA through
+# observe-metrics — the late-round-3 additions)
 # registered after the window filled: all local-oracle green at sf0.01,
 # they are round-4+ rotation stock; in r4 fill the window with the oldest
 # never-graded first (q145 onward).  Everything deferred
