@@ -336,10 +336,13 @@ def heavy_hitters_exact(
 
     from apache_arrow_spark.functions.pipeline import hash_bucket
 
+    # persisted: the shard stream feeds the MG pass, the exact verify,
+    # the non-empty probe, and the bound check — without the cache the
+    # "two-pass" algorithm would re-scan the source four times
     sharded = df.select(
         F.col(key_col).alias("key"),
         (hash_bucket(F.col(key_col), "mgshard") % n_shards).alias("shard"),
-    )
+    ).persist()
 
     def mg(pdf: pd.DataFrame) -> pd.DataFrame:
         counters: dict = {}
@@ -388,8 +391,10 @@ def heavy_hitters_exact(
         ) / mg_capacity
         kth = min((r["n"] for r in rows), default=0)
         if not rows or kth <= max_bound:
+            sharded.unpersist()
             raise ValueError(
                 f"MG capacity too small for exact top-{k}: kth count {kth} "
                 f"<= shard bound {max_bound}; raise mg_capacity"
             )
+    sharded.unpersist()
     return df.sparkSession.createDataFrame(rows, top.schema)
