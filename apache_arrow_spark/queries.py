@@ -11409,27 +11409,14 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-3 window = every query that has never
-# had a driver-grade row (q54, q57, q84, q86, q99-q136 — the full round-2
-# verdict list, 42 queries) + the three operators new this round (q137
-# JSON dictionary batches, q138 real image decode, q139 sharded Bloom) +
-# five re-grades whose execution paths changed since their last green row:
-# the exact-similarity/codec/quality operators new this round (q140-q144),
-# which took the slots of five r1/r2-green re-grades (q33, q38, q76-q78 —
-# deferred below with per-line justifications).  q145-q253 (EWMA through
-# observe-metrics — the late-round-3 additions)
-# registered after the window filled: all local-oracle green at sf0.01,
-# they are round-4+ rotation stock; in r4 fill the window with the oldest
-# never-graded first (q145 onward).  Everything deferred
-# below was driver-green in CORRECTNESS_r01/r02 and remains covered by
-# pytest + tools/check_oracle.py.
+# first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
+# the never-driver-graded rotation stock (q145-q253, registered late in
+# round 3 after that round's window filled).  q195-q253 remain registered
+# directly after the window (slots 51+) and are round-5 stock.  Everything
+# deferred below carries a green driver-grade row in CORRECTNESS_r01/r02/r03
+# (rows+schema+hash) and stays covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
-    "q33_minhash_near_duplicates",  # r02-green; slot traded for q142 (new operator)
-    "q38_multimodal_features",  # r01-green, fake-path rewrite pinned by pytest; slot traded for q143
-    "q78_curation_funnel",  # r02-green; slot traded for q144 (new operator)
-    "q76_streaming_dedup",  # r02-green; slot traded for q140 (new operator)
-    "q77_stream_funnel_join",  # r02-green; slot traded for q141 (new operator)
     "q01_pricing_summary",
     "q02_filter_and",
     "q03_filter_or_countby",
@@ -11462,10 +11449,12 @@ _DEFERRED = [
     "q30_fingerprint",
     "q31_dedup_exact",
     "q32_shingle_stats",
+    "q33_minhash_near_duplicates",
     "q34_simhash_near_duplicates",
     "q35_cosine_topk",
     "q36_ann_lsh_topk",
     "q37_embedding_near_duplicates",
+    "q38_multimodal_features",
     "q39_streaming_tumbling_counts",
     "q40_session_windows",
     "q41_decimal_rescale_matrix",
@@ -11481,8 +11470,10 @@ _DEFERRED = [
     "q51_intersect_except",
     "q52_multi_distinct",
     "q53_salted_skew_agg",
+    "q54_time_of_day",
     "q55_grouped_map_normalize",
     "q56_percentiles",
+    "q57_corr_stddev",
     "q58_time_tolerance_pairs",
     "q59_hypertable_rollup",
     "q60_hll_distinct_rollup",
@@ -11501,25 +11492,82 @@ _DEFERRED = [
     "q73_shared_paragraphs",
     "q74_decontaminate",
     "q75_pii_redaction",
+    "q76_streaming_dedup",
+    "q77_stream_funnel_join",
+    "q78_curation_funnel",
     "q79_neardup_clusters",
     "q80_sliding_window_counts",
     "q81_tfidf_top_terms",
     "q82_label_centroids",
-    "q96_outer_join_counts",
-    "q94_anti_join",
-    "q95_correlated_subquery",
-    "q93_clustered_scan",
-    "q91_cohort_retention",
-    "q92_funnel_sequence",
-    "q90_knn_join",
-    "q89_incremental_dedup",
+    "q83_quantize_embeddings",
+    "q84_quantile_sketch_rollup",
+    "q85_chunk_documents",
+    "q86_jsonl_roundtrip",
     "q87_cube_source_lang",
     "q88_moving_average",
-    "q85_chunk_documents",
-    "q83_quantize_embeddings",
+    "q89_incremental_dedup",
+    "q90_knn_join",
+    "q91_cohort_retention",
+    "q92_funnel_sequence",
+    "q93_clustered_scan",
+    "q94_anti_join",
+    "q95_correlated_subquery",
+    "q96_outer_join_counts",
     "q97_importance_weights",
     "q98_bm25_topk",
+    "q99_bloom_incremental_dedup",
+    "q100_unigram_nll",
+    "q101_cms_token_counts",
+    "q102_random_projection",
+    "q103_bpe_pair_counts",
+    "q104_sessionize",
+    "q105_merge_upsert",
+    "q106_zorder_scan",
+    "q107_dimension_stats",
+    "q108_schema_evolution",
+    "q109_quota_sample",
+    "q110_pivot_event_matrix",
+    "q111_new_user_curve",
+    "q112_incremental_neardup",
+    "q113_resample_ffill",
+    "q114_profile",
+    "q115_weighted_sample",
+    "q116_stream_static_join",
+    "q117_udtf_sentences",
+    "q118_token_budget_mix",
+    "q119_winnow_fingerprints",
+    "q120_fingerprint_overlap_pairs",
+    "q121_group_regression",
+    "q122_price_histogram",
+    "q123_user_entropy",
+    "q124_snapshot_diff",
+    "q125_chi_square_drift",
+    "q126_transition_matrix",
+    "q127_pagerank_neardup",
+    "q128_market_basket",
+    "q129_foreachbatch_sink",
+    "q130_semantic_dedup_pairs",
+    "q131_spelling_variants",
+    "q132_validation_report",
+    "q133_quantile_binning",
+    "q134_interarrival_histogram",
+    "q135_triangle_census",
+    "q136_integrity_audit",
+    "q137_json_dict_roundtrip",
+    "q138_image_channel_stats",
+    "q139_sharded_bloom_dedup",
+    "q140_ngram_jaccard_pairs",
+    "q141_audio_features",
+    "q142_mad_outliers",
+    "q143_containment_pairs",
+    "q144_phrase_match",
 ]
-QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
-    k: QUERIES[k] for k in _DEFERRED
-}
+def _qnum(name: str) -> int:
+    return int(name[1 : name.index("_")])
+
+
+# Window slots in numeric order (oldest never-graded first), deferred after.
+QUERIES = {
+    k: QUERIES[k]
+    for k in sorted((k for k in QUERIES if k not in set(_DEFERRED)), key=_qnum)
+} | {k: QUERIES[k] for k in _DEFERRED}
