@@ -89,7 +89,7 @@ def unigram_nll(
             (-F.sum(F.col("__tf") * F.col("__lpq"))).alias("nll_q"),
         )
     )
-    return scored.select(
+    out = scored.select(
         id_col,
         "n_tokens",
         "nll_q",
@@ -98,6 +98,13 @@ def unigram_nll(
             / (F.lit(float(_Q)) * F.col("n_tokens").cast("double"))
         ).alias("nll"),
     )
+    # dedup.py convention: materialize the per-doc result (4 narrow
+    # columns — far smaller than the cell table), release the cell cache;
+    # callers holding the result long-term may .unpersist() it
+    out = out.persist()
+    out.count()
+    cells.unpersist()
+    return out
 
 
 def naive_bayes_confusion(
@@ -216,7 +223,13 @@ def naive_bayes_confusion(
         .filter(F.col("__rn") == 1)
         .select("id", "actual", F.col("label").alias("predicted"))
     )
-    return pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    out = pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    # dedup.py convention: materialize the tiny (labels x labels) result,
+    # then release the corpus-sized cell cache
+    out = out.persist()
+    out.count()
+    cells.unpersist()
+    return out
 
 
 def bigram_nll(
@@ -287,7 +300,7 @@ def bigram_nll(
             (-F.sum(F.col("tf") * F.col("lpq"))).alias("nll_q"),
         )
     )
-    return scored.select(
+    out = scored.select(
         F.col("id").alias(id_col),
         "n_bigrams",
         "nll_q",
@@ -296,3 +309,9 @@ def bigram_nll(
             / (F.lit(float(_Q)) * F.col("n_bigrams").cast("double"))
         ).alias("nll"),
     )
+    # dedup.py convention: materialize the per-doc result, release the
+    # bigram cell cache; callers may .unpersist() the result when done
+    out = out.persist()
+    out.count()
+    cells.unpersist()
+    return out

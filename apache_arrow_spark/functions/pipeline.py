@@ -594,6 +594,14 @@ def global_value_rank(
     rows).  The input is persisted so the offset pass and the rank pass
     see the identical range partitioning.
 
+    Cache ownership: the returned plan DEPENDS on that persisted input
+    (range-partition boundaries are sample-derived; a recompute could
+    draw different boundaries and invalidate the collected offsets), so
+    this function cannot unpersist it.  The CALLER owns the cache —
+    after fully consuming (or re-materializing) the result, release it
+    with ``spark.catalog.clearCache()`` or by unpersisting the result's
+    source.
+
     This is the scalable primitive under rank-based stratification,
     percentile bucketing, and top-fraction selection at 100 TB."""
     cols = [F.col(c) for c in order_cols]
@@ -692,7 +700,10 @@ def global_running_min(
     :func:`global_value_rank`: range-repartition, per-partition local
     running min, then fold in the broadcast minima of all EARLIER
     partitions — no single-task global window.  The primitive under
-    skyline/Pareto sweeps and "best seen so far" scans at 100 TB."""
+    skyline/Pareto sweeps and "best seen so far" scans at 100 TB.
+    Cache ownership: as in :func:`global_value_rank`, the returned plan
+    depends on the persisted range-partitioned input — the caller owns
+    (and eventually releases) that cache."""
     cols = [F.col(c) for c in order_cols]
     p = (
         df.repartitionByRange(*cols)
@@ -738,7 +749,10 @@ def global_running_sum(
     order, distributed like :func:`global_value_rank`: range-repartition,
     per-partition local cumsum, add the broadcast totals of all EARLIER
     partitions.  The sweep-line primitive (interval concurrency, token
-    budgets, gap accounting) with no single-task window."""
+    budgets, gap accounting) with no single-task window.
+    Cache ownership: as in :func:`global_value_rank`, the returned plan
+    depends on the persisted range-partitioned input — the caller owns
+    (and eventually releases) that cache."""
     cols = [F.col(c) for c in order_cols]
     p = (
         df.repartitionByRange(*cols)

@@ -67,13 +67,27 @@ def table_checksum(
     floats should be quantized first — float-to-string rendering is NOT
     cross-engine stable.
 
+    NULLs are folded as the sentinel ``chr(30) || 'NULL'`` (concat_ws
+    alone would silently SKIP null arguments, making rows that differ
+    only in WHICH column is null collide).  Caveat: values that contain
+    the ``chr(31)`` separator or the sentinel itself can still collide
+    across column boundaries — sanitize such columns first.
+
     Scale: one map-side-combinable aggregate over the scan — the 100 TB
     validation costs one pass, shuffles only #groups rows, and never
     collects data.
     """
     from apache_arrow_spark.functions.dedup import md5_hash60
 
-    h = md5_hash60(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+    h = md5_hash60(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+                for c in columns
+            ],
+        )
+    )
     key = F.col(group_by) if group_by else F.lit("*")
     return (
         df.select(key.cast("string").alias("group_key"), h.alias("__h"))

@@ -237,8 +237,15 @@ def more_like_this(
     )
     top = scored.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
     rw = _W.orderBy(F.col("sim").desc(), F.col("id"))
-    return top.withColumn("rnk", F.row_number().over(rw)).select(
+    out = top.withColumn("rnk", F.row_number().over(rw)).select(
         F.col("rnk").cast("int").alias("rnk"),
         F.col("id").alias(id_col),
         "sim",
     )
+    # dedup.py convention: materialize the tiny (<=k rows) result, then
+    # release the corpus-sized cell cache rather than leaking it into the
+    # caller's session
+    out = out.persist()
+    out.count()
+    cells.unpersist()
+    return out

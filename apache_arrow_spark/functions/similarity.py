@@ -808,4 +808,8 @@ def kmeans_train_exact(
     out = assign(cents).select(
         F.col("vid").alias(id_col), F.col("cid").alias("cluster"), "d2"
     )
+    # training is done (centroids are driver literals) — release the
+    # quantized-vector cache instead of leaking it; the returned plan
+    # recomputes the narrow quantize projection once, which is one scan
+    q.unpersist()
     return out

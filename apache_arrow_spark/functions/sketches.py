@@ -361,9 +361,17 @@ def heavy_hitters_exact(
             {"key": list(counters), "shard_rows": len(pdf)}
         )
 
-    cand = sharded.groupBy("shard").applyInPandas(
-        mg, "key bigint, shard_rows bigint"
+    # the candidate schema carries the caller's key type — hardcoding
+    # bigint here would break string (or any non-integer) keys at runtime
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cand_schema = StructType(
+        [
+            StructField("key", df.schema[key_col].dataType),
+            StructField("shard_rows", LongType()),
+        ]
     )
+    cand = sharded.groupBy("shard").applyInPandas(mg, cand_schema)
     cand_keys = cand.select("key").distinct()
     exact = (
         sharded.join(F.broadcast(cand_keys), "key", "left_semi")

@@ -38,7 +38,12 @@ def asof_join(
     # references it and hits AMBIGUOUS_REFERENCE)
     lcols = [c for c in left.columns if c not in (on, left_time)]
     rcols = [c for c in right.columns if c != on]
-    overlap = set(lcols) & set(rcols)
+    # left_time is excluded from lcols (it re-enters via the __t alias)
+    # but still lands in the output, so it must collide-check against the
+    # right side too — both sides naming their time column 'ts' is the
+    # natural call pattern and would otherwise silently emit two 'ts'
+    # output columns (and break asof_join_nearest's getField resolve).
+    overlap = (set(lcols) | {left_time}) & set(rcols)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
 

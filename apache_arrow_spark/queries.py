@@ -6399,8 +6399,10 @@ def q210_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed / unchanged (the incremental-reprocessing primitive).
 # --------------------------------------------------------------------------
 _Q211_DIGEST = (
-    "CAST('0x' || substr(md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
-    "o_orderstatus, o_orderpriority, CAST(cents AS VARCHAR))), 1, 15) AS BIGINT)"
+    "CAST('0x' || substr(md5(concat_ws(chr(31), coalesce(CAST(o_orderkey AS VARCHAR), "
+    "chr(30) || 'NULL'), coalesce(o_orderstatus, chr(30) || 'NULL'), "
+    "coalesce(o_orderpriority, chr(30) || 'NULL'), "
+    "coalesce(CAST(cents AS VARCHAR), chr(30) || 'NULL'))), 1, 15) AS BIGINT)"
 )
 
 
@@ -10411,10 +10413,11 @@ def q176_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     WITH h AS (
       SELECT l_returnflag AS group_key,
              CAST('0x' || substr(md5(concat_ws(chr(31),
-                    CAST(l_orderkey AS VARCHAR),
-                    CAST(l_linenumber AS VARCHAR),
-                    l_returnflag, l_linestatus,
-                    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15)
+                    coalesce(CAST(l_orderkey AS VARCHAR), chr(30) || 'NULL'),
+                    coalesce(CAST(l_linenumber AS VARCHAR), chr(30) || 'NULL'),
+                    coalesce(l_returnflag, chr(30) || 'NULL'),
+                    coalesce(l_linestatus, chr(30) || 'NULL'),
+                    coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(30) || 'NULL'))), 1, 15)
                   AS BIGINT) AS hh
       FROM lineitem)
     SELECT group_key,
@@ -10932,10 +10935,11 @@ def q167_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT l_returnflag AS group_key,
              CAST('0x' || substr(md5(concat_ws(chr(31),
-                    CAST(l_orderkey AS VARCHAR),
-                    CAST(l_linenumber AS VARCHAR),
-                    l_returnflag, l_linestatus,
-                    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15)
+                    coalesce(CAST(l_orderkey AS VARCHAR), chr(30) || 'NULL'),
+                    coalesce(CAST(l_linenumber AS VARCHAR), chr(30) || 'NULL'),
+                    coalesce(l_returnflag, chr(30) || 'NULL'),
+                    coalesce(l_linestatus, chr(30) || 'NULL'),
+                    coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(30) || 'NULL'))), 1, 15)
                   AS BIGINT) AS hh
       FROM lineitem)
     SELECT group_key,

@@ -199,7 +199,15 @@ class ObjectStore:
         import pyspark.sql.functions as F
 
         df = self.get(object_id)
-        h = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+        # NULL args leave xxhash64's seed chain unchanged (skipped), so
+        # rows differing only in WHICH column is null would collide —
+        # fold nulls as an explicit sentinel instead.
+        h = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+                for c in sorted(df.columns)
+            ]
+        )
         # decimal sum: ANSI-mode bigint sum would raise on overflow; a
         # decimal(38,0) multiset-sum is exact to ~10^19 rows.  bit_xor adds
         # duplicate-row sensitivity the sum alone lacks cheaply.

@@ -107,3 +107,13 @@ def test_asof_nearest_tie_prefers_backward(spark):
     right = spark.createDataFrame([(1, 15), (1, 25)], "k long, rt long")
     r = asof_join_nearest(left, right, "k", "t", "rt", "id").first()
     assert r["rt"] == 15
+
+
+def test_asof_left_time_colliding_with_right_column_raises(spark):
+    # both sides naming their time column 'ts' must fail loud, not emit
+    # two 'ts' output columns (ADVICE r3: guard regressed in the
+    # duplicate-column fix)
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, lv string")
+    right = spark.createDataFrame([(1, 5, "r")], "k long, ts long, rv string")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, "k", left_time="ts", right_time="ts")

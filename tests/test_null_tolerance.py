@@ -229,3 +229,28 @@ def test_hashed_linear_score_all_null_text(spark):
     docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
     rows = hashed_linear_score(docs, demo_linear_weights(spark, 8), n_buckets=8).collect()
     assert rows[0]["n_tokens"] == 0 and rows[0]["keep"] is False
+
+
+def test_table_checksum_null_position_sensitive(spark):
+    # concat_ws alone SKIPS null args: ('a', NULL, 'b') and ('a', 'b',
+    # NULL) would collide without the null sentinel (ADVICE r3)
+    from apache_arrow_spark.functions.profiling import table_checksum
+
+    d1 = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    d2 = spark.createDataFrame([("a", "b", None)], "x string, y string, z string")
+    r1 = table_checksum(d1, ["x", "y", "z"]).first()
+    r2 = table_checksum(d2, ["x", "y", "z"]).first()
+    assert r1["xor_fold"] != r2["xor_fold"]
+
+
+def test_store_hash_null_position_sensitive(tmp_path, spark):
+    # xxhash64 leaves its seed chain unchanged on NULL args — the store
+    # digest must still distinguish WHICH column is null (ADVICE r3)
+    from apache_arrow_spark.store import ObjectStore
+
+    store = ObjectStore(spark)
+    d1 = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    d2 = spark.createDataFrame([("a", "b", None)], "x string, y string, z string")
+    store.put("h1", d1)
+    store.put("h2", d2)
+    assert store.hash("h1") != store.hash("h2")

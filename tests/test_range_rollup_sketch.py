@@ -203,3 +203,15 @@ def test_heavy_hitters_fail_loud_when_capacity_too_small(spark):
     df = spark.createDataFrame([(i % 300,) for i in range(900)], "user_id long")
     with _pytest.raises(ValueError, match="MG capacity too small"):
         heavy_hitters_exact(df, "user_id", k=5, mg_capacity=2, n_shards=2)
+
+
+def test_heavy_hitters_exact_string_keys(spark):
+    # the candidate schema must carry the caller's key type — bigint was
+    # hardcoded, breaking string keys at runtime (ADVICE r3)
+    from apache_arrow_spark.functions.sketches import heavy_hitters_exact
+
+    rows = [(f"key{i}",) for i in range(20) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "term string")
+    got = heavy_hitters_exact(df, "term", k=5, mg_capacity=32, n_shards=4)
+    want = [(i + 1, f"key{i}", 40 - i) for i in range(5)]
+    assert [(r["rnk"], r["term"], r["n"]) for r in got.collect()] == want
