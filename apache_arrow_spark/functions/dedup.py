@@ -1007,3 +1007,82 @@ def duplication_weighted_keep(
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         keep.alias("keep"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style duplicated-span removal WITH document reconstruction: any
+    sliding ``w``-token window whose text occurs in >= ``min_docs``
+    distinct documents is boilerplate; every token position covered by
+    such a window is dropped and the surviving tokens are re-joined in
+    order (C4 does this with three-sentence spans; token windows are the
+    punctuation-free analog).  Unlike pair-listing near-dup ops this is
+    the REPAIR step — the output is the cleaned corpus itself.
+
+    Returns (id_col, n_words, n_removed, cleaned_text); documents whose
+    every position is covered come back with ``cleaned_text = ''``.
+
+    Scale shape: tokens shuffle ONCE by document for the sliding-window
+    pass (per-doc bounded frames, w rows of state); global span counting
+    shuffles 60-bit digests only, never window text; coverage explode is
+    <= w rows per duplicated window occurrence; reconstruction is a
+    per-doc sort of surviving tokens (doc-bounded).  No pair join exists
+    — cost is linear in corpus tokens at any duplicate density, the
+    property pair-listing span detectors lose on boilerplate floods.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    win = toks.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(frame).alias("__wn"),
+        md5_hash60(F.array_join(F.collect_list("word").over(frame), " ")).alias(
+            "__wh"
+        ),
+    ).filter(F.col("__wn") == w)
+    dup = (
+        win.groupBy("__wh")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__wh")
+    )
+    covered = (
+        win.join(dup, "__wh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("n_words") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

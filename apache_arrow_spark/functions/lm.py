@@ -315,3 +315,55 @@ def bigram_nll(
     out.count()
     cells.unpersist()
     return out
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN token distribution
+    (nats) — the lexical-diversity quality signal: near-zero entropy means
+    a document repeating a handful of tokens (keyword stuffing, boiler-
+    plate), the complement of the cross-corpus q100 perplexity score.
+
+    Integer-exact like :func:`unigram_nll`: ln(tf/n) is floor-quantized
+    to int64 once per (doc, term) CELL, so the per-doc sum is pure int64
+    arithmetic and cross-engine reproducible.  Returns (id_col, n_tokens,
+    entropy_q, entropy) where ``entropy = entropy_q / (1e7 * n_tokens)``;
+    empty documents are dropped (no distribution).
+
+    Scale shape: one explode -> per-(doc, term) combinable count -> one
+    per-doc combinable sum.  Two shuffles on (doc, term) and (doc), no
+    model table, no joins against the corpus."""
+    from apache_arrow_spark.functions.text import tokens
+
+    cells = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+        )
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    totals = cells.groupBy(id_col).agg(F.sum("__tf").alias("__n"))
+    lpq = F.floor(
+        F.log(F.col("__tf").cast("double") / F.col("__n").cast("double"))
+        * F.lit(float(_Q))
+    ).cast("bigint")
+    scored = (
+        cells.join(totals, on=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            (-F.sum(F.col("__tf") * lpq)).alias("entropy_q"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "entropy_q",
+        (
+            F.col("entropy_q").cast("double")
+            / (F.lit(float(_Q)) * F.col("n_tokens").cast("double"))
+        ).alias("entropy"),
+    )

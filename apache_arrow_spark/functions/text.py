@@ -312,3 +312,72 @@ def bpe_train_merges(
             F.replace(F.col("q"), F.lit(f"({x})({y})"), F.lit(f"({x}{y})")).alias("q")
         )
     return merges
+
+
+def zipf_profile(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> "DataFrame":
+    """Per-group lexical-statistics card: type/token counts, type-token
+    ratio, hapax fraction, and the fitted Zipf slope — the corpus
+    diagnostics a dataset card reports per source (a natural-language
+    source fits slope ~ -1; templated/boilerplate sources flatten, token
+    soup steepens).
+
+    The slope is the least-squares fit of ln(freq) on ln(rank) computed
+    from per-term quantized coordinates: ln values are floor-quantized to
+    int64 at 1e6 once per TERM, the regression moments are exact integer
+    sums of those fixed-point coordinates (order-independent, so the fit
+    is bit-reproducible across engines — q121's moment discipline plus
+    the q100 transcendental quantization), and only the final ratio is a
+    double.  Returns (group_col, n_types, n_tokens, n_hapax, ttr_micro,
+    hapax_micro, slope_micro) with the three ratios floor-quantized at
+    1e6.
+
+    Scale shape: tokens collapse to per-(group, term) counts (the one
+    corpus-sized shuffle); ranking is a window over the per-group TERM
+    table (vocabulary-sized, Zipf-sublinear in the corpus); moments are
+    one combinable aggregate per group."""
+    from pyspark.sql import DataFrame, Window
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = cells.withColumn("rnk", F.row_number().over(w))
+    _q = 1_000_000.0
+    xq = F.floor(F.log(F.col("rnk").cast("double")) * F.lit(_q)).cast("bigint")
+    yq = F.floor(F.log(F.col("c").cast("double")) * F.lit(_q)).cast("bigint")
+    pts = ranked.select("g", "c", xq.alias("x"), yq.alias("y"))
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    slope = (
+        (F.col("v").cast("decimal(38,0)") * F.col("sxy") - (F.col("sx").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")))
+        .cast("double")
+        / (
+            (F.col("v").cast("decimal(38,0)") * F.col("sxx") - (F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")))
+            .cast("double")
+        )
+    )
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("v").cast("bigint").alias("n_types"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("hapax").cast("bigint").alias("n_hapax"),
+        F.floor(F.col("v") / F.col("n") * F.lit(_q)).cast("bigint").alias("ttr_micro"),
+        F.floor(F.col("hapax") / F.col("v") * F.lit(_q)).cast("bigint").alias("hapax_micro"),
+        F.floor(slope * F.lit(_q)).cast("bigint").alias("slope_micro"),
+    )

@@ -119,3 +119,119 @@ def write_audit_publish(
         "published": spark.read.parquet(publish_dir).count(),
         "quarantined": spark.read.parquet(quarantine_dir).count(),
     }
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k_thresholds: tuple[int, ...] = (2, 5, 10),
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy release audit: k-anonymity (and optional l-diversity) over
+    a set of quasi-identifier columns — the check run before a dataset
+    leaves the pipeline: a record is k-anonymous when at least k records
+    share its full QI tuple, and a QI group is l-diverse when it spans at
+    least l distinct sensitive values.
+
+    Returns one row per threshold: (k_threshold, n_violating_groups,
+    n_violating_records, min_group_size, min_l_diversity) — the two
+    ``min_`` columns repeat the global floor on every row (min group size
+    = the k the release actually achieves).  ``min_l_diversity`` is NULL
+    when no ``sensitive_col`` is given.
+
+    Scale shape: ONE combinable aggregate to QI-group granularity (the
+    only corpus-sized shuffle — group count is bounded by QI cardinality,
+    not rows), then a literal-array explode and a tiny rollup over groups.
+    No joins against the data, nothing collected."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("__l"))
+    groups = df.groupBy(*qi_cols).agg(*aggs)
+    if sensitive_col is None:
+        groups = groups.withColumn("__l", F.lit(None).cast("bigint"))
+    ks = F.explode(
+        F.array(*[F.lit(int(k)) for k in k_thresholds])
+    ).alias("k_threshold")
+    per_k = groups.select(ks, "__n", "__l")
+    return (
+        per_k.groupBy("k_threshold")
+        .agg(
+            F.sum(F.when(F.col("__n") < F.col("k_threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(
+                F.when(F.col("__n") < F.col("k_threshold"), F.col("__n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violating_records"),
+            F.min("__n").cast("bigint").alias("min_group_size"),
+            F.min("__l").cast("bigint").alias("min_l_diversity"),
+        )
+        .orderBy("k_threshold")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_ref: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current slice
+    of the same column — the standard model/feature drift monitor
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken).  Values are
+    binned uniformly on [lo, hi] (outliers clamp into the edge bins, so
+    the binning is total and literal-deterministic); both distributions
+    get add-one smoothing so empty bins stay finite.
+
+    Per-bin PSI contributions are floor-quantized to int64 at 1e9
+    ((p - q) * ln(p/q) is computed once per BIN from exact integer
+    counts — the q100 discipline), so the total is an exact integer sum.
+    Returns one row per bin: (bin, n_ref, n_cur, psi_q, psi) plus the
+    rolled-up total as bin = -1; ``psi = psi_q / 1e9``.
+
+    Scale shape: one combinable count aggregate to n_bins cells, then
+    literal arithmetic on the tiny bin table.  One corpus-sized shuffle
+    of (bin, side) pairs, nothing else."""
+    step = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.select(bin_col.alias("bin"), is_ref.alias("__ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("__tr") + F.lit(float(n_bins)))
+    q = (F.col("n_cur") + 1.0) / (F.col("__tc") + F.lit(float(n_bins)))
+    psi_q = F.floor((p - q) * F.log(p / q) * F.lit(1e9)).cast("bigint")
+    bins = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        psi_q.alias("psi_q"),
+    )
+    total = bins.agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.sum("psi_q").cast("bigint").alias("psi_q"),
+    ).select(F.lit(-1).cast("int").alias("bin"), "n_ref", "n_cur", "psi_q")
+    return bins.unionByName(total).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_q",
+        (F.col("psi_q").cast("double") / F.lit(1e9)).alias("psi"),
+    )

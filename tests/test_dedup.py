@@ -347,3 +347,35 @@ def test_duplication_weighted_keep_rule(spark):
         assert r["keep"] == (hb(i) * r["cluster_size"] < HASH_MOD)
     # singletons always survive: hb < HASH_MOD holds by construction
     assert rows[4]["keep"] is True and rows[5]["cluster_size"] == 2
+
+
+def test_remove_duplicated_spans_repairs_shared_span(spark):
+    from apache_arrow_spark.functions.dedup import remove_duplicated_spans
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, f"alpha beta {span} gamma"),
+        (2, f"{span} delta epsilon"),
+        (3, "zeta eta theta iota kappa"),
+        (4, "short doc"),  # shorter than w: no windows, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, w=8).collect()}
+    assert out[1]["cleaned_text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["cleaned_text"] == "delta epsilon"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == "zeta eta theta iota kappa"
+    assert out[4]["cleaned_text"] == "short doc"
+
+
+def test_remove_duplicated_spans_fully_covered_doc(spark):
+    from apache_arrow_spark.functions.dedup import remove_duplicated_spans
+
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, span), (2, span)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, w=8).collect()}
+    assert out[1]["cleaned_text"] == "" and out[1]["n_removed"] == 8
+    assert out[2]["cleaned_text"] == ""

@@ -128,3 +128,18 @@ def test_bigram_nll_matches_brute_force(spark):
         expect_q = -sum(lpq[p] for p in per_doc[i])
         assert rows[i]["nll_q"] == expect_q, i
         assert rows[i]["n_bigrams"] == len(per_doc[i])
+
+
+def test_token_entropy_degenerate_and_uniform(spark):
+    import math
+
+    from apache_arrow_spark.functions.lm import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy_q"] == 0  # single repeated token: zero entropy
+    # uniform over 4 tokens: ln 4 nats (within quantization)
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
+    assert out[2]["n_tokens"] == 4

@@ -187,3 +187,56 @@ def test_bpe_train_merges_matches_reference_trainer(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = bpe_train_merges(df, "text", n_merges=4)
     assert got == ref_train([t for _, t in docs], 4)
+
+
+def test_zipf_profile_counts_and_slope_sign(spark):
+    from apache_arrow_spark.functions.text import zipf_profile
+
+    # zipf-ish: 'a' x8, 'b' x4, 'c' x2, 'd' x1 -> slope strongly negative
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(text, "s1")], "text string, source string")
+    r = zipf_profile(df).collect()[0]
+    assert r["n_types"] == 4 and r["n_tokens"] == 15 and r["n_hapax"] == 1
+    assert r["ttr_micro"] == int(4 / 15 * 1e6)
+    assert r["slope_micro"] < -900_000  # ~ -1 slope for halving counts
+
+
+def test_k_anonymity_audit_thresholds(spark):
+    from apache_arrow_spark.functions.validation import k_anonymity_audit
+
+    rows = [("g1", "s1")] * 3 + [("g2", "s2")] * 1 + [("g3", "s1"), ("g3", "s2")]
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = {r["k_threshold"]: r for r in
+           k_anonymity_audit(df, ["qi"], (2, 5), sensitive_col="sens").collect()}
+    # k=2: only the singleton g2 violates; k=5: all three groups do
+    assert out[2]["n_violating_groups"] == 1
+    assert out[2]["n_violating_records"] == 1
+    assert out[5]["n_violating_groups"] == 3
+    assert out[5]["n_violating_records"] == 6
+    assert out[2]["min_group_size"] == 1
+    assert out[2]["min_l_diversity"] == 1  # g1 has a single sensitive value
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.validation import psi_drift
+
+    # identical halves -> tiny PSI; shifted current -> large PSI
+    same = spark.createDataFrame(
+        [(float(v), s) for v in range(10) for _ in range(20) for s in (True, False)],
+        "v double, ref boolean",
+    )
+    tot = psi_drift(same, "v", F.col("ref"), 0.0, 10.0, n_bins=5).filter("bin = -1").first()
+    assert abs(tot["psi"]) < 0.01
+    shifted = spark.createDataFrame(
+        [(1.0, True)] * 50 + [(9.0, False)] * 50, "v double, ref boolean"
+    )
+    tot2 = psi_drift(shifted, "v", F.col("ref"), 0.0, 10.0, n_bins=5).filter("bin = -1").first()
+    assert tot2["psi"] > 0.25
+    # outliers clamp into edge bins rather than vanishing
+    clamped = spark.createDataFrame(
+        [(-5.0, True), (99.0, False)], "v double, ref boolean"
+    )
+    bins = {r["bin"] for r in psi_drift(clamped, "v", F.col("ref"), 0.0, 10.0, n_bins=5).collect()}
+    assert bins == {0, 4, -1}
