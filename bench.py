@@ -104,6 +104,8 @@ HEADLINE = [
     "q216_nb_confusion",
     # round 3e: the end-to-end pipeline capstone
     "q250_corpus_pipeline",
+    # round 4: C4-style span-dedup repair (the corpus-rewrite flagship)
+    "q254_span_dedup",
 ]
 
 

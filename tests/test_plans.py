@@ -309,6 +309,9 @@ def test_shuffle_bytes_scale_linearly(spark):
         # the asymmetric-containment probe join (rarest-15% prefix): the
         # most expensive headline query — guard its probe volume growth
         "q143_containment_pairs",
+        # r4: span-dedup repair — window digests + coverage explode must
+        # stay linear at any duplicate density (the C4 claim)
+        "q254_span_dedup",
     ]
     import time as _time
 
