@@ -381,3 +381,66 @@ def zipf_profile(
         F.floor(F.col("hapax") / F.col("v") * F.lit(_q)).cast("bigint").alias("hapax_micro"),
         F.floor(slope * F.lit(_q)).cast("bigint").alias("slope_micro"),
     )
+
+
+def log_templates(
+    df,
+    line_col: str = "line",
+    distinct_threshold: int = 1,
+):
+    """Drain-style log-template mining: lines are tokenized, grouped into
+    shapes by (token count, first token), and each token POSITION whose
+    distinct-value count within the shape exceeds ``distinct_threshold``
+    is generalized to ``<*>`` — recovering the constant skeleton and the
+    variable slots of machine-generated text without any supplied
+    patterns.  The default threshold 1 wildcards ANY varying position
+    (classic Drain behavior); a higher threshold tolerates low-cardinality
+    noise, printing the lexicographically-first exemplar for positions it
+    keeps.  Returns (template, n_lines, n_var_positions).
+
+    Scale shape: explode to (shape, pos, token) cells, ONE combinable
+    distinct-count aggregate per cell position (position tables are
+    shape-cardinality x line-width — tiny), and a per-shape rebuild; raw
+    lines are counted, never pairwise compared.  At 100 TB the exact
+    count_distinct per position can swap to approx_count_distinct
+    without changing the wildcard decisions at any sane threshold."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = df.select(
+        F.posexplode(tokens(F.col(line_col))).alias("pos", "tok"),
+        F.size(tokens(F.col(line_col))).alias("n_toks"),
+        F.substring_index(F.btrim(F.col(line_col)), " ", 1).alias("tok0"),
+    )
+    pos_stats = (
+        toks.groupBy("n_toks", "tok0", "pos")
+        .agg(
+            F.countDistinct("tok").alias("nd"),
+            F.min("tok").alias("mtok"),
+        )
+        .select(
+            "n_toks",
+            "tok0",
+            "pos",
+            F.when(F.col("nd") > distinct_threshold, F.lit("<*>"))
+            .otherwise(F.col("mtok"))
+            .alias("out_tok"),
+            (F.col("nd") > distinct_threshold).cast("int").alias("is_var"),
+        )
+    )
+    shapes = pos_stats.groupBy("n_toks", "tok0").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out_tok"))),
+                lambda s: s["out_tok"],
+            ),
+            " ",
+        ).alias("template"),
+        F.sum("is_var").cast("bigint").alias("n_var_positions"),
+    )
+    counts = df.select(
+        F.size(tokens(F.col(line_col))).alias("n_toks"),
+        F.substring_index(F.btrim(F.col(line_col)), " ", 1).alias("tok0"),
+    ).groupBy("n_toks", "tok0").agg(F.count(F.lit(1)).alias("n_lines"))
+    return shapes.join(counts, ["n_toks", "tok0"]).select(
+        "template", F.col("n_lines").cast("bigint").alias("n_lines"), "n_var_positions"
+    )

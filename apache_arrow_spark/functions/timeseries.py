@@ -81,3 +81,52 @@ def rolling_zscore(
         "__z",
         F.when((n >= F.lit(float(min_obs))) & (var > F.lit(1e-9)), z),
     )
+
+
+def ohlc_bars(
+    df,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_col,
+    group_col: str | None = None,
+):
+    """OHLC downsampling (candlestick bars): per (group, bucket) the
+    opening value (earliest by (ts, tiebreak) — the tiebreaker makes the
+    pick total-ordered and engine-reproducible), closing value (latest),
+    high, low, and volume.  The market-data primitive, and the general
+    first/last-aware downsampler for any metric stream.
+
+    ``bucket_col`` is a Column expression (e.g. an hour bucket derived
+    from the timestamp).  Returns (group?, bucket, open, high, low,
+    close, volume).
+
+    Scale shape: ONE combinable aggregate — open/close are min/max of a
+    (ts, tiebreak, value) struct (lexicographic min carries the earliest
+    row's value along, no window, no sort), high/low/volume are plain
+    min/max/count.  A window-function formulation would shuffle and sort
+    every group; this shuffles one struct per input row and aggregates
+    map-side."""
+    import pyspark.sql.functions as F
+
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    base = df.select(
+        *([F.col(group_col)] if group_col else []),
+        bucket_col.alias("bucket"),
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(value_col).alias("v"),
+        ).alias("__s"),
+        F.col(value_col).alias("__v"),
+    )
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.min("__s").getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__s").getField("v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+    )

@@ -8737,7 +8737,7 @@ def q246_connector_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ipc_source(spark)
     back = spark.read.format("aas_ipc").load(root)
     return (
-        back.filter(F.col("o_orderkey") < 5000)
+        back.filter(F.col("o_orderkey") < 50000)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -11626,6 +11626,219 @@ def q258_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return zipf_profile(d, "text", "source")
+
+
+
+# --------------------------------------------------------------------------
+# q259 — incremental join-aggregate maintenance (operators/ivm.py): the
+# delta rule dV = dA|><|B_old + A_old|><|dB + dA|><|dB, proven == full.
+# --------------------------------------------------------------------------
+@register(
+    "q259_join_ivm",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             ({sql_hash_bucket("o_orderkey", "ivmA")} < 50000) AS is_delta
+      FROM orders),
+    l AS (
+      SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             ({sql_hash_bucket("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)", "ivmB")} < 50000) AS is_delta
+      FROM lineitem),
+    v_old AS (
+      SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS s
+      FROM o JOIN l ON o_orderkey = l_orderkey
+      WHERE NOT o.is_delta AND NOT l.is_delta GROUP BY 1),
+    dv AS (
+      SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS d FROM (
+        SELECT o.o_orderstatus, l.cents FROM o JOIN l ON o_orderkey = l_orderkey
+        WHERE o.is_delta AND NOT l.is_delta
+        UNION ALL
+        SELECT o.o_orderstatus, l.cents FROM o JOIN l ON o_orderkey = l_orderkey
+        WHERE NOT o.is_delta AND l.is_delta
+        UNION ALL
+        SELECT o.o_orderstatus, l.cents FROM o JOIN l ON o_orderkey = l_orderkey
+        WHERE o.is_delta AND l.is_delta) GROUP BY 1),
+    incr AS (
+      SELECT coalesce(v_old.o_orderstatus, dv.o_orderstatus) AS o_orderstatus,
+             coalesce(v_old.s, 0) + coalesce(dv.d, 0) AS s
+      FROM v_old FULL OUTER JOIN dv USING (o_orderstatus)),
+    full_v AS (
+      SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS s
+      FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
+    SELECT f.o_orderstatus AS o_orderstatus,
+           CAST(i.s AS BIGINT) AS revenue_cents_incr,
+           CAST(f.s AS BIGINT) AS revenue_cents_full,
+           (i.s = f.s) AS consistent
+    FROM full_v f JOIN incr i USING (o_orderstatus)
+    """,
+)
+def q259_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aggregate view maintained INCREMENTALLY (operators/ivm.py
+    delta_join_sum + apply_view_delta): ~5% hash-deterministic slices of
+    orders and lineitem play the arriving deltas; the three-term delta
+    rule refreshes the revenue-by-status view and the query emits the
+    incremental result NEXT TO the full recompute with a consistency
+    flag — the oracle re-derives both paths, so a green row certifies
+    the delta algebra bit-exactly.  Scale: the delta terms broadcast the
+    small sides (base tables never shuffle); the full recompute exists
+    only as the in-query audit."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.operators.ivm import apply_view_delta, delta_join_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (hash_bucket(F.col("o_orderkey"), "ivmA") < 50000).alias("is_delta"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        (
+            hash_bucket(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "ivmB",
+            )
+            < 5000
+        ).alias("is_delta"),
+    )
+    o_old, o_d = o.filter(~F.col("is_delta")), o.filter(F.col("is_delta"))
+    l_old, l_d = l.filter(~F.col("is_delta")), l.filter(F.col("is_delta"))
+    v_old = (
+        o_old.join(l_old, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cents").alias("s"))
+    )
+    delta = delta_join_sum(
+        o_old, o_d, l_old, l_d, "o_orderkey", "o_orderstatus", "cents"
+    )
+    incr = apply_view_delta(v_old, delta, "o_orderstatus", "s")
+    full_v = (
+        o.join(l, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cents").alias("fs"))
+    )
+    return full_v.join(incr, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("s").cast("bigint").alias("revenue_cents_incr"),
+        F.col("fs").cast("bigint").alias("revenue_cents_full"),
+        (F.col("s") == F.col("fs")).alias("consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q260 — OHLC candlestick downsampling (timeseries.ohlc_bars): struct-
+# min open/close, no window, one combinable aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q260_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT) AS bucket,
+             CAST(floor(value * 1000000) AS BIGINT) AS vmicro,
+             ts, event_id
+      FROM events)
+    SELECT event_type, bucket,
+           first(vmicro ORDER BY ts, event_id) AS open,
+           CAST(max(vmicro) AS BIGINT) AS high,
+           CAST(min(vmicro) AS BIGINT) AS low,
+           last(vmicro ORDER BY ts, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM e GROUP BY event_type, bucket
+    """,
+)
+def q260_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of the event-value stream per event type
+    (timeseries.ohlc_bars): open/close ride a lexicographic struct
+    min/max over (ts, event_id, value) — total-ordered by the unique
+    tiebreaker, so the pick is engine-reproducible — and the whole bar
+    is ONE map-side-combinable aggregate (a window formulation would
+    sort every group).  Values are micro-quantized up front so the bars
+    are integer-exact."""
+    from apache_arrow_spark.functions.timeseries import ohlc_bars
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("ts div 86400000000000").alias("bucket"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vmicro"),
+    )
+    out = ohlc_bars(
+        e, "ts", "vmicro", "event_id", F.col("bucket"), group_col="event_type"
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+# --------------------------------------------------------------------------
+# q261 — Drain-style log-template mining (text.log_templates): constant
+# skeleton + variable slots recovered from machine-generated lines.
+# --------------------------------------------------------------------------
+@register(
+    "q261_log_templates",
+    """
+    WITH lines AS (
+      SELECT 'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+             || ' val=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+             || ' day=' || CAST(CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT) AS VARCHAR)
+             AS line
+      FROM events),
+    toks AS (
+      SELECT len(t) AS n_toks, t[1] AS tok0, u.i - 1 AS pos, u.w AS tok
+      FROM (SELECT string_split(line, ' ') AS t FROM lines),
+           LATERAL (SELECT unnest(t) AS w, generate_subscripts(t, 1) AS i) u),
+    ps AS (
+      SELECT n_toks, tok0, pos,
+             CASE WHEN count(DISTINCT tok) > 1 THEN '<*>' ELSE min(tok) END AS out_tok,
+             CASE WHEN count(DISTINCT tok) > 1 THEN 1 ELSE 0 END AS is_var
+      FROM toks GROUP BY n_toks, tok0, pos),
+    shapes AS (
+      SELECT n_toks, tok0,
+             string_agg(out_tok, ' ' ORDER BY pos) AS template,
+             CAST(sum(is_var) AS BIGINT) AS n_var_positions
+      FROM ps GROUP BY n_toks, tok0),
+    counts AS (
+      SELECT len(string_split(line, ' ')) AS n_toks,
+             string_split(line, ' ')[1] AS tok0,
+             count(*) AS n_lines
+      FROM lines GROUP BY 1, 2)
+    SELECT template, CAST(n_lines AS BIGINT) AS n_lines, n_var_positions
+    FROM shapes JOIN counts USING (n_toks, tok0)
+    """,
+)
+def q261_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (text.log_templates) over synthesized event
+    log lines: per line shape (token count, leading token), every
+    position that varies becomes ``<*>`` — the query must recover the
+    five per-event-type templates with user/value/day slots wildcarded,
+    purely from position-wise distinct counts (no supplied patterns).
+    Scale: position tables are shape-cardinality x line-width; lines are
+    counted once and never pairwise compared."""
+    from apache_arrow_spark.functions.text import log_templates
+
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(
+        F.concat(
+            F.lit("evt="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" val="), F.floor(F.col("value")).cast("bigint").cast("string"),
+            F.lit(" day="), F.expr("ts div 86400000000000").cast("string"),
+        ).alias("line")
+    )
+    return log_templates(lines, "line", distinct_threshold=1)
 
 
 # --------------------------------------------------------------------------

@@ -240,3 +240,18 @@ def test_psi_drift_identical_and_shifted(spark):
     )
     bins = {r["bin"] for r in psi_drift(clamped, "v", F.col("ref"), 0.0, 10.0, n_bins=5).collect()}
     assert bins == {0, 4, -1}
+
+
+def test_log_templates_threshold_and_exemplar(spark):
+    from apache_arrow_spark.functions.text import log_templates
+
+    rows = [("GET /a 200",), ("GET /b 200",), ("GET /c 500",), ("PUT /a 200",)]
+    df = spark.createDataFrame(rows, "line string")
+    # threshold 1: any varying position wildcards; shapes keyed by first token
+    t1 = {r["template"]: r for r in log_templates(df, "line", 1).collect()}
+    assert t1["GET <*> <*>"]["n_lines"] == 3
+    assert t1["GET <*> <*>"]["n_var_positions"] == 2
+    assert t1["PUT /a 200"]["n_var_positions"] == 0
+    # threshold 2: the status position (2 distinct) keeps its exemplar
+    t2 = {r["template"]: r for r in log_templates(df, "line", 2).collect()}
+    assert t2["GET <*> 200"]["n_lines"] == 3

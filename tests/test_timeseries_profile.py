@@ -153,3 +153,41 @@ def test_snapshot_partition_diff_duplicate_multiplicity(spark):
     )
     rows = snapshot_partition_diff(v1, v2, ["id", "v"], "pk").collect()
     assert rows[0]["status"] == "changed"
+
+
+def test_ohlc_bars_open_close_tiebreak(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.timeseries import ohlc_bars
+
+    rows = [
+        # (ts, id, v) — equal ts at open: id breaks the tie
+        ("a", 10, 1, 100), ("a", 10, 2, 200), ("a", 20, 3, 50), ("a", 30, 4, 150),
+        ("b", 5, 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, id long, v long")
+    out = {r["g"]: r for r in ohlc_bars(
+        df, "ts", "v", "id", F.lit(0), group_col="g").collect()}
+    a = out["a"]
+    assert (a["open"], a["high"], a["low"], a["close"], a["volume"]) == (100, 200, 50, 150, 4)
+    b = out["b"]
+    assert (b["open"], b["close"], b["volume"]) == (7, 7, 1)
+
+
+def test_delta_join_sum_matches_full_recompute(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.operators.ivm import apply_view_delta, delta_join_sum
+
+    a_old = spark.createDataFrame([(1, "x"), (2, "y")], "k long, g string")
+    a_d = spark.createDataFrame([(3, "z")], "k long, g string")  # new group via delta
+    b_old = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b_d = spark.createDataFrame([(1, 5), (3, 7)], "k long, v long")
+    v_old = a_old.join(b_old, "k").groupBy("g").agg(F.sum("v").alias("s"))
+    delta = delta_join_sum(a_old, a_d, b_old, b_d, "k", "g", "v")
+    incr = {r["g"]: r["s"] for r in apply_view_delta(v_old, delta, "g", "s").collect()}
+    a_full = a_old.unionByName(a_d)
+    b_full = b_old.unionByName(b_d)
+    full = {r["g"]: r["s"] for r in
+            a_full.join(b_full, "k").groupBy("g").agg(F.sum("v").alias("s")).collect()}
+    assert incr == full  # includes x (+5) and the delta-only group z (7)
