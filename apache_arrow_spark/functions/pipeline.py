@@ -781,3 +781,49 @@ def global_running_sum(
         out_col,
         (F.sum(value_col).over(w) + pmap[F.col("__pid")]).cast("bigint"),
     ).drop("__pid")
+
+
+def global_sequence_gaps(df: DataFrame, key_col: str) -> DataFrame:
+    """Holes in an integer key sequence, computed DISTRIBUTED: the
+    distinct keys range-repartition, each partition finds its internal
+    gaps with a local lead window, and the cross-partition seams are
+    repaired from the per-partition (min, max) boundary table (one tiny
+    collect — #partitions rows).  Returns (gap_start, gap_end, gap_len).
+
+    The single-window formulation (``lead() OVER (ORDER BY k)``) funnels
+    every key through one task; this never does — the
+    :func:`global_value_rank` discipline applied to gap detection.
+    Cache ownership: the returned plan depends on the persisted
+    range-partitioned key table (boundaries are sample-derived); the
+    caller owns that cache."""
+    p = (
+        df.select(F.col(key_col).cast("long").alias("k"))
+        .distinct()
+        .repartitionByRange(F.col("k"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy("__pid").orderBy("k")
+    local = (
+        p.withColumn("__nxt", F.lead("k").over(w))
+        .filter(F.col("__nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("__nxt") - 1).alias("gap_end"),
+        )
+    )
+    bounds = sorted(
+        p.groupBy("__pid").agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    seams = []
+    for prev, cur in zip(bounds, bounds[1:]):
+        if cur["lo"] - prev["hi"] > 1:
+            seams.append((prev["hi"] + 1, cur["lo"] - 1))
+    spark = df.sparkSession
+    seam_df = spark.createDataFrame(seams, "gap_start long, gap_end long")
+    return local.unionByName(seam_df).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("gap_len"),
+    )

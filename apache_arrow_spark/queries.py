@@ -9332,23 +9332,15 @@ def q195_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     holes are orders with no line items): one lead window over the
     DISTINCT key set finds every hole as (gap_start, gap_end, len) —
     never a calendar/sequence spine join against 10^9 candidate keys.
-    Top-20 largest holes, deterministic tie-break.  The global window
-    sorts only the distinct-key table; at 100 TB shard it by key range
-    first (gaps inside shards + a tiny cross-shard seam check)."""
+    Top-20 largest holes, deterministic tie-break.  Gap detection is
+    DISTRIBUTED (pipeline.global_sequence_gaps: range-partitioned local
+    lead windows + a #partitions-row seam repair) — no single-task
+    global window, so the same plan holds over 10^9 distinct keys."""
+    from apache_arrow_spark.functions.pipeline import global_sequence_gaps
+
     li = load_table(spark, sf_dir, "lineitem")
-    k = li.select(F.col("l_orderkey").alias("k")).distinct()
-    w = Window.partitionBy(F.lit(1)).orderBy("k")
-    g = k.withColumn("nxt", F.lead("k").over(w))
-    return (
-        g.filter(F.col("nxt") - F.col("k") > 1)
-        .select(
-            (F.col("k") + 1).alias("gap_start"),
-            (F.col("nxt") - 1).alias("gap_end"),
-            (F.col("nxt") - F.col("k") - 1).cast("long").alias("gap_len"),
-        )
-        .orderBy(F.col("gap_len").desc(), "gap_start")
-        .limit(20)
-    )
+    gaps = global_sequence_gaps(li, "l_orderkey")
+    return gaps.orderBy(F.col("gap_len").desc(), "gap_start").limit(20)
 
 
 @register(
@@ -9551,11 +9543,14 @@ def q188_rank_blend_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     incomparable units, so each maps to its percent-rank (made total by
     the doc_id tie-break — identical rank values in any engine) and the
     blend averages them; top-20 kept.  This is the standard multi-signal
-    quality gate when signals have no shared calibration.  The global
-    rank is a sort of the doc-STATS table, not the corpus text; at
-    100 TB replace percent_rank with a GK-sketch CDF lookup (q84) — same
-    report, scan-speed."""
+    quality gate when signals have no shared calibration.  Both ranks
+    come from ``pipeline.global_value_rank`` (range-repartition + local
+    rank + broadcast offsets) — NO single-task global window anywhere,
+    so the same plan holds on a 100 TB doc-stats table; percent_rank ==
+    (rank - 1) / (n - 1) exactly, which the oracle's percent_rank also
+    computes, so the rewrite is bit-identical."""
     from apache_arrow_spark.functions import text as X
+    from apache_arrow_spark.functions.pipeline import global_value_rank
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -9563,11 +9558,13 @@ def q188_rank_blend_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         X.stopword_ratio(F.col("text")).alias("stop_ratio"),
     )
-    wl = Window.partitionBy(F.lit(1)).orderBy("n_chars", "doc_id")
-    ws = Window.partitionBy(F.lit(1)).orderBy("stop_ratio", "doc_id")
-    r = t.withColumn("pr_len", F.percent_rank().over(wl)).withColumn(
-        "pr_stop", F.percent_rank().over(ws)
-    )
+    r = global_value_rank(t, ["n_chars", "doc_id"], rank_col="rk_len")
+    r = global_value_rank(r, ["stop_ratio", "doc_id"], rank_col="rk_stop")
+    n = t.agg(F.count(F.lit(1)).alias("__n"))
+    r = r.crossJoin(F.broadcast(n))
+    pr_len = (F.col("rk_len") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    pr_stop = (F.col("rk_stop") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    r = r.withColumn("pr_len", pr_len).withColumn("pr_stop", pr_stop)
     blend = 0.5 * F.col("pr_len") + 0.5 * F.col("pr_stop")
     return (
         r.orderBy(blend.desc(), "doc_id")

@@ -280,3 +280,31 @@ def test_global_running_sum_matches_single_window(spark):
         for r in df.withColumn("s", F.sum("delta").over(w)).collect()
     }
     assert got == want
+
+
+def test_global_sequence_gaps_matches_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_arrow_spark.functions.pipeline import global_sequence_gaps
+
+    # keys with internal holes and (after repartitionByRange) seam holes
+    keys = [1, 2, 5, 6, 7, 20, 21, 40, 41, 42, 100]
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in global_sequence_gaps(df, "k").collect()
+    )
+    w = Window.orderBy("k")
+    ref = (
+        df.distinct()
+        .withColumn("nxt", F.lead("k").over(w))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("s"),
+            (F.col("nxt") - 1).alias("e"),
+            (F.col("nxt") - F.col("k") - 1).alias("l"),
+        )
+    )
+    want = sorted((r["s"], r["e"], r["l"]) for r in ref.collect())
+    assert got == want and len(got) == 4
