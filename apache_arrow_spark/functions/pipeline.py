@@ -827,3 +827,98 @@ def global_sequence_gaps(df: DataFrame, key_col: str) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("gap_len"),
     )
+
+
+def grid_interpolate(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    step_ns: int,
+    max_gap_ns: int | None = None,
+) -> DataFrame:
+    """Per-key linear interpolation of an irregular time series onto a
+    regular grid (the feature-alignment step before joining sensor /
+    metric streams sampled at different rates).
+
+    For every key, grid instants ``t = h * step_ns`` strictly inside the
+    key's observation span get ``v = v_prev + (v_next - v_prev) *
+    ((t - t_prev) / (t_next - t_prev))`` from the bracketing
+    observations; a grid point that coincides with an observation is a
+    direct sample — it gets that observation's value exactly, and is
+    never subject to the gap cap.  When ``max_gap_ns`` is set,
+    interpolated points whose bracketing observations are further apart
+    than the cap are suppressed (no bridging outages) — which also means
+    no extrapolation ever happens (points outside the span have no
+    bracket).
+
+    Returns (key, grid_t, value_interp) with ``value_interp`` the raw
+    double — callers quantize for cross-engine comparison.
+
+    Scale shape: the grid materializes as one ``sequence`` explode off
+    the per-key span aggregate (grid rows ≈ span/step per key, never a
+    calendar cross join); the carry windows are PARTITIONed by key —
+    embarrassingly parallel, no global window, no driver data.  The
+    ratio is computed on int64 DELTAS cast to double (deltas ≪ 2^53, so
+    the cast is exact even when absolute epoch-nanos are not)."""
+    k, t, v = F.col(key_col), F.col(time_col), F.col(value_col)
+    obs = df.select(
+        k.alias("__k"), t.cast("long").alias("__t"), v.cast("double").alias("__v"),
+        F.lit(0).alias("__grid"),
+    )
+    step = F.lit(int(step_ns)).cast("long")
+    span = obs.groupBy("__k").agg(F.min("__t").alias("__lo"), F.max("__t").alias("__hi"))
+    h0 = F.expr(f"(__lo + {int(step_ns)} - 1) div {int(step_ns)}")
+    h1 = F.expr(f"__hi div {int(step_ns)}")
+    grid = (
+        span.select("__k", h0.alias("__h0"), h1.alias("__h1"))
+        .filter(F.col("__h1") >= F.col("__h0"))
+        .select(
+            "__k",
+            F.explode(F.sequence(F.col("__h0"), F.col("__h1"))).alias("__h"),
+        )
+        .select(
+            "__k", (F.col("__h") * step).alias("__t"),
+            F.lit(None).cast("double").alias("__v"), F.lit(1).alias("__grid"),
+        )
+    )
+    u = obs.unionByName(grid)
+    # observations sort before the grid point at the same instant, so the
+    # backward carry sees an exactly-coincident observation as "previous".
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    c = (
+        u.withColumn("__tp", F.last(F.when(F.col("__grid") == 0, F.col("__t")), ignorenulls=True).over(wb))
+        .withColumn("__vp", F.last(F.col("__v"), ignorenulls=True).over(wb))
+        .withColumn("__tn", F.first(F.when(F.col("__grid") == 0, F.col("__t")), ignorenulls=True).over(wf))
+        .withColumn("__vn", F.first(F.col("__v"), ignorenulls=True).over(wf))
+        .filter(
+            (F.col("__grid") == 1)
+            & F.col("__tp").isNotNull()
+            & ((F.col("__tp") == F.col("__t")) | F.col("__tn").isNotNull())
+        )
+    )
+    if max_gap_ns is not None:
+        c = c.filter(
+            (F.col("__tp") == F.col("__t"))
+            | (F.col("__tn") - F.col("__tp") <= F.lit(int(max_gap_ns)))
+        )
+    ratio = (F.col("__t") - F.col("__tp")).cast("double") / (
+        F.col("__tn") - F.col("__tp")
+    ).cast("double")
+    interp = F.when(F.col("__tp") == F.col("__t"), F.col("__vp")).otherwise(
+        F.col("__vp") + (F.col("__vn") - F.col("__vp")) * ratio
+    )
+    return c.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias("grid_t"),
+        interp.alias("value_interp"),
+    )

@@ -15,9 +15,11 @@ Scale shape:
 - per-(doc, term) scores are fixed-point quantized (``floor(s * 1e6)`` as
   int64) before the per-doc sum, making scores and ranking integer-exact
   and bit-reproducible across engines;
-- final top-k is a window over matched docs only (candidate set, not
-  corpus) — at larger k/corpus swap for orderBy().limit(k), which Spark
-  executes as distributed TakeOrdered.
+- final top-k is a ``row_number`` window with a ``rnk <= k`` filter, which
+  Spark's WindowGroupLimit rewrite executes as TakeOrderedAndProject
+  feeding the window (verified in the physical plan) — only k rows per
+  map partition ever reach the single-partition window, so the rank
+  stays scale-safe even when every document matches a query term.
 """
 
 from __future__ import annotations

@@ -11839,6 +11839,241 @@ def q261_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q262 — rolling DAU/WAU engagement: per-day distinct actives and the
+# 7-day rolling distinct actives (the WAU denominator of the stickiness
+# ratio every growth dashboard reports).  Rolling COUNT DISTINCT cannot
+# use a window frame (distinct is not frame-combinable); the scale shape
+# is a bounded 7x fan-out of the (day, user) DISTINCT table — each
+# day-user pair contributes to exactly 7 report days via one sequence
+# explode — then one count-distinct shuffle keyed by report day.  At
+# 100 TB the same plan holds because the fan-out runs on the deduped
+# day-user table (|users| * |days| rows max), never the raw event
+# stream; for 90-day MAU swap the exact count-distinct for the
+# mergeable HLL sketch (q60/q148) at fan-out 90.
+# --------------------------------------------------------------------------
+@register(
+    "q262_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT d.day, dau.dau AS dau, wau.wau AS wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+    """,
+)
+def q262_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU) + same-day actives (DAU) +
+    stickiness per report day.  See the block comment for the bounded
+    fan-out scale argument; report days are semi-joined to days that
+    actually have data, so the trailing 6-day echo past the last event
+    never appears."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.expr("ts div 86400000000000").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    present = du.select("day").distinct()
+    return (
+        present.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q263 — time-grid linear interpolation (pipeline.grid_interpolate): the
+# feature-alignment resample that precedes joining metric streams sampled
+# at different rates.  q113 is the step-function variant (ffill); this is
+# the two-sided linear one, with a 6 h bracket cap so outages are left
+# NULL-free rather than bridged.
+# --------------------------------------------------------------------------
+@register(
+    "q263_grid_interpolation",
+    """
+    WITH obs AS (
+      SELECT user_id AS k, epoch_ns(ts) AS t, value AS v, 0 AS g FROM events),
+    span AS (
+      SELECT k, (min(t) + 3599999999999) // 3600000000000 AS h0,
+             max(t) // 3600000000000 AS h1
+      FROM obs GROUP BY k),
+    gridpts AS (
+      SELECT k, unnest(generate_series(h0, h1)) * 3600000000000 AS t,
+             CAST(NULL AS DOUBLE) AS v, 1 AS g
+      FROM span WHERE h1 >= h0),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM gridpts),
+    c AS (
+      SELECT k, t, g,
+        last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER wb AS tp,
+        last_value(v IGNORE NULLS) OVER wb AS vp,
+        first_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER wf AS tn,
+        first_value(v IGNORE NULLS) OVER wf AS vn
+      FROM u
+      WINDOW wb AS (PARTITION BY k ORDER BY t, g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY k ORDER BY t, g
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT k AS user_id, t AS grid_t,
+           CAST(floor((CASE WHEN tp = t THEN vp
+                 ELSE vp + (vn - vp) * (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+                 END) * 1000000.0) AS BIGINT) AS v_micro
+    FROM c
+    WHERE g = 1 AND tp IS NOT NULL AND (tp = t OR tn IS NOT NULL)
+      AND (tp = t OR tn - tp <= 21600000000000)
+    """,
+)
+def q263_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with linear interpolation from the bracketing
+    observations, bracket gap capped at 6 h (no bridging outages, no
+    extrapolation).  The interpolation ratio is computed on int64 DELTAS
+    cast to double — exact below 2^53 even though absolute epoch-nanos
+    are not — and the oracle mirrors the expression shape operation for
+    operation, so v_micro is bit-identical across engines."""
+    from apache_arrow_spark.functions.pipeline import grid_interpolate
+
+    e = load_table(spark, sf_dir, "events")
+    g = grid_interpolate(
+        e.select("user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "value",
+        step_ns=3_600_000_000_000,
+        max_gap_ns=21_600_000_000_000,
+    )
+    return g.select(
+        "user_id",
+        "grid_t",
+        F.floor(F.col("value_interp") * F.lit(1000000.0)).cast("bigint").alias("v_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q264 — 2-D Mahalanobis outliers per group: the multivariate anomaly
+# score (value, hour-of-day) per event type — catches points that are
+# normal on each axis but abnormal jointly (e.g. a big purchase at 4 am).
+# All moments are INTEGER sums (value quantized to exact centi-units
+# first — Mahalanobis distance is affine-invariant, so the centi-unit
+# scaling cancels), which keeps the aggregation combinable, order-
+# independent, and bit-identical across engines; the dense per-row score
+# is a broadcast join of the 5-number moment table back onto the scan.
+# --------------------------------------------------------------------------
+@register(
+    "q264_mahalanobis_outliers",
+    """
+    WITH pts AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+             (epoch_ns(ts) // 3600000000000) % 24 AS y
+      FROM events),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type),
+    s AS (
+      SELECT event_type,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS exx,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS exy
+      FROM m),
+    cov AS (
+      SELECT event_type, mx, my,
+             exx - mx * mx AS cxx, eyy - my * my AS cyy, exy - mx * my AS cxy
+      FROM s),
+    scored AS (
+      SELECT p.event_id, p.event_type,
+             CAST(floor(
+               ((CAST(p.x AS DOUBLE) - c.mx) * (c.cyy * (CAST(p.x AS DOUBLE) - c.mx) - c.cxy * (CAST(p.y AS DOUBLE) - c.my))
+                + (CAST(p.y AS DOUBLE) - c.my) * (c.cxx * (CAST(p.y AS DOUBLE) - c.my) - c.cxy * (CAST(p.x AS DOUBLE) - c.mx)))
+               / (c.cxx * c.cyy - c.cxy * c.cxy) * 1000000.0) AS BIGINT) AS d2_micro
+      FROM pts p JOIN cov c ON p.event_type = c.event_type
+      WHERE c.cxx * c.cyy - c.cxy * c.cxy <> 0)
+    SELECT event_id, event_type, d2_micro
+    FROM scored ORDER BY d2_micro DESC, event_id LIMIT 20
+    """,
+)
+def q264_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 joint (value, hour-of-day) anomalies per the 2-D Mahalanobis
+    distance against each event type's own covariance.  Integer moments
+    n/sx/sy/sxx/syy/sxy fit int64 through ~sf1 (sxx <= n * 49002^2; at
+    larger SF promote the three product sums to DECIMAL(38,0) — still
+    combinable); every double derives from those integers with the same
+    operation order in both engines, so floor-micro quantization is
+    exact.  The moment table is |event_type| rows — broadcast back, no
+    second corpus shuffle; final top-20 is TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("x"),
+        F.expr("(ts div 3600000000000) % 24").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    s = m.select(
+        "event_type",
+        (F.col("sx").cast("double") / nd).alias("mx"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+        (F.col("sxx").cast("double") / nd).alias("exx"),
+        (F.col("syy").cast("double") / nd).alias("eyy"),
+        (F.col("sxy").cast("double") / nd).alias("exy"),
+    )
+    cov = s.select(
+        "event_type",
+        "mx",
+        "my",
+        (F.col("exx") - F.col("mx") * F.col("mx")).alias("cxx"),
+        (F.col("eyy") - F.col("my") * F.col("my")).alias("cyy"),
+        (F.col("exy") - F.col("mx") * F.col("my")).alias("cxy"),
+    )
+    j = pts.join(F.broadcast(cov), "event_type")
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    d2 = (
+        dx * (F.col("cyy") * dx - F.col("cxy") * dy)
+        + dy * (F.col("cxx") * dy - F.col("cxy") * dx)
+    ) / det
+    return (
+        j.filter(det != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(d2 * F.lit(1000000.0)).cast("bigint").alias("d2_micro"),
+        )
+        .orderBy(F.col("d2_micro").desc(), "event_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

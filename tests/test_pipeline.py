@@ -308,3 +308,23 @@ def test_global_sequence_gaps_matches_single_window(spark):
     )
     want = sorted((r["s"], r["e"], r["l"]) for r in ref.collect())
     assert got == want and len(got) == 4
+
+
+def test_grid_interpolate_values(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.pipeline import grid_interpolate
+
+    # key 1: obs at t=5, 25 (values 10, 30) -> grid 10: 15.0, grid 20: 25.0
+    # an obs exactly on the grid (t=30, v=7) is reproduced exactly
+    # key 2: span shorter than one step -> no grid rows
+    rows = [(1, 5, 10.0), (1, 25, 30.0), (1, 30, 7.0), (2, 3, 1.0), (2, 4, 2.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        (r["k"], r["grid_t"]): r["value_interp"]
+        for r in grid_interpolate(df, "k", "t", "v", step_ns=10).collect()
+    }
+    assert got == {(1, 10): 15.0, (1, 20): 25.0, (1, 30): 7.0}
+    # gap cap suppresses brackets wider than the cap
+    capped = grid_interpolate(df, "k", "t", "v", step_ns=10, max_gap_ns=5)
+    assert {(r["k"], r["grid_t"]) for r in capped.collect()} == {(1, 30)}
