@@ -813,3 +813,88 @@ def kmeans_train_exact(
     # recomputes the narrow quantize projection once, which is one scan
     q.unpersist()
     return out
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the input to
+    whitening / PCA / ZCA decorrelation over a corpus of vectors.
+
+    Vectors quantize to int64 micro-units first (``floor(double(x) *
+    scale)``), so the Gram matrix, the dimension sums, and the count are
+    INTEGER moments: combinable, partition-order-independent, and
+    bit-identical across engines.  Each partition computes its partial
+    Gram with one vectorized int64 matmul inside ``mapInPandas`` (never
+    a per-pair explode of the corpus); what leaves an executor is
+    dim*(dim+1)/2 + dim + 1 rows per PARTITION — independent of row
+    count, so the plan is a scan plus a tiny fixed-width aggregation at
+    any corpus size.  int64 is safe while n * (scale*|x|)^2 < 2^63
+    (~sf1 for unit-norm vectors at scale 1e6; shrink ``scale`` to grow
+    headroom — covariance rescales by scale^2, comparisons are
+    unaffected).
+
+    Returns the upper triangle (i <= j): (i, j, n, cov_unit) where
+    ``cov_unit = floor(G_ij/n - (s_i/n)*(s_j/n))`` in micro^2 units,
+    every double derived from exact int64 sums with a fixed operation
+    order (oracle-mirrorable).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+
+    def part(batches):
+        G = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            G += Q.T @ Q
+            s += Q.sum(axis=0)
+            n += Q.shape[0]
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "g": np.concatenate([G[iu, ju], s, [n]]),
+            }
+        )
+
+    parts = df.select(vec_col).mapInPandas(part, "i int, j int, g long")
+    tot = parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+    n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("g").alias("n")
+    )
+    sums = tot.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("si_dim"), F.col("g").alias("si")
+    )
+    gram = tot.filter(F.col("j") >= 0)
+    j = (
+        gram.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(sums), F.col("i") == F.col("si_dim"))
+        .drop("si_dim")
+        .join(
+            F.broadcast(
+                sums.select(F.col("si_dim").alias("sj_dim"), F.col("si").alias("sj"))
+            ),
+            F.col("j") == F.col("sj_dim"),
+        )
+        .drop("sj_dim")
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("g").cast("double") / nd - (F.col("si").cast("double") / nd) * (
+        F.col("sj").cast("double") / nd
+    )
+    return j.select(
+        "i", "j", "n", F.floor(cov).cast("bigint").alias("cov_unit")
+    )

@@ -12074,6 +12074,149 @@ def q264_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q265 — exact embedding covariance matrix (similarity.embedding_covariance):
+# the whitening / PCA / ZCA input.  Per-partition int64 Gram matmuls in
+# mapInPandas; rows leaving an executor are O(dim^2) per partition, not
+# per vector.  The oracle replays the same integer moments with a pair
+# explode — the mapInPandas matmul and the SQL explode provably sum the
+# same int64 products, so cov_unit is bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "q265_embedding_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(i.i AS INT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim),
+    s AS (
+      SELECT dim, CAST(sum(q) AS BIGINT) AS s FROM x GROUP BY dim),
+    n AS (SELECT count(*) AS n FROM embeddings)
+    SELECT g.i, g.j, n.n,
+           CAST(floor(CAST(g.g AS DOUBLE) / CAST(n.n AS DOUBLE)
+                 - (CAST(si.s AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   * (CAST(sj.s AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT) AS cov_unit
+    FROM g, n
+    JOIN s si ON si.dim = g.i
+    JOIN s sj ON sj.dim = g.j
+    """,
+)
+def q265_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the 64-dim embedding corpus in exact
+    micro^2 units — 2080 output rows regardless of corpus size.  See the
+    block comment for the partial-Gram scale argument."""
+    from apache_arrow_spark.functions.similarity import embedding_covariance
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, "embedding", dim=64, scale=1e6)
+
+
+# --------------------------------------------------------------------------
+# q266 — TPC-H Q5 shape (local supplier volume): the 6-table star-with-
+# constraint join — customer and supplier must sit in the SAME nation,
+# which makes it the classic join-ORDER test (the c_nationkey =
+# s_nationkey edge is only selective after both sides are bound).
+# Physical plan: region/nation/supplier/customer broadcast (dim-sized),
+# orders filtered by date BEFORE joining lineitem, one shuffle on
+# l_orderkey = o_orderkey — the only corpus-sized exchange.
+# --------------------------------------------------------------------------
+@register(
+    "q266_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q266_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation from line items whose supplier and
+    customer share the nation, Asian nations, one order year.  Decimal-
+    exact revenue (q01 discipline)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    of = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    dims = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")
+    return (
+        li.join(of, li["l_orderkey"] == of["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q267 — grid-cell radius join (functions.geo.grid_radius_join): all
+# customer pairs within 2 degrees on deterministic hash-derived planar
+# micro-degree coordinates.  The cell equi-join makes candidate volume
+# density-bound instead of corpus^2; the exact predicate is pure int64.
+# The sf0.01 oracle is the brute-force cross join — feasible there,
+# which is exactly why the graded row certifies the bucketed plan.
+# --------------------------------------------------------------------------
+@register(
+    "q267_grid_radius_join",
+    f"""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             {sql_hash_bucket("c_custkey", "geo_x", 360000000)} AS x,
+             {sql_hash_bucket("c_custkey", "geo_y", 180000000)} AS y
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2000000 * CAST(2000000 AS BIGINT)
+    """,
+)
+def q267_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: customer pairs within 2,000,000 micro-degrees
+    (squared euclidean, exact int64) via 3x3 grid-cell equi-join — see
+    functions/geo.py for the density-bound scale argument."""
+    from apache_arrow_spark.functions.geo import grid_radius_join
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        hash_bucket(F.col("c_custkey"), "geo_x", 360_000_000).alias("x"),
+        hash_bucket(F.col("c_custkey"), "geo_y", 180_000_000).alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", radius=2_000_000)
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

@@ -321,3 +321,29 @@ def test_kmeans_train_exact_matches_reference(spark):
         for r in kmeans_train_exact(df, k=4, rounds=2).collect()
     }
     assert got == ref()
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from apache_arrow_spark.functions.similarity import embedding_covariance
+
+    rng = [[((i * 7 + j * 13) % 11 - 5) / 7.0 for j in range(4)] for i in range(25)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["cov_unit"])
+        for r in embedding_covariance(df, "embedding", dim=4, scale=1e6).collect()
+    }
+    X = np.array(rng, dtype=np.float32).astype(np.float64)
+    Q = np.floor(X * 1e6).astype(np.int64)
+    n = Q.shape[0]
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    for i in range(4):
+        for j in range(i, 4):
+            cov = G[i, j] / n - (s[i] / n) * (s[j] / n)
+            assert got[(i, j)] == (n, int(np.floor(cov)))
+    assert len(got) == 10
