@@ -146,3 +146,56 @@ def triangle_stats(
         ).alias("clustering_coefficient"),
     )
     return out
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: list[int],
+    max_hops: int,
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> DataFrame:
+    """Breadth-first shortest hop distance from a seed set, bounded at
+    ``max_hops`` — the reachability / blast-radius primitive (which
+    documents does this contaminated source touch within 3 links?).
+
+    ``edges`` is treated as UNDIRECTED (both directions are traversed).
+    Returns (node, dist) with dist = min hops from any seed, 0 for the
+    seeds themselves.
+
+    Scale shape: ``max_hops`` rounds of (frontier JOIN edges) — each
+    round one equi-join shuffle keyed by node, frontier-sized (never
+    |V| x |E|); visited-set dedup via a groupBy min after each
+    expansion keeps frontiers from re-exploding through back-edges.
+    The loop count is a LITERAL bound, so the job graph is static;
+    each round is localCheckpointed to keep lineage flat (the q79
+    connected-components discipline)."""
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).cast("long").alias("a"), F.col(src_col).cast("long").alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, dist int"
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        merged = (
+            dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
+        ).localCheckpoint()
+        # next frontier: nodes whose best distance IS this hop (newly found)
+        frontier = merged.filter(F.col("dist") == hop)
+        dist = merged
+    und.unpersist()
+    return dist

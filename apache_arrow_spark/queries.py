@@ -12217,6 +12217,134 @@ def q267_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q268 — classical seasonal decomposition (trend / seasonal / remainder)
+# of the daily revenue series, period 7: trend = centered 7-day moving
+# average (full windows only), seasonal = per-weekday mean of the
+# detrended series, remainder = what's left.  All series values are
+# EXACT integer micro-cents; the only division that could split engines
+# (mean of possibly-NEGATIVE detrended values) goes through one double
+# division + floor, which is bit-identical — integer `div` would not be
+# (Spark div truncates toward zero, DuckDB // floors).  The day series
+# is driver-budget here; in production the same three windows run
+# PARTITIONed by series key (one series per metric), embarrassingly
+# parallel.
+# --------------------------------------------------------------------------
+@register(
+    "q268_seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT day, rev_cents,
+             CAST(sum(rev_cents) OVER w AS BIGINT) AS s7,
+             count(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    d AS (
+      SELECT day, rev_cents,
+             (s7 * 1000000) // 7 AS trend_u,
+             rev_cents * 1000000 - (s7 * 1000000) // 7 AS detr_u
+      FROM t WHERE n7 = 7),
+    s AS (
+      SELECT day % 7 AS wd,
+             CAST(floor(CAST(sum(detr_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas_u
+      FROM d GROUP BY day % 7)
+    SELECT d.day, d.rev_cents, d.trend_u, s.seas_u,
+           d.detr_u - s.seas_u AS rem_u
+    FROM d JOIN s ON d.day % 7 = s.wd
+    """,
+)
+def q268_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (period 7) in
+    exact integer micro-cents; see block comment for the one floored
+    double division that keeps negative-mean semantics engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.expr("ts div 86400000000000").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    d = t.select(
+        "day",
+        "rev_cents",
+        F.expr("(s7 * 1000000) div 7").alias("trend_u"),
+        (F.col("rev_cents") * F.lit(1000000) - F.expr("(s7 * 1000000) div 7")).alias(
+            "detr_u"
+        ),
+    )
+    s = d.groupBy((F.col("day") % 7).alias("wd")).agg(
+        F.floor(
+            F.sum("detr_u").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("seas_u")
+    )
+    return (
+        d.join(F.broadcast(s), (F.col("day") % 7) == F.col("wd"))
+        .select(
+            "day",
+            "rev_cents",
+            "trend_u",
+            "seas_u",
+            (F.col("detr_u") - F.col("seas_u")).alias("rem_u"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q269 — bounded BFS hop distance (graph.bfs_khop) over the bipartite
+# customer–supplier trade graph (distinct (c_custkey, s_suppkey) pairs
+# through orders+lineitem; customers are even nodes 2c, suppliers odd
+# 2s+1).  "Blast radius within 3 links of customer 1" — the
+# contamination-reach query.  The oracle is a DuckDB RECURSIVE CTE over
+# the same edges: the driver-graded row certifies the iterative
+# frontier-join implementation against declarative recursion.
+# --------------------------------------------------------------------------
+@register(
+    "q269_bfs_khop",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    walk(node, d) AS (
+      SELECT CAST(2 AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT ee.b, walk.d + 1 FROM walk JOIN ee ON ee.a = walk.node
+      WHERE walk.d < 3)
+    SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min hop distance (<= 3) from customer 1 over the undirected
+    customer–supplier graph; frontier-join BFS with per-round
+    localCheckpoint (graph.bfs_khop)."""
+    from apache_arrow_spark.functions.graph import bfs_khop
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    return bfs_khop(edges, seeds=[2], max_hops=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

@@ -191,3 +191,17 @@ def test_delta_join_sum_matches_full_recompute(spark):
     full = {r["g"]: r["s"] for r in
             a_full.join(b_full, "k").groupBy("g").agg(F.sum("v").alias("s")).collect()}
     assert incr == full  # includes x (+5) and the delta-only group z (7)
+
+
+def test_bfs_khop_distances(spark):
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.graph import bfs_khop
+
+    # path 1-2-3-4-5 plus a triangle 1-10-11-1: BFS(1, 3 hops)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 10), (10, 11), (11, 1)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, [1], 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 1, 11: 1}
