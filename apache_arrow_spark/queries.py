@@ -12345,6 +12345,149 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q270 — sparse matrix multiply as join-aggregate: project every document's
+# term-frequency vector onto a term x topic weight matrix (the LSA/topic-
+# scoring step).  Sparse matmul IS a join on the shared dimension plus a
+# grouped sum: (doc, term, tf) JOIN (term, topic, w) ON term, then
+# sum(tf * w) per (doc, topic).  The weight matrix is vocabulary-sized ->
+# broadcast; the only corpus shuffle is the (doc, topic) partial-sum
+# combine (4 rows per doc).  Weights are deterministic hash integers so
+# scores are exact int64.
+# --------------------------------------------------------------------------
+@register(
+    "q270_topic_projection",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term),
+    w AS (
+      SELECT term, topic.topic AS topic,
+             {sql_hash_bucket("term || '#' || CAST(topic.topic AS VARCHAR)", "tw", 1000)} - 500 AS w
+      FROM (SELECT DISTINCT term FROM tf) v,
+           (SELECT unnest(range(4)) AS topic) topic),
+    s AS (
+      SELECT tf.doc_id, w.topic, CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+      FROM tf JOIN w ON tf.term = w.term
+      GROUP BY tf.doc_id, w.topic)
+    SELECT doc_id, CAST(topic AS INT) AS topic, score
+    FROM (SELECT doc_id, topic, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic) AS rn
+          FROM s)
+    WHERE rn = 1
+    """,
+)
+def q270_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's best topic under a deterministic term x topic
+    weight matrix — sparse matmul via broadcast join + grouped sum,
+    argmax via the per-doc window (doc-bounded partitions).  Tokenizer is
+    functions.text.tokens; the oracle mirrors it with
+    string_split_regex(trim(text), '\\\\s+') — the q81/q164 twin."""
+    from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.select("term").distinct()
+    topics = spark.range(4).select(F.col("id").cast("int").alias("topic"))
+    w = vocab.crossJoin(topics).select(
+        "term",
+        "topic",
+        (
+            hash_bucket(
+                F.concat(F.col("term"), F.lit("#"), F.col("topic").cast("string")),
+                "tw",
+                1000,
+            )
+            - F.lit(500)
+        ).alias("w"),
+    )
+    s = (
+        tf.join(F.broadcast(w), "term")
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "topic")
+    return (
+        s.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "topic", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# q271 — report scaffold with zero-fill: the (day x event_type) grid every
+# dashboard needs, INCLUDING empty cells — a deliberate tiny crossJoin of
+# two dimension aggregates (spine rows = |days| x |types|, never corpus-
+# sized) left-joined back to the daily counts, absences coalesced to 0.
+# The share-of-day ratio divides two exact counts once, in double.
+# --------------------------------------------------------------------------
+@register(
+    "q271_report_scaffold",
+    """
+    WITH du AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT d.day, h.hour, t.event_type
+      FROM (SELECT DISTINCT day FROM du) d,
+           (SELECT unnest(range(24)) AS hour) h,
+           (SELECT DISTINCT event_type FROM du) t),
+    filled AS (
+      SELECT s.day, CAST(s.hour AS BIGINT) AS hour, s.event_type, COALESCE(du.n, 0) AS n
+      FROM spine s LEFT JOIN du
+        ON du.day = s.day AND du.hour = s.hour AND du.event_type = s.event_type),
+    tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS day_total FROM filled GROUP BY day)
+    SELECT f.day, f.hour, f.event_type, CAST(f.n AS BIGINT) AS n,
+           round(CAST(f.n AS DOUBLE) / CAST(t.day_total AS DOUBLE), 6) AS day_share
+    FROM filled f JOIN tot t ON t.day = f.day
+    """,
+)
+def q271_report_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (day, hour, event_type) reporting grid with explicit zeros
+    and share-of-day; the crossJoins are dimension x dimension x literal
+    by construction (documented driver-budget)."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.groupBy(
+        F.expr("ts div 86400000000000").alias("day"),
+        F.expr("(ts div 3600000000000) % 24").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = du.select("day").distinct()
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    types = du.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(hours)).crossJoin(F.broadcast(types))
+    filled = (
+        spine.join(du, ["day", "hour", "event_type"], "left")
+        .select(
+            "day", "hour", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    tot = filled.groupBy("day").agg(F.sum("n").alias("day_total"))
+    return (
+        filled.join(F.broadcast(tot), "day")
+        .select(
+            "day",
+            "hour",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("day_total").cast("double"), 6
+            ).alias("day_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
