@@ -12491,8 +12491,9 @@ def q271_report_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
-# round 3 after that round's window filled).  q195-q253 remain registered
-# directly after the window (slots 51+) and are round-5 stock.  Everything
+# round 3 after that round's window filled).  q195-q271 remain registered
+# directly after the window (slots 51+) and are round-5+ stock (q262-q271
+# added in round 4).  Everything
 # deferred below carries a green driver-grade row in CORRECTNESS_r01/r02/r03
 # (rows+schema+hash) and stays covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------
