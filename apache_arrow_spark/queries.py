@@ -12488,6 +12488,114 @@ def q271_report_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q272 — hierarchy rollup WITHOUT recursion: subtree aggregates over the
+# implicit decimal tree parent(n) = n div 10.  Bounded-depth hierarchies
+# (org charts, category trees, geo admin levels) don't need iterative
+# joins or recursive CTEs: every node's ancestor set is a CLOSED FORM,
+# exploded from a 6-literal divisor array — one scan, one (ancestor)
+# combinable aggregate, zero iterations.  Compare q269: recursion is for
+# unknown-depth graphs; fixed-depth trees explode their ancestor chain.
+# --------------------------------------------------------------------------
+@register(
+    "q272_hierarchy_rollup",
+    """
+    WITH ct AS (
+      SELECT o_custkey AS node,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    anc AS (
+      SELECT ct.node // d.d AS ancestor, ct.node, ct.cents
+      FROM ct, (VALUES (1), (10), (100), (1000), (10000), (100000)) d(d)
+      WHERE ct.node // d.d > 0)
+    SELECT ancestor, count(*) AS n_desc,
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY ancestor
+    """,
+)
+def q272_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree order-revenue (exact cents) and descendant counts for
+    every node of the decimal customer tree, via the closed-form
+    ancestor explode (no joins, no iteration — see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.groupBy(F.col("o_custkey").alias("node")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    divisors = F.array(*[F.lit(10**k) for k in range(6)])
+    anc = (
+        ct.select(
+            F.explode(divisors).alias("d"), "node", "cents"
+        )
+        .withColumn("ancestor", F.expr("node div d"))
+        .filter(F.col("ancestor") > 0)
+    )
+    return anc.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_desc"),
+        F.sum("cents").alias("subtree_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 — golden-record survivorship (MDM merge): different sources fill
+# DIFFERENT fields of an entity; the golden record takes, per field, the
+# value from the latest record where that field is present — never whole-
+# row wins (that is q160 keep-best).  Here each event type contributes
+# one field of the user record.  Per-field "latest non-null" is the
+# max-of-masked-struct idiom: max(when(present, struct(ts, field)))
+# orders by ts (unique per user) and ignores absent rows — one
+# combinable aggregate, no window, no self-join.
+# --------------------------------------------------------------------------
+@register(
+    "q273_golden_record",
+    """
+    SELECT user_id,
+           arg_max(CAST(props->>'$.k' AS BIGINT), epoch_ns(ts))
+             FILTER (event_type = 'click' AND CAST(props->>'$.k' AS BIGINT) >= 95)
+             AS latest_hot_click_k,
+           arg_max(CAST(floor(value * 100.0 + 0.5) AS BIGINT), epoch_ns(ts))
+             FILTER (event_type = 'purchase' AND value >= 90.0)
+             AS latest_big_purchase_cents,
+           arg_max(epoch_ns(ts) // 86400000000000, epoch_ns(ts))
+             FILTER (event_type = 'view' AND value >= 250.0)
+             AS last_long_view_day,
+           count(*) AS n_records
+    FROM events GROUP BY user_id
+    """,
+)
+def q273_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merged record per user: latest hot click's k, latest big
+    purchase in cents, last long view's day, record count — fields
+    survive INDEPENDENTLY (a user lacking one source keeps that field
+    NULL while the others fill; verified non-vacuous at sf0.01: each
+    field is null for a different user subset).  Spark side uses
+    max(when(present, struct(ts, v))).v; the oracle uses arg_max FILTER
+    — identical because (user_id, ts) is unique."""
+    e = load_table(spark, sf_dir, "events")
+
+    def latest(cond, val):
+        return F.max(F.when(cond, F.struct(F.col("ts").alias("t"), val.alias("v"))))[
+            "v"
+        ]
+
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    day = F.expr("ts div 86400000000000")
+    return e.groupBy("user_id").agg(
+        latest(
+            (F.col("event_type") == "click") & (k >= 95), k
+        ).alias("latest_hot_click_k"),
+        latest(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 90.0), cents
+        ).alias("latest_big_purchase_cents"),
+        latest(
+            (F.col("event_type") == "view") & (F.col("value") >= 250.0), day
+        ).alias("last_long_view_day"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

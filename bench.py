@@ -106,6 +106,11 @@ HEADLINE = [
     "q250_corpus_pipeline",
     # round 4: C4-style span-dedup repair (the corpus-rewrite flagship)
     "q254_span_dedup",
+    # round 4b: partial-Gram covariance (mapInPandas matmul), the 6-table
+    # Q5 join-order shape, and the grid-cell spatial radius join
+    "q265_embedding_covariance",
+    "q266_local_supplier_volume",
+    "q267_grid_radius_join",
 ]
 
 
