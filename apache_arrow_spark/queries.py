@@ -8737,7 +8737,7 @@ def q246_connector_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ipc_source(spark)
     back = spark.read.format("aas_ipc").load(root)
     return (
-        back.filter(F.col("o_orderkey") < 50000)
+        back.filter(F.col("o_orderkey") < 5000)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
