@@ -69,3 +69,96 @@ def session_summary(
         F.min(ts_col).alias("start"),
         F.max(ts_col).alias("end"),
     )
+
+
+def stitch_sessions(
+    old_sessions: DataFrame,
+    new_events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: int,
+    boundary: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """INCREMENTAL sessionization: combine yesterday's session summaries
+    with today's raw events and produce exactly what a full recompute
+    over the whole timeline would — without re-reading yesterday's raw
+    events.
+
+    ``old_sessions`` is :func:`session_summary` output for the period
+    before ``boundary``; ``new_events`` are the raw events at/after it.
+    A session is OPEN at the boundary when ``boundary - end <= gap`` —
+    only those can extend; each entity has at most one (its last).  The
+    stitch joins open tails to each entity's FIRST new session and merges
+    when the cross-boundary gap holds; everything else passes through.
+    Correctness does not depend on the boundary position: at most one
+    session per entity crosses it.
+
+    Returns (entity, start, end, n_events) — session numbering is
+    deliberately absent (it is not incrementally stable; spans are).
+
+    Scale shape: the daily increment costs sessionize(delta) — one
+    shuffle of the DELTA, never the history — plus two entity-keyed
+    joins against the (sessions-sized) summary table.  This is the
+    batch-incremental twin of the streaming session window's state
+    store."""
+    old = old_sessions.select(
+        F.col(entity_col).alias("__e"),
+        F.col("start").alias("__s"),
+        F.col("end").alias("__end"),
+        F.col("n_events").alias("__n"),
+    )
+    b = F.lit(int(boundary)).cast("long")
+    g = F.lit(int(gap)).cast("long")
+    closed_old = old.filter(b - F.col("__end") > g)
+    tails = old.filter(b - F.col("__end") <= g)
+
+    s_new = session_summary(new_events, entity_col, ts_col, gap, tiebreak_cols)
+    first_new = s_new.filter(F.col("session_seq") == 1).select(
+        F.col(entity_col).alias("__e"),
+        F.col("start").alias("__ns"),
+        F.col("end").alias("__ne"),
+        F.col("n_events").alias("__nn"),
+    )
+    rest_new = s_new.filter(F.col("session_seq") > 1).select(
+        F.col(entity_col).alias("__e"),
+        F.col("start").alias("__s"),
+        F.col("end").alias("__end"),
+        F.col("n_events").alias("__n"),
+    )
+    j = tails.join(first_new, "__e", "full_outer")
+    merged = F.col("__ns").isNotNull() & F.col("__end").isNotNull() & (
+        F.col("__ns") - F.col("__end") <= g
+    )
+    # one row per (tail, first-new) pair: merged span, or the two pieces
+    # kept separate (either piece may be absent under the full outer join)
+    stitched = j.select(
+        "__e",
+        F.when(merged, F.col("__s")).otherwise(F.coalesce("__s", "__ns")).alias("a_s"),
+        F.when(merged, F.col("__ne")).otherwise(F.coalesce("__end", "__ne")).alias("a_e"),
+        F.when(merged, F.col("__n") + F.col("__nn"))
+        .otherwise(F.coalesce("__n", "__nn"))
+        .alias("a_n"),
+        F.when(merged | F.col("__ns").isNull() | F.col("__end").isNull(), None)
+        .otherwise(F.col("__ns"))
+        .alias("b_s"),
+        F.when(merged | F.col("__ns").isNull() | F.col("__end").isNull(), None)
+        .otherwise(F.col("__ne"))
+        .alias("b_e"),
+        F.when(merged | F.col("__ns").isNull() | F.col("__end").isNull(), None)
+        .otherwise(F.col("__nn"))
+        .alias("b_n"),
+    )
+    part_a = stitched.select(
+        "__e", F.col("a_s").alias("__s"), F.col("a_e").alias("__end"), F.col("a_n").alias("__n")
+    )
+    part_b = stitched.filter(F.col("b_s").isNotNull()).select(
+        "__e", F.col("b_s").alias("__s"), F.col("b_e").alias("__end"), F.col("b_n").alias("__n")
+    )
+    out = closed_old.unionByName(part_a).unionByName(part_b).unionByName(rest_new)
+    return out.select(
+        F.col("__e").alias(entity_col),
+        F.col("__s").alias("start"),
+        F.col("__end").alias("end"),
+        F.col("__n").cast("bigint").alias("n_events"),
+    )

@@ -12596,6 +12596,207 @@ def q273_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q274 — interval-union coverage (sweep-line MERGE, the complement of
+# q241's sweep-line COUNT): total covered time and merged-block count per
+# user when each event opens an interval [ts, ts + value-seconds).
+# Overlaps must not double-count — the uptime/SLA-coverage computation.
+# Block assignment = running max of interval ends (one window pass per
+# user); all arithmetic is int64 nanos.
+# --------------------------------------------------------------------------
+@register(
+    "q274_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_ns(ts) AS s, event_id,
+             epoch_ns(ts) + CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 10000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    b AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS block_id
+      FROM m),
+    blocks AS (
+      SELECT user_id, block_id,
+             CAST(max(e) - min(s) AS BIGINT) AS span
+      FROM b GROUP BY user_id, block_id)
+    SELECT user_id, count(*) AS n_blocks,
+           CAST(sum(span) AS BIGINT) AS covered_ns
+    FROM blocks GROUP BY user_id
+    """,
+)
+def q274_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union length of [ts, ts + value s) intervals and count of
+    disjoint merged blocks — overlap-free by the running-max sweep; the
+    tie order (s, e) in the block window matches the oracle exactly."""
+    e = load_table(spark, sf_dir, "events")
+    dur = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint") * F.lit(
+        10_000_000
+    )
+    iv = e.select(
+        "user_id", F.col("ts").alias("s"), "event_id", (F.col("ts") + dur).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(wprev))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    newb = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+    ).otherwise(0)
+    b = m.withColumn("block_id", F.sum(newb).over(wrun))
+    blocks = b.groupBy("user_id", "block_id").agg(
+        (F.max("e") - F.min("s")).alias("span")
+    )
+    return blocks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("span").alias("covered_ns"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q275 — CUSUM changepoint detection per user: the day where the
+# cumulative deviation from the user's own mean peaks — the standard
+# level-shift detector.  INTEGER-EXACT trick: deviations are scaled by
+# the user's day count (dev_d = n*c_d - total), which clears the mean's
+# division entirely; the cusum is then an exact int64 running sum and
+# the argmax needs no floating point anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q275_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t
+      FROM daily GROUP BY user_id),
+    cs AS (
+      SELECT d.user_id, d.day, u.n,
+             CAST(sum(u.n * d.c - u.t) OVER (PARTITION BY d.user_id ORDER BY d.day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+      FROM daily d JOIN u ON u.user_id = d.user_id),
+    r AS (
+      SELECT user_id, day, n, abs(cusum) AS a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(cusum) DESC, day) AS rn
+      FROM cs)
+    SELECT user_id, day AS cp_day, CAST(a AS BIGINT) AS max_abs_cusum_scaled,
+           n AS n_days
+    FROM r WHERE rn = 1
+    """,
+)
+def q275_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint (earliest peak day on ties); see block
+    comment for the n-scaling that keeps every number int64-exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).alias("c")
+    )
+    u = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        daily.join(u, "user_id")
+        .withColumn("cusum", F.sum(F.col("n") * F.col("c") - F.col("t")).over(wrun))
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum_scaled"),
+            F.col("n").alias("n_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q276 — incremental sessionization (sessionize.stitch_sessions): combine
+# the pre-boundary session SUMMARIES (yesterday's state — raw history is
+# never re-read) with post-boundary raw events and reproduce the full-
+# recompute sessions exactly.  The oracle IS the full recompute, so the
+# graded row proves stitch(state, delta) == recompute(all) — the
+# incremental-pipeline contract.  12 h gap so boundary-spanning sessions
+# actually occur (30 min would make the stitch vacuous at this event
+# density).
+# --------------------------------------------------------------------------
+_STITCH_BOUNDARY_NS = 1705276800 * 10**9  # 2024-01-15 00:00:00 UTC
+_STITCH_GAP_NS = 12 * 3600 * 10**9
+
+
+@register(
+    "q276_session_stitch",
+    f"""
+    WITH l AS (
+      SELECT user_id, epoch_ns(ts) AS t, event_id,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {_STITCH_GAP_NS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM l)
+    SELECT user_id, CAST(min(t) AS BIGINT) AS start, CAST(max(t) AS BIGINT) AS "end",
+           count(*) AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def q276_session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions of the full month computed incrementally: summaries of
+    the first half + raw second half through stitch_sessions; oracle =
+    declarative full recompute."""
+    from apache_arrow_spark.operators.sessionize import (
+        session_summary,
+        stitch_sessions,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    old_raw = e.filter(F.col("ts") < _STITCH_BOUNDARY_NS)
+    new_raw = e.filter(F.col("ts") >= _STITCH_BOUNDARY_NS)
+    old_sessions = session_summary(
+        old_raw, "user_id", "ts", _STITCH_GAP_NS, ["event_id"]
+    )
+    return stitch_sessions(
+        old_sessions,
+        new_raw,
+        "user_id",
+        "ts",
+        gap=_STITCH_GAP_NS,
+        boundary=_STITCH_BOUNDARY_NS,
+        tiebreak_cols=["event_id"],
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

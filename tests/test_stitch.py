@@ -1,0 +1,40 @@
+"""stitch_sessions: incremental sessionize == full recompute, per case."""
+
+from apache_arrow_spark.operators.sessionize import (
+    session_summary,
+    stitch_sessions,
+)
+
+GAP = 10
+B = 100
+
+
+def _sessions(spark, rows):
+    df = spark.createDataFrame(rows, "user long, ts long, eid long")
+    return session_summary(df, "user", "ts", GAP, ["eid"])
+
+
+def test_stitch_matches_full_recompute(spark):
+    rows = [
+        # user 1: old tail at 95 merges with new first at 102 (gap 7 <= 10)
+        (1, 50, 1), (1, 95, 2), (1, 102, 3), (1, 200, 4),
+        # user 2: old tail at 99 does NOT merge (first new at 120, gap 21)
+        (2, 99, 5), (2, 120, 6),
+        # user 3: only old, closed well before boundary
+        (3, 10, 7), (3, 12, 8),
+        # user 4: only new events
+        (4, 150, 9), (4, 155, 10),
+        # user 5: old tail, no new events at all
+        (5, 97, 11),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, eid long")
+    old = session_summary(df.filter(df.ts < B), "user", "ts", GAP, ["eid"])
+    got = stitch_sessions(
+        old, df.filter(df.ts >= B), "user", "ts", GAP, B, ["eid"]
+    )
+    want = _sessions(spark, rows).select("user", "start", "end", "n_events")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    # the merge actually happened: user 1 has a session spanning 95..102
+    assert (1, 95, 102, 2) in g
