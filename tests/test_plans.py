@@ -312,6 +312,14 @@ def test_shuffle_bytes_scale_linearly(spark):
         # r4: span-dedup repair — window digests + coverage explode must
         # stay linear at any duplicate density (the C4 claim)
         "q254_span_dedup",
+        # r4 late: rolling-distinct fan-out (sub-linear on the deduped
+        # day-user table), flat-egress Gram covariance, sweep-line
+        # coverage, incremental session stitch (measured alphas 0.83 /
+        # 0.009 / 1.0 / 0.99 — tools/scaling_curves.py)
+        "q262_rolling_active_users",
+        "q265_embedding_covariance",
+        "q274_interval_coverage",
+        "q276_session_stitch",
     ]
     import time as _time
 

@@ -30,6 +30,12 @@ HOT = [
     "q119_winnow_fingerprints",
     "q164_token_cooccurrence",
     "q172_source_overlap_matrix",
+    # r4: rolling-distinct fan-out, partial-Gram covariance, sweep-line
+    # coverage, incremental session stitch
+    "q262_rolling_active_users",
+    "q265_embedding_covariance",
+    "q274_interval_coverage",
+    "q276_session_stitch",
 ]
 
 
