@@ -12797,6 +12797,118 @@ def q276_session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q277 — EXACT distinct counting via bitmap aggregation (Spark 4
+# bitmap_construct_agg): user ids bucket into fixed 32 Kbit bitmaps, per
+# (group, bucket) partials OR together map-side, and the distinct count
+# is the sum of bitmap popcounts — the modern exact COUNT DISTINCT
+# rollup.  Unlike count(DISTINCT x) (which shuffles every distinct
+# VALUE), the shuffle here carries <= 4 KB per (group, bucket) cell no
+# matter how many rows hit it; unlike HLL (q60) the answer is exact.
+# The oracle is plain count(DISTINCT) — certifying the bitmap identity.
+# --------------------------------------------------------------------------
+@register(
+    "q277_bitmap_distinct",
+    """
+    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+           count(DISTINCT user_id) AS nd_users,
+           count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q277_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via bitmap partial aggregation
+    (see block comment); bit-position math is Spark built-in, popcounts
+    sum per group."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id)").alias("bp"),
+        )
+        .groupBy("event_type", "day", "bk")
+        .agg(
+            F.expr("bitmap_construct_agg(bp)").alias("bm"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+    )
+    return cells.groupBy("event_type", "day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("nd_users"),
+        F.sum("nr").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q278 — counting-sort percentiles: EXACT p50/p95/p99 per event type
+# without any global sort, exploiting the bounded integer domain (value
+# cents in [1, 49002]): one groupBy(cents) histogram, a cumulative count
+# over the (tiny) per-group histogram, and the percentile is the first
+# cents value whose cumulative count crosses ceil(p*n).  The scalable
+# exact-percentile pattern for bounded domains — q84's sketch handles
+# the unbounded case approximately; this is exact where the domain
+# allows.  The crossing rule is spelled out identically in the oracle
+# (no reliance on either engine's quantile built-in semantics).
+# --------------------------------------------------------------------------
+@register(
+    "q278_counting_percentiles",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    p AS (
+      SELECT event_type, q.p AS p,
+             min(cents) FILTER (cc >= CAST(ceil(q.p * n / 100.0) AS BIGINT)) AS v
+      FROM cum, (VALUES (50), (95), (99)) q(p)
+      GROUP BY event_type, q.p)
+    SELECT event_type,
+           CAST(max(CASE WHEN p = 50 THEN v END) AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN p = 95 THEN v END) AS BIGINT) AS p95_cents,
+           CAST(max(CASE WHEN p = 99 THEN v END) AS BIGINT) AS p99_cents
+    FROM p GROUP BY event_type
+    """,
+)
+def q278_counting_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles from the cents histogram: crossing rule
+    cc >= ceil(p*n/100), minimal crossing value wins — mirrored
+    literally in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall_ = Window.partitionBy("event_type")
+    cum = h.withColumn("cc", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall_)
+    )
+    ps = spark.createDataFrame([(50,), (95,), (99,)], "p int")
+    crossed = cum.crossJoin(F.broadcast(ps)).filter(
+        F.col("cc")
+        >= F.ceil(F.col("p") * F.col("n") / F.lit(100.0)).cast("bigint")
+    )
+    p = crossed.groupBy("event_type", "p").agg(F.min("cents").alias("v"))
+    return p.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 50, F.col("v"))).alias("p50_cents"),
+        F.max(F.when(F.col("p") == 95, F.col("v"))).alias("p95_cents"),
+        F.max(F.when(F.col("p") == 99, F.col("v"))).alias("p99_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
