@@ -12909,6 +12909,164 @@ def q278_counting_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q279 — join-size estimation from MCV statistics (the ANALYZE /
+# cost-based-optimizer computation): self-join cardinality on l_partkey
+# is sum f(k)^2; the estimator keeps the top-20 most-common values exact
+# and assumes a uniform tail (n_tail^2 / d_tail) — exactly the
+# MCV-plus-uniform model planners use.  The query emits the true size,
+# the estimate, and the relative error, all from ONE frequency aggregate
+# over the key — the statistics collection itself is the demonstrated
+# scale pattern (never materialize the join to size it).
+# --------------------------------------------------------------------------
+@register(
+    "q279_join_size_estimate",
+    """
+    WITH f AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn FROM f),
+    exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM f),
+    mcv AS (SELECT CAST(sum(c * c) AS BIGINT) AS mcv_pairs FROM ranked WHERE rn <= 20),
+    tail AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_tail, CAST(sum(c) AS BIGINT) AS n_tail
+      FROM ranked WHERE rn > 20)
+    SELECT exact.exact_pairs,
+           CAST(mcv.mcv_pairs
+                + CAST(floor(CAST(tail.n_tail AS DOUBLE) * CAST(tail.n_tail AS DOUBLE)
+                             / CAST(tail.d_tail AS DOUBLE)) AS BIGINT) AS BIGINT) AS est_pairs,
+           CAST(floor(abs(CAST(mcv.mcv_pairs
+                + CAST(floor(CAST(tail.n_tail AS DOUBLE) * CAST(tail.n_tail AS DOUBLE)
+                             / CAST(tail.d_tail AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                - CAST(exact.exact_pairs AS DOUBLE))
+                / CAST(exact.exact_pairs AS DOUBLE) * 1000000.0) AS BIGINT) AS rel_err_micro
+    FROM exact, mcv, tail
+    """,
+)
+def q279_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vs MCV-estimated self-join size on l_partkey (top-20 MCVs
+    exact, uniform tail); one frequency aggregate, no join ever runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy(F.col("c").desc(), "k")
+    ranked = f.withColumn("rn", F.row_number().over(wr))
+    exact = ranked.agg(F.sum(F.col("c") * F.col("c")).alias("exact_pairs"))
+    mcv = ranked.filter(F.col("rn") <= 20).agg(
+        F.sum(F.col("c") * F.col("c")).alias("mcv_pairs")
+    )
+    tail = ranked.filter(F.col("rn") > 20).agg(
+        F.count(F.lit(1)).alias("d_tail"), F.sum("c").alias("n_tail")
+    )
+    j = exact.crossJoin(F.broadcast(mcv)).crossJoin(F.broadcast(tail))
+    tail_est = F.floor(
+        F.col("n_tail").cast("double")
+        * F.col("n_tail").cast("double")
+        / F.col("d_tail").cast("double")
+    ).cast("bigint")
+    est = (F.col("mcv_pairs") + tail_est).cast("bigint")
+    rel = F.floor(
+        F.abs(est.cast("double") - F.col("exact_pairs").cast("double"))
+        / F.col("exact_pairs").cast("double")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return j.select(
+        F.col("exact_pairs"),
+        est.alias("est_pairs"),
+        rel.alias("rel_err_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q280 — a-priori frequent TRIPLES: candidate (a,b,c) triples are only
+# enumerated when all three sub-pairs are frequent (the downward-closure
+# prune) — the level-3 step of association mining above q128's pairs.
+# The basket self-join is bounded by basket size as in q128; the three
+# broadcast semi-joins against the frequent-pair set kill candidates
+# BEFORE the triple count, which is what keeps level-3 tractable on
+# dense corpora.
+# --------------------------------------------------------------------------
+@register(
+    "q280_frequent_triples",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 20 AS item FROM lineitem),
+    nb AS (SELECT CAST(ceil(count(DISTINCT o) * 0.0333) AS BIGINT) AS pair_min,
+                  CAST(ceil(count(DISTINCT o) * 0.007) AS BIGINT) AS triple_min
+           FROM b),
+    fp AS (
+      SELECT a.item AS x, c.item AS y
+      FROM b a JOIN b c ON a.o = c.o AND a.item < c.item
+      GROUP BY 1, 2 HAVING count(*) >= (SELECT pair_min FROM nb)),
+    t AS (
+      SELECT a.item AS x, c.item AS y, d.item AS z, count(*) AS support
+      FROM b a JOIN b c ON a.o = c.o AND a.item < c.item
+               JOIN b d ON a.o = d.o AND c.item < d.item
+               JOIN fp p1 ON p1.x = a.item AND p1.y = c.item
+               JOIN fp p2 ON p2.x = a.item AND p2.y = d.item
+               JOIN fp p3 ON p3.x = c.item AND p3.y = d.item
+      GROUP BY 1, 2, 3)
+    SELECT x, y, z, CAST(support AS BIGINT) AS support
+    FROM t WHERE support >= (SELECT triple_min FROM nb)
+    """,
+)
+def q280_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item triples (relative support: pairs >= 3.33 % of
+    baskets, triples >= 0.7 % — scale-proportional, so the thresholds
+    stay meaningful at any sf) with full downward-closure pruning; at
+    sf0.01 the stages prune 190 pairs -> 68 frequent, 82 closure-
+    surviving candidate triples -> 19 frequent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), (F.col("l_partkey") % 20).alias("item")
+    ).distinct()
+    nb = b.agg(
+        F.ceil(F.countDistinct("o") * F.lit(0.0333)).cast("bigint").alias("pair_min"),
+        F.ceil(F.countDistinct("o") * F.lit(0.007)).cast("bigint").alias("triple_min"),
+    )
+    a, c, d = b.alias("a"), b.alias("c"), b.alias("d")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.item") < F.col("c.item")))
+        .groupBy(F.col("a.item").alias("x"), F.col("c.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    fp = (
+        pairs.crossJoin(F.broadcast(nb))
+        .filter(F.col("pc") >= F.col("pair_min"))
+        .select("x", "y")
+    )
+    triples = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.item") < F.col("c.item")))
+        .join(d, (F.col("a.o") == F.col("d.o")) & (F.col("c.item") < F.col("d.item")))
+        .select(
+            F.col("a.item").alias("x"),
+            F.col("c.item").alias("y"),
+            F.col("d.item").alias("z"),
+        )
+    )
+    # three downward-closure semi-joins (broadcast — the frequent-pair
+    # set is tiny by construction)
+    t = (
+        triples.join(F.broadcast(fp), ["x", "y"], "left_semi")
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("x"), F.col("y").alias("z"))),
+            ["x", "z"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("y"), F.col("y").alias("z"))),
+            ["y", "z"],
+            "left_semi",
+        )
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        t.crossJoin(F.broadcast(nb))
+        .filter(F.col("support") >= F.col("triple_min"))
+        .select("x", "y", "z", F.col("support").cast("bigint").alias("support"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
