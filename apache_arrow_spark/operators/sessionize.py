@@ -162,3 +162,45 @@ def stitch_sessions(
         F.col("__end").alias("end"),
         F.col("__n").cast("bigint").alias("n_events"),
     )
+
+
+def debounce(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    min_gap: int,
+) -> DataFrame:
+    """Keep an entity's event only if it is at least ``min_gap`` after the
+    last KEPT event — true debounce/throttle semantics.
+
+    This is NOT expressible with lag(): whether an event is kept depends
+    on which earlier events were kept (a dropped event must not reset
+    the window), a sequential recurrence.  It runs as a per-entity
+    Arrow-batched walk in ``applyInPandas`` — the custom-stateful-batch
+    escape hatch the brief reserves for operators the built-ins
+    genuinely can't express; entities parallelize, the walk is O(n) per
+    entity after the in-group sort.  The declarative twin (a recursive
+    CTE stepping from each kept event to the next candidate) is the
+    oracle in q282.
+
+    Returns the kept (entity, ts) rows."""
+    import pandas as pd
+
+    gap = int(min_gap)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[ts_col].sort_values().to_numpy()
+        kept = []
+        last = None
+        for t in ts:
+            if last is None or t - last > gap:
+                kept.append(t)
+                last = t
+        return pd.DataFrame({entity_col: pdf[entity_col].iloc[0], ts_col: kept})
+
+    out_schema = f"{entity_col} long, {ts_col} long"
+    return (
+        df.select(entity_col, ts_col)
+        .groupBy(entity_col)
+        .applyInPandas(walk, out_schema)
+    )

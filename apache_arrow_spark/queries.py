@@ -13067,6 +13067,85 @@ def q280_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q281 — behavioral bitmask cohorts: each (user, day) compresses its set
+# of event types into one int via bit_or(1 << type_idx) — the behavioral
+# fingerprint — and the report is the distribution over fingerprints.
+# bit_or is combinable, so the whole cohort census is one aggregate at
+# any corpus size; bit_count recovers the set size for free.
+# --------------------------------------------------------------------------
+@register(
+    "q281_behavior_bitmask",
+    """
+    WITH m AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             bit_or(1 << CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                         WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END) AS mask
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(mask AS BIGINT) AS mask,
+           CAST(bit_count(CAST(mask AS BIGINT)) AS INT) AS n_types,
+           count(*) AS n_user_days
+    FROM m GROUP BY mask
+    """,
+)
+def q281_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of per-(user, day) event-type fingerprints (bitmasks);
+    one combinable bit_or aggregate + a tiny rollup over <= 31 masks."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id", F.expr("ts div 86400000000000").alias("day")).agg(
+        F.expr("bit_or(shiftleft(1, CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END))").alias("mask")
+    )
+    return m.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_user_days")
+    ).select(
+        F.col("mask").cast("bigint").alias("mask"),
+        F.bit_count(F.col("mask")).cast("int").alias("n_types"),
+        "n_user_days",
+    )
+
+
+# --------------------------------------------------------------------------
+# q282 — true debounce (sessionize.debounce): keep an event only if it is
+# > 24 h after the last KEPT event.  A lag() filter gets this WRONG — a
+# dropped event must not reset the window, so keep-decisions depend on
+# earlier keep-decisions (sequential recurrence).  The engine runs the
+# per-user walk in applyInPandas (the sanctioned custom-stateful path);
+# the ORACLE is a recursive CTE stepping kept -> next event beyond the
+# window — imperative recurrence certified against declarative
+# recursion, like q269.  test_stitch proves the lag-naive answer
+# actually differs on this data.
+# --------------------------------------------------------------------------
+_DEBOUNCE_NS = 24 * 3600 * 10**9
+
+
+@register(
+    "q282_debounce",
+    f"""
+    WITH RECURSIVE ev AS (SELECT user_id AS k, epoch_ns(ts) AS t FROM events),
+    walk(k, t) AS (
+      SELECT k, min(t) FROM ev GROUP BY k
+      UNION ALL
+      SELECT w.k, (SELECT min(e.t) FROM ev e WHERE e.k = w.k AND e.t > w.t + {_DEBOUNCE_NS})
+      FROM walk w
+      WHERE (SELECT min(e.t) FROM ev e WHERE e.k = w.k AND e.t > w.t + {_DEBOUNCE_NS}) IS NOT NULL)
+    SELECT k AS user_id, count(*) AS n_kept,
+           CAST(sum(t // 1000000000) AS BIGINT) AS kept_s_sum
+    FROM walk GROUP BY k
+    """,
+)
+def q282_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count and second-sum checksum of debounced (24 h) event
+    times; see block comment for why this is sequential by nature."""
+    from apache_arrow_spark.operators.sessionize import debounce
+
+    e = load_table(spark, sf_dir, "events")
+    kept = debounce(e.select("user_id", "ts"), "user_id", "ts", _DEBOUNCE_NS)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.expr("ts div 1000000000")).alias("kept_s_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in

@@ -38,3 +38,32 @@ def test_stitch_matches_full_recompute(spark):
     assert g == w
     # the merge actually happened: user 1 has a session spanning 95..102
     assert (1, 95, 102, 2) in g
+
+
+def test_debounce_is_not_lag_expressible(spark):
+    """On real data the debounce answer must differ from the naive
+    lag-gap filter (which wrongly lets a dropped event reset the
+    window) — proving the sequential recurrence is load-bearing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_arrow_spark.operators.sessionize import debounce
+    from apache_arrow_spark.session import load_table
+
+    gap = 24 * 3600 * 10**9
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    kept = debounce(e, "user_id", "ts", gap)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    naive = e.withColumn("prev", F.lag("ts").over(w)).filter(
+        F.col("prev").isNull() | (F.col("ts") - F.col("prev") > gap)
+    )
+    nk, nn, ne = kept.count(), naive.count(), e.count()
+    assert 0 < nk < ne          # it actually drops something
+    assert nk != nn             # and lag() gets a different (wrong) answer
+
+    # tiny hand case: chain 0, 10, 20 with gap 15 -> keep 0 and 20;
+    # lag-naive keeps only 0 (both gaps of 10 look "recent")
+    df = spark.createDataFrame([(1, 0), (1, 10), (1, 20)], "user_id long, ts long")
+    assert sorted(r["ts"] for r in debounce(df, "user_id", "ts", 15).collect()) == [0, 20]
