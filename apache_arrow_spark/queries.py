@@ -13364,6 +13364,165 @@ def q285_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q286 — ingest-batch novelty: per arrival batch, the share of its
+# distinct 9-grams never seen in ANY earlier batch — the corpus-
+# freshness monitor that catches a pipeline re-ingesting old content
+# (novelty collapses) or a domain shift (novelty spikes).  First-seen =
+# one min-aggregate per gram; batches never pairwise compare.  Gram
+# cells use the q143 positional-explode form (per-row array_distinct is
+# quadratic on long docs).
+# --------------------------------------------------------------------------
+@register(
+    "q286_batch_novelty",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT doc_id // 50 AS batch, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length({_SQL_NORM}) - 7, 1)),
+                      i -> substr({_SQL_NORM}, CAST(i AS INT), 9))) AS gram
+        FROM documents)
+      WHERE length(gram) = 9),
+    first AS (
+      SELECT gram, CAST(min(batch) AS BIGINT) AS first_batch FROM cells GROUP BY gram),
+    per AS (
+      SELECT c.batch, count(*) AS n_grams,
+             CAST(sum(CASE WHEN f.first_batch = c.batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM cells c JOIN first f ON f.gram = c.gram
+      GROUP BY c.batch)
+    SELECT CAST(batch AS BIGINT) AS batch, n_grams, n_new,
+           CAST(floor(CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE) * 1000000.0) AS BIGINT) AS novelty_micro
+    FROM per
+    """,
+)
+def q286_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-gram novelty share per ingest batch (doc_id div 50);
+    see block comment."""
+    from apache_arrow_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    k = 9
+    cells = (
+        d.select(
+            F.expr("doc_id div 50").alias("batch"), normalize_text(F.col("text")).alias("t")
+        )
+        .filter(F.length("t") >= k)
+        .select(
+            "batch",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))).alias("pos"),
+        )
+        .select("batch", F.col("t").substr(F.col("pos"), F.lit(k)).alias("gram"))
+        .distinct()
+    )
+    first = cells.groupBy("gram").agg(F.min("batch").alias("first_batch"))
+    per = (
+        cells.join(first, "gram")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return per.select(
+        F.col("batch").cast("bigint").alias("batch"),
+        "n_grams",
+        "n_new",
+        F.floor(
+            F.col("n_new").cast("double") / F.col("n_grams").cast("double") * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("novelty_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q287 — c-TF-IDF cluster labeling (the BERTopic step): top-5 terms per
+# embedding-cluster label by class-based lift — term share within the
+# cluster vs share in the corpus, floor-quantized (monotone in c-TF-IDF,
+# engine-exact; the q164 no-transcendental discipline).  One token
+# explode -> two combinable aggregates -> broadcast corpus stats; the
+# per-label rank runs on the (label x vocab)-sized score table.
+# --------------------------------------------------------------------------
+@register(
+    "q287_ctfidf_cluster_terms",
+    """
+    WITH tok AS (
+      SELECT e.label, t.term
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents) t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+      WHERE t.term <> ''),
+    lt AS (
+      SELECT label, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    ln_ AS (SELECT label, CAST(sum(tf) AS BIGINT) AS n_label FROM lt GROUP BY label),
+    gt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_global FROM lt GROUP BY term),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM lt),
+    score AS (
+      SELECT lt.label, lt.term,
+             CAST(floor(CAST(lt.tf AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+                   / (CAST(gt.tf_global AS DOUBLE) * CAST(ln_.n_label AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS lift_micro
+      FROM lt JOIN ln_ ON ln_.label = lt.label
+              JOIN gt ON gt.term = lt.term, n),
+    r AS (
+      SELECT label, term, lift_micro,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY lift_micro DESC, term) AS rn
+      FROM score)
+    SELECT label, CAST(rn AS INT) AS rn, term, lift_micro
+    FROM r WHERE rn <= 5
+    """,
+)
+def q287_ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 lift terms per embedding-cluster label (c-TF-IDF analog,
+    quantized lift instead of the log form — same ranking, engine-exact);
+    see block comment."""
+    from apache_arrow_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .join(e, "doc_id")
+    )
+    lt = tok.groupBy("label", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ln_ = lt.groupBy("label").agg(F.sum("tf").alias("n_label"))
+    gt = lt.groupBy("term").agg(F.sum("tf").alias("tf_global"))
+    n = lt.agg(F.sum("tf").alias("n_total"))
+    score = (
+        lt.join(F.broadcast(ln_), "label")
+        .join(F.broadcast(gt), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            "term",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.col("n_total").cast("double")
+                / (
+                    F.col("tf_global").cast("double")
+                    * F.col("n_label").cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    wr = Window.partitionBy("label").orderBy(F.col("lift_micro").desc(), "term")
+    return (
+        score.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("label", F.col("rn").cast("int").alias("rn"), "term", "lift_micro")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
