@@ -111,6 +111,10 @@ HEADLINE = [
     "q265_embedding_covariance",
     "q266_local_supplier_volume",
     "q267_grid_radius_join",
+    # round 4c: incremental sessionize (stitch == recompute) and the
+    # applyInPandas sequential debounce — the stateful-batch cost points
+    "q276_session_stitch",
+    "q282_debounce",
 ]
 
 
