@@ -13583,6 +13583,74 @@ def q288_quality_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q289 — exact two-sample Kolmogorov-Smirnov statistic: the
+# distribution-equality test between click and view payment values —
+# the continuous-distribution drift check next to PSI's binned (q257)
+# and chi-square's categorical (q125) tests.  INTEGER-EXACT: the KS
+# distance D = max |F1 - F2| is emitted as its scaled numerator
+# max |cum1*n2 - cum2*n1| (an integer — no ECDF division ever happens);
+# the cumulative runs over the bounded cents-histogram table (domain-
+# sized, <= 49k rows — the q278 counting-sort discipline), never over
+# raw rows.
+# --------------------------------------------------------------------------
+@register(
+    "q289_ks_drift",
+    """
+    WITH h AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM h)
+    SELECT n.n1, n.n2,
+           CAST(max(abs(cum.cum1 * n.n2 - cum.cum2 * n.n1)) AS BIGINT) AS ks_num
+    FROM cum, n GROUP BY n.n1, n.n2
+    """,
+)
+def q289_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled-integer KS distance between click and view value
+    distributions (D = ks_num / (n1*n2)); cumulative over the bounded
+    cents histogram.  The histogram-table window is domain-bounded
+    (documented driver-budget); at wider domains range-shard it with
+    pipeline.global_running_sum."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    n = h.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        F.sum("c1").over(wcum).alias("cum1"), F.sum("c2").over(wcum).alias("cum2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("ks_num")
+        )
+        .select("n1", "n2", "ks_num")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
 # the never-driver-graded rotation stock (q145-q253, registered late in
