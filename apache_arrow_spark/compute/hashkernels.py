@@ -69,6 +69,81 @@ def dictionary(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def is_in(df: DataFrame, column: str, members) -> DataFrame:
+    """IsIn kernel: per-row boolean ``<col>_isin`` — membership of the
+    column value in ``members`` (reference hash.h:94-96, a TODO upstream
+    like value_counts; implemented here).
+
+    ``members`` is either a Python sequence (lowered to the codegen
+    ``Column.isin`` literal set — stays inside WholeStageCodegen, no
+    shuffle, pushes down) or a one-column DataFrame (lowered to a
+    broadcast LEFT join against the distinct member set — the fact side
+    never shuffles, so the recipe holds at any corpus size as long as
+    the member set is broadcast-sized).  NULL values follow Arrow set
+    semantics: a NULL value is not a member (false), matching the SQL
+    semi-join recipe rather than SQL IN's three-valued NULL.
+    """
+    if isinstance(members, DataFrame):
+        mcol = members.columns[0]
+        mset = (
+            members.select(F.col(mcol).alias(column))
+            .dropna()
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        return (
+            df.join(F.broadcast(mset), on=column, how="left")
+            .withColumn(f"{column}_isin", F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit")
+        )
+    vals = [v for v in members if v is not None]
+    hit = F.col(column).isin(*vals) if vals else F.lit(False)
+    return df.withColumn(
+        f"{column}_isin", F.coalesce(hit, F.lit(False))
+    )
+
+
+def match(df: DataFrame, column: str, members) -> DataFrame:
+    """Match kernel: per-row index of the value in ``members`` (NULL when
+    absent) — reference hash.h:89-92, the other TODO-upstream hash
+    kernel.  Like ``dictionary_encode`` against a PRIOR dictionary: the
+    member set's first-appearance order defines the indices.
+
+    ``members`` is a Python sequence (index = position of first
+    occurrence) or a one-column DataFrame carrying a ``__pos`` ordinal
+    (index = rank of first appearance, as in :func:`dictionary`).  The
+    lookup is a broadcast join — member sets are dictionary-sized by
+    contract, the fact side never shuffles."""
+    if isinstance(members, DataFrame):
+        mcol = next(c for c in members.columns if c != POS)
+        firsts = _ordinal(members).groupBy(F.col(mcol).alias(column)).agg(
+            F.min(POS).alias("__first")
+        )
+        w = Window.orderBy("__first")
+        lookup = firsts.select(
+            column, (F.row_number().over(w) - F.lit(1)).cast("int").alias(f"{column}_match")
+        )
+    else:
+        seen: dict = {}
+        for v in members:
+            if v is not None and v not in seen:
+                seen[v] = len(seen)
+        spark = df.sparkSession
+        field = df.schema[column]
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        lookup = spark.createDataFrame(
+            [(k, i) for k, i in seen.items()],
+            StructType(
+                [
+                    StructField(column, field.dataType),
+                    StructField(f"{column}_match", IntegerType()),
+                ]
+            ),
+        )
+    return df.join(F.broadcast(lookup), on=column, how="left")
+
+
 def dictionary_encode(df: DataFrame, column: str) -> DataFrame:
     """Rows -> (index into dictionary) codes; returns df with ``<col>_index``.
     Broadcast-joins the small dictionary back to the big table — no shuffle

@@ -649,10 +649,15 @@ def greedy_coverage_select(
     Returns [(doc_id, marginal_gain, covered_total), ...] in pick order.
 
     Scale shape per round: the corpus's distinct (doc, term) cells are
-    computed ONCE and persisted; each round is one broadcast anti-join
-    against the covered-term set (selection-size bounded, tiny) plus a
-    combinable count and ONE driver row.  n_select rounds = n_select
-    cheap aggregate passes over the cell table, never the text."""
+    computed ONCE and persisted; the covered-term set lives as a persisted
+    DataFrame on the executors (union of the winners' live terms, one
+    materializing count per round — NEVER collected to the driver or
+    re-shipped via createDataFrame), and each round is one anti-join
+    against it plus a combinable count.  The only driver traffic is ONE
+    row per round (winner id + gain); covered_total is the running sum of
+    gains, so no term ever crosses the driver boundary.  n_select rounds
+    = n_select cheap aggregate passes over the cell table, never the
+    text."""
     from apache_arrow_spark.functions.text import tokens
 
     cells = (
@@ -661,14 +666,13 @@ def greedy_coverage_select(
         .persist()
     )
     cells.count()
-    covered: set[str] = set()
+    covered_df: DataFrame | None = None
+    covered_total = 0
     picks: list[tuple[int, int, int]] = []
-    spark = df.sparkSession
     for _ in range(n_select):
         live = cells
-        if covered:
-            cov_df = spark.createDataFrame([(t,) for t in sorted(covered)], "term string")
-            live = cells.join(F.broadcast(cov_df), "term", "left_anti")
+        if covered_df is not None:
+            live = cells.join(F.broadcast(covered_df), "term", "left_anti")
         best = (
             live.groupBy("id")
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -679,13 +683,22 @@ def greedy_coverage_select(
         if not best or best[0]["gain"] == 0:
             break
         wid, gain = int(best[0]["id"]), int(best[0]["gain"])
-        new_terms = {
-            r["term"]
-            for r in live.filter(F.col("id") == wid).select("term").collect()
-        }
-        covered |= new_terms
-        picks.append((wid, gain, len(covered)))
+        # the winner's LIVE terms are by construction disjoint from the
+        # covered set, so a plain union stays duplicate-free and
+        # covered_total advances by exactly `gain`
+        new_terms = live.filter(F.col("id") == wid).select("term")
+        nxt = (
+            new_terms if covered_df is None else covered_df.union(new_terms)
+        ).persist()
+        nxt.count()  # materialize before dropping the previous round's cache
+        if covered_df is not None:
+            covered_df.unpersist()
+        covered_df = nxt
+        covered_total += gain
+        picks.append((wid, gain, covered_total))
     cells.unpersist()
+    if covered_df is not None:
+        covered_df.unpersist()
     return picks
 
 
@@ -862,7 +875,11 @@ def grid_interpolate(
     ratio is computed on int64 DELTAS cast to double (deltas ≪ 2^53, so
     the cast is exact even when absolute epoch-nanos are not)."""
     k, t, v = F.col(key_col), F.col(time_col), F.col(value_col)
-    obs = df.select(
+    # Null-valued observations carry no value and must not act as bracket
+    # endpoints: __tp takes the time of any observation row while __vp takes
+    # the last non-null value, so a null observation would desynchronize the
+    # (tp, vp) pair and silently interpolate from mismatched rows.
+    obs = df.filter(v.isNotNull()).select(
         k.alias("__k"), t.cast("long").alias("__t"), v.cast("double").alias("__v"),
         F.lit(0).alias("__grid"),
     )

@@ -198,9 +198,13 @@ def debounce(
                 last = t
         return pd.DataFrame({entity_col: pdf[entity_col].iloc[0], ts_col: kept})
 
-    out_schema = f"{entity_col} long, {ts_col} long"
-    return (
-        df.select(entity_col, ts_col)
-        .groupBy(entity_col)
-        .applyInPandas(walk, out_schema)
+    narrowed = df.select(entity_col, ts_col)
+    # Derive the output schema from the input columns so non-int64 entity
+    # keys (string ids, int32, ...) pass through unchanged instead of
+    # failing or miscasting under a hardcoded "long, long" contract.
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [narrowed.schema[entity_col], narrowed.schema[ts_col]]
     )
+    return narrowed.groupBy(entity_col).applyInPandas(walk, out_schema)

@@ -151,6 +151,26 @@ class Not(Predicate):
         return ~self.child.to_column()
 
 
+class IsIn(Predicate):
+    """Set-membership predicate (reference hash.h:94-96 IsIn, a TODO
+    upstream).  Lowers to ``Column.isin`` over the literal member set —
+    a codegen In expression that Catalyst pushes into the Parquet scan
+    (``PushedFilters: [In(col, ...)]``), so the member test happens at
+    scan speed with row-group pruning.  NULL is never a member (Arrow
+    set semantics): under filter semantics SQL IN's NULL result drops
+    the row exactly like false, so the raw In expression is kept —
+    wrapping it in coalesce(.., false) would only block the pushdown."""
+
+    def __init__(self, value: Value, members):
+        self.value = value
+        self.members = [m for m in members if m is not None]
+
+    def to_column(self) -> Column:
+        if not self.members:
+            return F.lit(False)
+        return self.value.to_column().isin(*self.members)
+
+
 class CustomPredicate(Predicate):
     """User-function predicate (js/src/predicate.ts:225-240).
 
@@ -185,3 +205,7 @@ def lit(value) -> Literal:
 
 def custom(fn: Callable, columns: list[str]) -> CustomPredicate:
     return CustomPredicate(fn, columns)
+
+
+def isin(value, members) -> IsIn:
+    return IsIn(_wrap(value), members)

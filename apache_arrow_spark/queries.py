@@ -11700,7 +11700,7 @@ def q259_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "ivmB",
             )
-            < 5000
+            < 50000
         ).alias("is_delta"),
     )
     o_old, o_d = o.filter(~F.col("is_delta")), o.filter(F.col("is_delta"))
@@ -12119,9 +12119,12 @@ def q265_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constraint join — customer and supplier must sit in the SAME nation,
 # which makes it the classic join-ORDER test (the c_nationkey =
 # s_nationkey edge is only selective after both sides are bound).
-# Physical plan: region/nation/supplier/customer broadcast (dim-sized),
-# orders filtered by date BEFORE joining lineitem, one shuffle on
-# l_orderkey = o_orderkey — the only corpus-sized exchange.
+# Physical plan: region/nation broadcast (true dims), supplier broadcast
+# (holds to moderate SF; at extreme SF it shuffles too — AQE flips it),
+# customer SHUFFLE-joined (customer scales with SF: 150k rows/SF, so a
+# broadcast would OOM at cluster scale), orders filtered by date BEFORE
+# joining lineitem; corpus-sized exchanges are l_orderkey = o_orderkey
+# and o_custkey = c_custkey only.
 # --------------------------------------------------------------------------
 @register(
     "q266_local_supplier_volume",
@@ -12161,7 +12164,7 @@ def q266_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c_: F.col(c_).cast("decimal(18,4)")
     return (
         li.join(of, li["l_orderkey"] == of["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(dims),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -12223,8 +12226,10 @@ def q267_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detrended series, remainder = what's left.  All series values are
 # EXACT integer micro-cents; the only division that could split engines
 # (mean of possibly-NEGATIVE detrended values) goes through one double
-# division + floor, which is bit-identical — integer `div` would not be
-# (Spark div truncates toward zero, DuckDB // floors).  The day series
+# division + floor, which is bit-identical.  The trend divisions use
+# Spark `div` vs DuckDB BIGINT `//` — MEASURED identical (both truncate
+# toward zero: -7 div 2 = -7//2 = -3; DuckDB floors only FLOAT `//`),
+# so trend_u stays engine-exact for any sign of s7.  The day series
 # is driver-budget here; in production the same three windows run
 # PARTITIONed by series key (one series per metric), embarrassingly
 # parallel.
@@ -13651,13 +13656,62 @@ def q289_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q290 — IsIn + Match hash kernels (reference hash.h:89-101, the two
+# kernels wesm left as "TODO: Implement these next", same status as
+# value_counts which q10 closed).  IsIn over a DataFrame member set
+# lowers to a broadcast LEFT join (fact side never shuffles); Match over
+# a literal member list lowers to a broadcast (value -> first-appearance
+# index) lookup.  Output is the (membership, match-index) contingency
+# table — every kernel path contributes to the grade.
+# --------------------------------------------------------------------------
+@register(
+    "q290_isin_match",
+    """
+    SELECT CAST(o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING') AS INT) AS cust_building,
+           CAST(COALESCE(CASE o_orderpriority
+                           WHEN '1-URGENT' THEN 0
+                           WHEN '2-HIGH' THEN 1
+                           WHEN '3-MEDIUM' THEN 2
+                         END, -1) AS BIGINT) AS prio_match,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q290_isin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency of orders by (customer-in-BUILDING membership, order
+    priority match index vs the first-appearance member list).  IsIn =
+    broadcast semi-join recipe; Match = broadcast index lookup; -1
+    marks an unmatched priority (the kernel's NULL, pinned for a
+    hash-stable grade)."""
+    from apache_arrow_spark.compute.hashkernels import is_in, match
+
+    members = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    flagged = match(
+        is_in(o, "o_custkey", members),
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    )
+    return flagged.groupBy(
+        F.col("o_custkey_isin").cast("int").alias("cust_building"),
+        F.coalesce(F.col("o_orderpriority_match"), F.lit(-1))
+        .cast("bigint")
+        .alias("prio_match"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-4 window = q145-q194, the oldest 50 of
-# the never-driver-graded rotation stock (q145-q253, registered late in
-# round 3 after that round's window filled).  q195-q271 remain registered
-# directly after the window (slots 51+) and are round-5+ stock (q262-q271
-# added in round 4).  Everything
-# deferred below carries a green driver-grade row in CORRECTNESS_r01/r02/r03
+# first 50 registered queries.  Round-5 window = q195-q244, the oldest 50 of
+# the never-driver-graded rotation stock (q195-q289 after r4 graded
+# q145-q194).  Round-6 window plan: q245-q289 (45 remaining) plus any
+# genuinely-new r5 registrations — that empties the backlog.  Everything
+# deferred below carries a green driver-grade row in CORRECTNESS_r01-r04
 # (rows+schema+hash) and stays covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
@@ -13805,6 +13859,56 @@ _DEFERRED = [
     "q142_mad_outliers",
     "q143_containment_pairs",
     "q144_phrase_match",
+    "q145_ewma_smoothing",
+    "q146_scalar_quant_codebook",
+    "q147_skew_report",
+    "q148_hll_intersection",
+    "q149_bloom_join",
+    "q150_compaction",
+    "q151_scd2_history",
+    "q152_pit_lookup",
+    "q153_shipping_priority",
+    "q154_returned_items",
+    "q155_priority_lateness",
+    "q156_promo_revenue",
+    "q157_large_volume_orders",
+    "q158_forecast_revenue_change",
+    "q159_bucketed_join",
+    "q160_dedup_keep_best",
+    "q161_temperature_mixture",
+    "q162_rolling_zscore_anomalies",
+    "q163_salted_join",
+    "q164_token_cooccurrence",
+    "q165_ann_recall_eval",
+    "q166_table_checksum",
+    "q167_touch_attribution",
+    "q168_erasure_cascade",
+    "q169_incremental_agg_merge",
+    "q170_winsorized_mean",
+    "q171_ab_test_readout",
+    "q172_source_overlap_matrix",
+    "q173_revenue_share",
+    "q174_csv_roundtrip",
+    "q175_partition_pruned_scan",
+    "q176_dynamic_partition_pruning",
+    "q177_benford_audit",
+    "q178_daily_percentile_bands",
+    "q179_dataset_card",
+    "q180_user_journeys",
+    "q181_weighted_median",
+    "q182_budget_apportionment",
+    "q183_dup_cluster_histogram",
+    "q184_streaming_checksum",
+    "q185_ivf_recall_eval",
+    "q186_unpivot_metrics",
+    "q187_index_staleness",
+    "q188_rank_blend_selection",
+    "q189_pairwise_distance_moments",
+    "q190_grouping_sets",
+    "q191_except_all",
+    "q192_map_roundtrip",
+    "q193_json_expr_roundtrip",
+    "q194_sql_interface",
 ]
 def _qnum(name: str) -> int:
     return int(name[1 : name.index("_")])

@@ -59,3 +59,53 @@ def test_dictionary_matches_parquet_row_order(spark, sf_dir):
     first_flag = df.orderBy("__pos").first()["l_returnflag"]
     by_index = {r["index"]: r["value"] for r in d}
     assert by_index[0] == first_flag
+
+
+def test_is_in_literal_members(spark):
+    from apache_arrow_spark.compute.hashkernels import is_in
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, None), (3, "z")], "__pos bigint, v string"
+    )
+    got = {r["__pos"]: r["v_isin"] for r in is_in(df, "v", ["a", "b", None]).collect()}
+    # NULL is never a member (Arrow set semantics): null value -> False
+    assert got == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_is_in_dataframe_members_broadcast(spark):
+    from apache_arrow_spark.compute.hashkernels import is_in
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, None), (3, "z")], "__pos bigint, v string"
+    )
+    members = spark.createDataFrame([("a",), ("b",), ("a",), (None,)], "m string")
+    out = is_in(df, "v", members)
+    got = {r["__pos"]: r["v_isin"] for r in out.collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # fact side never shuffles
+
+
+def test_match_literal_first_appearance(spark):
+    from apache_arrow_spark.compute.hashkernels import match
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, None), (3, "z")], "__pos bigint, v string"
+    )
+    # first-appearance index order of the member list: b=0, a=1 (dup ignored)
+    got = {
+        r["__pos"]: r["v_match"]
+        for r in match(df, "v", ["b", "a", "b", None]).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: None, 3: None}
+
+
+def test_match_dataframe_members(spark):
+    from apache_arrow_spark.compute.hashkernels import match
+
+    df = spark.createDataFrame([(0, "a"), (1, "c")], "__pos bigint, v string")
+    members = spark.createDataFrame(
+        [(0, "c"), (1, "a"), (2, "c")], "__pos bigint, m string"
+    )
+    got = {r["__pos"]: r["v_match"] for r in match(df, "v", members).collect()}
+    assert got == {0: 1, 1: 0}

@@ -53,3 +53,24 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_quantity") >= 30)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30.0)]" in plan
+
+
+def test_isin_predicate(spark):
+    from apache_arrow_spark.predicates import isin
+
+    t = _t(spark)
+    assert t.filter(isin(col("tag"), ["a", "c"])).count() == 4
+    assert t.filter(isin(col("tag"), [])).count() == 0
+    # null member contributes nothing; null value is never a member
+    t2 = Table(spark.createDataFrame([("a",), (None,)], "tag string"))
+    assert t2.filter(isin(col("tag"), ["a", None])).count() == 1
+
+
+def test_isin_pushdown_reaches_scan(spark, sf_dir):
+    from apache_arrow_spark.predicates import isin
+    from apache_arrow_spark.table import Table
+
+    t = Table(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    df = t.filter(isin(col("o_orderpriority"), ["1-URGENT", "2-HIGH"])).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(o_orderpriority" in plan  # In filter pushed to the scan
