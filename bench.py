@@ -118,6 +118,24 @@ HEADLINE = [
 ]
 
 
+def _stage_shuffle_writes(spark) -> dict[int, int]:
+    """Per-stage shuffle WRITE bytes from the live AppStatusStore
+    (stageId -> bytes, attempts summed).  Shuffle volume is deterministic
+    for a fixed plan + data, so one reading per query gives a noise-free
+    regression metric next to the wall timings."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    store = sc._jsc.sc().statusStore()
+    empty = jvm.java.util.ArrayList()
+    darr = gw.new_array(gw.jvm.double, 0)
+    stages = store.stageList(empty, False, False, darr, empty)
+    out: dict[int, int] = {}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out[s.stageId()] = out.get(s.stageId(), 0) + s.shuffleWriteBytes()
+    return out
+
+
 def _anchor_topandas(spark) -> float:
     """Steady-state Arrow-path toPandas of 2^22 x (long, double) — the
     blog-anchored egress measurement.  Up to 6 reps, early-stop once a
@@ -263,10 +281,26 @@ def main():
         _cleanup()
         return elapsed
 
+    shuffle_bytes: dict[str, int] = {}
     reps_by_name: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(3):
         for name in names:
-            reps_by_name[name].append(_timed(name))
+            if _pass == 0:
+                # capture the query's shuffle-write volume once, from the
+                # stages its first timed rep creates (stage ids are
+                # monotone, so "new since the snapshot" is exactly this
+                # query's work; the brief 0.1 s wait lets the async status
+                # listener drain the last task-end events)
+                seen = _stage_shuffle_writes(spark)
+                last_id = max(seen) if seen else -1
+                reps_by_name[name].append(_timed(name))
+                time.sleep(0.1)
+                after = _stage_shuffle_writes(spark)
+                shuffle_bytes[name] = sum(
+                    v for k, v in after.items() if k > last_id
+                )
+            else:
+                reps_by_name[name].append(_timed(name))
     timings: dict[str, float] = {}
     for name in names:
         reps = reps_by_name[name]
@@ -321,6 +355,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle_bytes,
                 "sf": sf,
                 "baseline_anchors": {
                     "arrow_topandas_4194304_rows_sec": arrow_topandas,

@@ -309,6 +309,10 @@ def test_shuffle_bytes_scale_linearly(spark):
         # the asymmetric-containment probe join (rarest-15% prefix): the
         # most expensive headline query — guard its probe volume growth
         "q143_containment_pairs",
+        # r5: the exact PPJoin+ Jaccard pair join — the r4 digest-shuffle
+        # rewrite changed its plan, so its post-rewrite growth is guarded
+        # alongside q143's (alpha recorded in SCALE.md's r5 table)
+        "q140_ngram_jaccard_pairs",
         # r4: span-dedup repair — window digests + coverage explode must
         # stay linear at any duplicate density (the C4 claim)
         "q254_span_dedup",

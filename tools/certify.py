@@ -1,0 +1,126 @@
+"""Round-end certification in one command.
+
+Runs the three driver-facing gates in sequence and prints ONE JSON line
+suitable for PROGRESS.jsonl:
+
+  1. driver-contract simulation — vanilla SparkSession imports
+     ``__spark_entry__``; entry() rows, queries()/oracle_sql() parity,
+     and the first-50 grading window are checked;
+  2. full oracle sweep — every queries() entry vs its DuckDB oracle at
+     sf0.01 (tools/check_oracle.py in a subprocess);
+  3. pytest — the whole tests/ suite (skippable with --no-pytest for a
+     mid-session sweep);
+  4. bench — bench.py at sf0.1 with anchors (skippable with --no-bench).
+
+Usage: python tools/certify.py [--no-pytest] [--no-bench] [sf_dir]
+Exit 0 only if every gate ran green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _driver_contract() -> dict:
+    code = """
+import sys, json
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+rows = len(e.entry(spark).collect())
+qs, osql = e.queries(), e.oracle_sql()
+win = list(qs)[:50]
+print("CERTIFY " + json.dumps({
+    "entry_rows": rows,
+    "n_queries": len(qs),
+    "n_oracles": len(osql),
+    "oracle_orphans": [k for k in osql if k not in qs],
+    "window_first": win[0], "window_last": win[-1],
+}))
+""" % (REPO,)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, cwd="/tmp",
+    )
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("CERTIFY "):
+            d = json.loads(line[len("CERTIFY "):])
+            d["ok"] = d["entry_rows"] >= 0 and not d["oracle_orphans"]
+            return d
+    return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
+
+
+def _sweep(sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), sf_dir],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    tail = [l for l in out.stdout.splitlines() if " pass, " in l]
+    summary = tail[-1].strip() if tail else ""
+    fails = [l.strip() for l in out.stdout.splitlines() if l.strip().startswith("✗")]
+    return {
+        "ok": out.returncode == 0 and bool(summary),
+        "summary": summary,
+        "failures": fails[:20],
+    }
+
+
+def _pytest() -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    tail = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    return {"ok": out.returncode == 0, "summary": tail}
+
+
+def _bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            d = json.loads(line)
+            return {
+                "ok": out.returncode == 0,
+                "headline_sec": d.get("value"),
+                "n_queries": len(d.get("queries", {})),
+                "anchors": d.get("baseline_anchors"),
+            }
+    return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    t0 = time.time()
+    result: dict = {"ts": None, "kind": "certify"}
+
+    result["contract"] = _driver_contract()
+    result["sweep"] = _sweep(sf_dir)
+    if "--no-pytest" not in sys.argv:
+        result["pytest"] = _pytest()
+    if "--no-bench" not in sys.argv:
+        result["bench"] = _bench()
+
+    result["wall_s"] = round(time.time() - t0, 1)
+    result["ok"] = all(
+        v.get("ok") for k, v in result.items() if isinstance(v, dict)
+    )
+    result["ts"] = time.time()
+    print(json.dumps(result))
+    sys.exit(0 if result["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ HOT = [
     "q33_minhash_near_duplicates",
     "q97_importance_weights",
     "q119_winnow_fingerprints",
+    # r5: both exact set-similarity joins post digest-shuffle rewrite
+    "q140_ngram_jaccard_pairs",
+    "q143_containment_pairs",
     "q164_token_cooccurrence",
     "q172_source_overlap_matrix",
     # r4: rolling-distinct fan-out, partial-Gram covariance, sweep-line
