@@ -120,6 +120,93 @@ def write_clustered(
     )
 
 
+def row_group_metadata(path: str) -> list[dict]:
+    """Row-group manifest of a single parquet file: index, row count,
+    byte size, and per-column min/max statistics — the footer walk behind
+    ``ParquetFile.scan_contents`` / ``metadata.row_group(i)`` (reference
+    python/pyarrow/parquet.py:89,144).  Footer-only (no data pages read);
+    at 100 TB this is the split-planning step a scan does per file."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    out: list[dict] = []
+    for i in range(f.metadata.num_row_groups):
+        rg = f.metadata.row_group(i)
+        stats: dict[str, tuple] = {}
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                stats[col.path_in_schema] = (st.min, st.max)
+        out.append(
+            {
+                "index": i,
+                "num_rows": rg.num_rows,
+                "total_byte_size": rg.total_byte_size,
+                "stats": stats,
+            }
+        )
+    return out
+
+
+def prune_row_groups(path: str, column: str, lo=None, hi=None) -> list[int]:
+    """Row-group ids whose ``column`` min/max statistics can intersect
+    the closed interval [lo, hi] (either bound may be None).  Groups
+    without statistics are KEPT — pruning may only skip what the footer
+    proves empty.  This is predicate pushdown at row-group granularity:
+    the same skip Spark's parquet reader applies internally, exposed so
+    a row-group-granular read plans its task list from the footer."""
+    kept = []
+    for g in row_group_metadata(path):
+        st = g["stats"].get(column)
+        if st is None:
+            kept.append(g["index"])
+            continue
+        gmin, gmax = st
+        if (hi is not None and gmin > hi) or (lo is not None and gmax < lo):
+            continue
+        kept.append(g["index"])
+    return kept
+
+
+def read_row_groups(
+    spark: SparkSession,
+    path: str,
+    groups: Sequence[int],
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Distributed row-group-granular read of one parquet file
+    (``ParquetFile.read_row_group``, reference python/pyarrow/parquet.py:89):
+    the row-group ids become a tiny task-list DataFrame and each task
+    reads its groups via ``mapInArrow`` — the row group IS the split
+    unit, exactly how a columnar scan parallelizes, so this holds at any
+    file size without a driver-side read.  Column projection reads only
+    the selected column chunks (footer offsets, no full-row decode).
+
+    Note: the file's arrow types must map 1:1 onto Spark's parquet
+    schema (int/float/string/date — the common case); exotic types
+    (ns timestamps) follow the session's parquet reader rules."""
+    full = spark.read.parquet(path)
+    out_schema = full.select(*columns).schema if columns else full.schema
+    cols = list(columns) if columns else None
+    ids = [(int(g),) for g in groups]
+    gdf = spark.createDataFrame(ids, "rg int")
+    if ids:
+        gdf = gdf.repartition(len(ids), "rg")
+
+    def read_groups(batches):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        want = [fld.name for fld in f.schema_arrow] if cols is None else cols
+        for batch in batches:
+            for g in batch.column(0).to_pylist():
+                tbl = f.read_row_group(g, columns=cols).select(want)
+                yield from tbl.to_batches()
+
+    return gdf.mapInArrow(read_groups, out_schema)
+
+
 def compact_dataset(
     spark,
     in_path: str,

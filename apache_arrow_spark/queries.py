@@ -13706,11 +13706,99 @@ def q290_isin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q291 — row-group-granular parquet access (reference ParquetFile.
+# read_row_group / scan_contents, python/pyarrow/parquet.py:89,144 — the
+# one SURVEY row previously mapped to "Spark's whole-file scan" only).
+# The fixture writes lineitem's (orderkey, linenumber, quantity) sorted,
+# in EXACTLY ceil(n/6)-row row groups (pyarrow writer — deterministic
+# boundaries), so the oracle can replay the file's row-group geometry as
+# row_number() buckets.  The engine then plans its read from the FOOTER:
+# stats-prune to the groups whose l_orderkey min/max overlap [10%, 35%)
+# of the key range, read ONLY those groups distributed (one task per
+# group via mapInArrow), and aggregate.  groups_read < groups_total in
+# the output IS the pruning proof, graded against the oracle's own
+# bucket-stats computation.
+# --------------------------------------------------------------------------
+@register(
+    "q291_row_group_scan",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+             count(*) OVER () AS n,
+             max(l_orderkey) OVER () AS maxk
+      FROM lineitem),
+    b AS (
+      SELECT *, (rn - 1) // ((n + 5) // 6) AS g,
+             (maxk * 10) // 100 AS lo, (maxk * 35) // 100 AS hi
+      FROM src),
+    gs AS (
+      SELECT g, min(l_orderkey) AS gmin, max(l_orderkey) AS gmax,
+             any_value(lo) AS lo, any_value(hi) AS hi
+      FROM b GROUP BY g),
+    sel AS (SELECT g FROM gs WHERE gmin <= hi - 1 AND gmax >= lo)
+    SELECT CAST((SELECT count(*) FROM gs) AS INT) AS groups_total,
+           CAST((SELECT count(*) FROM sel) AS INT) AS groups_read,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(q) AS BIGINT) AS qty_sum
+    FROM b WHERE l_orderkey >= lo AND l_orderkey < hi
+    """,
+)
+def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-planned parquet scan: stats-prune row groups on l_orderkey,
+    read only the surviving groups (one task each), exact-filter and
+    aggregate.  The sorted fixture makes group stats tight, so the prune
+    skips ~4 of 6 groups — the write_clustered + pruning story at
+    row-group granularity."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_arrow_spark.io.parquet import prune_row_groups, read_row_groups
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n, maxk = li.agg(
+        F.count(F.lit(1)), F.max("l_orderkey")
+    ).collect()[0]
+    gsz = (int(n) + 5) // 6
+    lo, hi = int(maxk) * 10 // 100, int(maxk) * 35 // 100
+    scratch = f"/tmp/aas_q291_rg_{os.path.basename(sf_dir.rstrip('/'))}"
+    fpath = os.path.join(scratch, "lineitem_rg.parquet")
+    if not os.path.exists(fpath):
+        # fixture build: sorted copy with deterministic row-group geometry
+        # (pyarrow writer so boundaries are exactly ceil(n/6) rows; the
+        # 3-column collect is the documented fixture-builder exception)
+        os.makedirs(scratch, exist_ok=True)
+        pdf = (
+            li.select("l_orderkey", "l_linenumber", "l_quantity")
+            .orderBy("l_orderkey", "l_linenumber")
+            .toPandas()
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            fpath,
+            row_group_size=gsz,
+        )
+    kept = prune_row_groups(fpath, "l_orderkey", lo, hi - 1)
+    total = len(prune_row_groups(fpath, "l_orderkey"))
+    got = read_row_groups(spark, fpath, kept).filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+    )
+    return got.agg(
+        F.lit(total).cast("int").alias("groups_total"),
+        F.lit(len(kept)).cast("int").alias("groups_read"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-5 window = q195-q244, the oldest 50 of
 # the never-driver-graded rotation stock (q195-q289 after r4 graded
-# q145-q194).  Round-6 window plan: q245-q289 (45 remaining) plus any
-# genuinely-new r5 registrations — that empties the backlog.  Everything
+# q145-q194).  Round-6 window plan: q245-q291 (47 remaining incl. the two r5
+# registrations q290/q291) — that empties the backlog in one window.  Everything
 # deferred below carries a green driver-grade row in CORRECTNESS_r01-r04
 # (rows+schema+hash) and stays covered by pytest + tools/check_oracle.py.
 # --------------------------------------------------------------------------

@@ -453,3 +453,50 @@ def test_custom_datasource_write_commit_protocol(spark, tmp_path):
         F.col("id"), F.lit(0).cast("bigint").alias("g")
     ).write.format("aas_ipc").mode("overwrite").save(root)
     assert spark.read.format("aas_ipc").load(root).count() == 5
+
+
+def test_row_group_metadata_and_prune(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from apache_arrow_spark.io.parquet import (
+        prune_row_groups,
+        row_group_metadata,
+    )
+
+    pdf = pd.DataFrame({"k": range(100), "v": [i * 2 for i in range(100)]})
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path,
+                   row_group_size=25)
+    md = row_group_metadata(path)
+    assert [g["index"] for g in md] == [0, 1, 2, 3]
+    assert [g["num_rows"] for g in md] == [25, 25, 25, 25]
+    # sorted data -> tight stats -> exact interval pruning
+    assert md[1]["stats"]["k"] == (25, 49)
+    assert prune_row_groups(path, "k", 30, 40) == [1]
+    assert prune_row_groups(path, "k", 20, 30) == [0, 1]
+    assert prune_row_groups(path, "k", None, 10) == [0]
+    assert prune_row_groups(path, "k", 90, None) == [3]
+    assert prune_row_groups(path, "k") == [0, 1, 2, 3]
+
+
+def test_read_row_groups_distributed(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from apache_arrow_spark.io.parquet import read_row_groups
+
+    pdf = pd.DataFrame(
+        {"k": range(100), "v": [float(i) for i in range(100)],
+         "s": [f"r{i}" for i in range(100)]}
+    )
+    path = str(tmp_path / "rg2.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path,
+                   row_group_size=30)
+    # groups 1 and 3: rows 30-59 and 90-99
+    out = read_row_groups(spark, path, [1, 3]).orderBy("k").collect()
+    assert [r["k"] for r in out] == list(range(30, 60)) + list(range(90, 100))
+    assert out[0]["s"] == "r30" and out[-1]["v"] == 99.0
+    # column projection: only requested columns come back
+    proj = read_row_groups(spark, path, [0], columns=["v"])
+    assert proj.columns == ["v"] and proj.count() == 30
+    # empty selection reads nothing
+    assert read_row_groups(spark, path, []).count() == 0
