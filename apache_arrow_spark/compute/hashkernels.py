@@ -84,17 +84,22 @@ def is_in(df: DataFrame, column: str, members) -> DataFrame:
     semi-join recipe rather than SQL IN's three-valued NULL.
     """
     if isinstance(members, DataFrame):
-        mcol = members.columns[0]
+        if len(members.columns) != 1:
+            raise ValueError(
+                f"is_in member set must be a one-column DataFrame, got "
+                f"{members.columns}"
+            )
+        hit = "__isin_hit"
         mset = (
-            members.select(F.col(mcol).alias(column))
+            members.select(F.col(members.columns[0]).alias(column))
             .dropna()
             .distinct()
-            .withColumn("__hit", F.lit(True))
+            .withColumn(hit, F.lit(True))
         )
         return (
             df.join(F.broadcast(mset), on=column, how="left")
-            .withColumn(f"{column}_isin", F.coalesce(F.col("__hit"), F.lit(False)))
-            .drop("__hit")
+            .withColumn(f"{column}_isin", F.coalesce(F.col(hit), F.lit(False)))
+            .drop(hit)
         )
     vals = [v for v in members if v is not None]
     hit = F.col(column).isin(*vals) if vals else F.lit(False)
