@@ -125,11 +125,28 @@ class ArrowIPCDataSource(DataSource):
 def register_ipc_source(spark) -> None:
     """Idempotently register the connector on this session (and enable
     Python-source filter pushdown, off by default in Spark 4.1, so the
-    manifest-based shard skipping can engage)."""
+    manifest-based shard skipping can engage).
+
+    The module is also registered for cloudpickle BY-VALUE serialization:
+    Spark plans Python sources in separate helper processes (notably the
+    streaming source runner, ``python_streaming_source_runner.py``) whose
+    ``sys.path`` does not include ``addPyFile`` shipments — a by-REFERENCE
+    pickle of the DataSource class dies there with ModuleNotFoundError
+    whenever the driver's cwd is not the repo root.  By-value embeds the
+    class code in the pickle itself, making the connector self-contained
+    exactly like a user-submitted script."""
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static-conf session: pushFilters simply won't be called
+    try:
+        import sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference (repo-cwd only)
     spark.dataSource.register(ArrowIPCDataSource)
 
 

@@ -8981,7 +8981,7 @@ def q250_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       k -> [a[k], a[k+1]])) AS p) u
       WHERE len(a) >= 2)
     SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2
-    HAVING count(*) >= 100
+    HAVING count(*) >= 25
     """,
 )
 def q251_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9015,7 +9015,7 @@ def q251_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM aas_q251_docs d,
              LATERAL aas_word_pairs(d.text) p
         GROUP BY p.w1, p.w2
-        HAVING count(*) >= 100
+        HAVING count(*) >= 25
         """
     )
 
