@@ -12,7 +12,12 @@ suitable for PROGRESS.jsonl:
      mid-session sweep);
   4. bench — bench.py at sf0.1 with anchors (skippable with --no-bench).
 
-Usage: python tools/certify.py [--no-pytest] [--no-bench] [sf_dir]
+The contract sim also audits the graded window (first 50 queries) — or
+all queries with --vanilla-all — for run-and-nonzero-rows under the
+vanilla session from a non-repo cwd, the two conditions that caught the
+r5 connector-pickle and vacuity bugs.
+
+Usage: python tools/certify.py [--no-pytest] [--no-bench] [--vanilla-all] [sf_dir]
 Exit 0 only if every gate ran green.
 """
 
@@ -28,7 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _driver_contract() -> dict:
+def _driver_contract(sf_dir: str, audit_all: bool) -> dict:
+    """Vanilla-session sim run from a NON-repo cwd — the two conditions
+    that caught the r5 connector-pickle and vacuity bugs: the driver's
+    session has none of our confs, and its cwd puts nothing of ours on
+    helper processes' sys.path.  Every audited query must run AND return
+    rows (0 rows at the grade scale = a vacuous green in the hash
+    compare)."""
     code = """
 import sys, json
 sys.path.insert(0, %r)
@@ -39,22 +50,36 @@ import __spark_entry__ as e
 rows = len(e.entry(spark).collect())
 qs, osql = e.queries(), e.oracle_sql()
 win = list(qs)[:50]
+audit = list(qs) if %r else win
+bad = []
+for name in audit:
+    try:
+        if qs[name](spark, %r).count() == 0:
+            bad.append([name, "0 rows (vacuous)"])
+    except Exception as ex:
+        bad.append([name, type(ex).__name__ + ": " + str(ex)[:200]])
 print("CERTIFY " + json.dumps({
     "entry_rows": rows,
     "n_queries": len(qs),
     "n_oracles": len(osql),
     "oracle_orphans": [k for k in osql if k not in qs],
     "window_first": win[0], "window_last": win[-1],
+    "vanilla_audited": len(audit),
+    "vanilla_problems": bad,
 }))
-""" % (REPO,)
+""" % (REPO, audit_all, sf_dir)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=600, cwd="/tmp",
+        timeout=3600, cwd="/tmp",
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("CERTIFY "):
             d = json.loads(line[len("CERTIFY "):])
-            d["ok"] = d["entry_rows"] >= 0 and not d["oracle_orphans"]
+            d["ok"] = (
+                d["entry_rows"] >= 0
+                and not d["oracle_orphans"]
+                and not d["vanilla_problems"]
+            )
             return d
     return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
 
@@ -106,7 +131,7 @@ def main() -> None:
     t0 = time.time()
     result: dict = {"ts": None, "kind": "certify"}
 
-    result["contract"] = _driver_contract()
+    result["contract"] = _driver_contract(sf_dir, "--vanilla-all" in sys.argv)
     result["sweep"] = _sweep(sf_dir)
     if "--no-pytest" not in sys.argv:
         result["pytest"] = _pytest()
