@@ -215,13 +215,14 @@ def naive_bayes_confusion(
             (F.col("prior_q") + F.col("s")).alias("score"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("label").asc())
+    # argmax without a sort-window: min(struct(-score, label)) picks the
+    # max score with ties to the lexicographically FIRST label, and is a
+    # partial-aggregatable (map-side combinable) expression — at scale
+    # this drops the per-id Sort the row_number window would add
     pred = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "actual", F.col("label").alias("predicted"))
+        scored.groupBy("id", "actual")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), "label")).alias("__top"))
+        .select("id", "actual", F.col("__top.label").alias("predicted"))
     )
     out = pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
     # dedup.py convention: materialize the tiny (labels x labels) result,
