@@ -121,8 +121,15 @@ def match(df: DataFrame, column: str, members) -> DataFrame:
     contract, the fact side never shuffles."""
     if isinstance(members, DataFrame):
         mcol = next(c for c in members.columns if c != POS)
-        firsts = _ordinal(members).groupBy(F.col(mcol).alias(column)).agg(
-            F.min(POS).alias("__first")
+        # NULL members are skipped (as in the literal path): a NULL can
+        # never equi-join a fact row, so letting it consume a
+        # first-appearance slot would shift every later member's index
+        # relative to the sequence form of the same member set
+        firsts = (
+            _ordinal(members)
+            .filter(F.col(mcol).isNotNull())
+            .groupBy(F.col(mcol).alias(column))
+            .agg(F.min(POS).alias("__first"))
         )
         w = Window.orderBy("__first")
         lookup = firsts.select(

@@ -157,9 +157,13 @@ class IsIn(Predicate):
     a codegen In expression that Catalyst pushes into the Parquet scan
     (``PushedFilters: [In(col, ...)]``), so the member test happens at
     scan speed with row-group pruning.  NULL is never a member (Arrow
-    set semantics): under filter semantics SQL IN's NULL result drops
-    the row exactly like false, so the raw In expression is kept —
-    wrapping it in coalesce(.., false) would only block the pushdown."""
+    set semantics), and the result must be a DEFINITE boolean — not SQL
+    IN's three-valued NULL — or ``Not(IsIn(...))`` would silently drop
+    NULL rows (~NULL = NULL) instead of keeping them.  The lowering
+    ``In(col, ...) AND IsNotNull(col)`` achieves that without blocking
+    pushdown: NULL AND FALSE = FALSE collapses the NULL leg, and
+    Catalyst splits the conjunction so both predicates still reach
+    ``PushedFilters`` (a coalesce(.., false) wrapper would not)."""
 
     def __init__(self, value: Value, members):
         self.value = value
@@ -168,7 +172,8 @@ class IsIn(Predicate):
     def to_column(self) -> Column:
         if not self.members:
             return F.lit(False)
-        return self.value.to_column().isin(*self.members)
+        c = self.value.to_column()
+        return c.isin(*self.members) & c.isNotNull()
 
 
 class CustomPredicate(Predicate):

@@ -11909,7 +11909,12 @@ def q262_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q263_grid_interpolation",
     """
     WITH obs AS (
-      SELECT user_id AS k, epoch_ns(ts) AS t, value AS v, 0 AS g FROM events),
+      -- null-valued observations are dropped up front, mirroring
+      -- grid_interpolate's v.isNotNull() filter (pipeline.py): a NULL
+      -- observation must not desynchronize the (tp, vp) bracket nor
+      -- anchor a key's grid span
+      SELECT user_id AS k, epoch_ns(ts) AS t, value AS v, 0 AS g FROM events
+      WHERE value IS NOT NULL),
     span AS (
       SELECT k, (min(t) + 3599999999999) // 3600000000000 AS h0,
              max(t) // 3600000000000 AS h1
@@ -11942,10 +11947,12 @@ def q262_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q263_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly grid with linear interpolation from the bracketing
     observations, bracket gap capped at 6 h (no bridging outages, no
-    extrapolation).  The interpolation ratio is computed on int64 DELTAS
-    cast to double — exact below 2^53 even though absolute epoch-nanos
-    are not — and the oracle mirrors the expression shape operation for
-    operation, so v_micro is bit-identical across engines."""
+    extrapolation).  Null-valued observations are dropped before
+    bracketing on BOTH sides (engine filter / oracle WHERE).  The
+    interpolation ratio is computed on int64 DELTAS cast to double —
+    exact below 2^53 even though absolute epoch-nanos are not — and the
+    oracle mirrors the expression shape operation for operation, so
+    v_micro is bit-identical across engines."""
     from apache_arrow_spark.functions.pipeline import grid_interpolate
 
     e = load_table(spark, sf_dir, "events")
@@ -13764,24 +13771,32 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gsz = (int(n) + 5) // 6
     lo, hi = int(maxk) * 10 // 100, int(maxk) * 35 // 100
     scratch = f"/tmp/aas_q291_rg_{os.path.basename(sf_dir.rstrip('/'))}"
-    fpath = os.path.join(scratch, "lineitem_rg.parquet")
+    # the fixture name carries the CURRENT table geometry (row count +
+    # group size): regenerated testdata under the same sf dir gets a
+    # fresh fixture instead of silently reusing a stale one whose
+    # row-group boundaries no longer match the oracle's rn buckets
+    fpath = os.path.join(scratch, f"lineitem_rg_{int(n)}_{gsz}.parquet")
     if not os.path.exists(fpath):
         # fixture build: sorted copy with deterministic row-group geometry
         # (pyarrow writer so boundaries are exactly ceil(n/6) rows; the
-        # 3-column collect is the documented fixture-builder exception)
+        # 3-column collect is the documented fixture-builder exception).
+        # Written to a temp name + atomic rename so a crash mid-write
+        # can never leave a truncated file behind the exists() check.
         os.makedirs(scratch, exist_ok=True)
         pdf = (
             li.select("l_orderkey", "l_linenumber", "l_quantity")
             .orderBy("l_orderkey", "l_linenumber")
             .toPandas()
         )
+        tmp = fpath + f".tmp{os.getpid()}"
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
-            fpath,
+            tmp,
             row_group_size=gsz,
         )
+        os.replace(tmp, fpath)
     kept = prune_row_groups(fpath, "l_orderkey", lo, hi - 1)
-    total = len(prune_row_groups(fpath, "l_orderkey"))
+    total = pq.ParquetFile(fpath).metadata.num_row_groups
     got = read_row_groups(spark, fpath, kept).filter(
         (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
     )

@@ -283,6 +283,11 @@ def main():
 
     shuffle_bytes: dict[str, int] = {}
     reps_by_name: dict[str, list[float]] = {n: [] for n in names}
+    # drain the listener once before the FIRST snapshot: the warmup
+    # queries' task-end events may still be in flight, and counting their
+    # stages into the first query's window would pollute its attribution
+    # (later queries are covered by the 0.1 s wait inside the loop)
+    time.sleep(0.3)
     for _pass in range(3):
         for name in names:
             if _pass == 0:

@@ -109,3 +109,20 @@ def test_match_dataframe_members(spark):
     )
     got = {r["__pos"]: r["v_match"] for r in match(df, "v", members).collect()}
     assert got == {0: 1, 1: 0}
+
+
+def test_match_dataframe_null_member_consumes_no_slot(spark):
+    """A NULL member in the DataFrame form must not consume a
+    first-appearance index slot (it can never equi-join a fact row):
+    the index mapping must equal the literal form of the same set."""
+    from apache_arrow_spark.compute.hashkernels import match
+
+    df = spark.createDataFrame([(0, "a"), (1, "c")], "__pos bigint, v string")
+    members = spark.createDataFrame(
+        [(0, None), (1, "c"), (2, "a")], "__pos bigint, m string"
+    )
+    got = {r["__pos"]: r["v_match"] for r in match(df, "v", members).collect()}
+    lit = {
+        r["__pos"]: r["v_match"] for r in match(df, "v", [None, "c", "a"]).collect()
+    }
+    assert got == lit == {0: 1, 1: 0}

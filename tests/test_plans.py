@@ -577,10 +577,13 @@ def test_q266_q5_dims_broadcast(spark, sf_dir):
     p = plan_string(df, "simple")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
-    # the customer relation must not be hint-pinned to broadcast: at most
-    # the three true-dim broadcasts (supplier-dims chain) appear as hints
+    # the customer relation must not be hint-pinned to broadcast: EXACTLY
+    # the three true-dim broadcasts (supplier-dims chain) appear as hints.
+    # The equality keeps the guard live — if Spark ever renders hints
+    # differently, the count drops to 0 and the test fails loudly instead
+    # of going vacuous (<= would silently pass on a format change)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint (strategy=broadcast)") <= 3
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 3
 
 
 def test_q265_covariance_egress_is_partition_bounded(spark, sf_dir):

@@ -74,3 +74,16 @@ def test_isin_pushdown_reaches_scan(spark, sf_dir):
     df = t.filter(isin(col("o_orderpriority"), ["1-URGENT", "2-HIGH"])).df
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "In(o_orderpriority" in plan  # In filter pushed to the scan
+
+
+def test_isin_negation_keeps_null_rows(spark):
+    """Not(IsIn) must KEEP a NULL row: NULL is not a member, so NOT-member
+    is definitively true (Arrow set semantics).  The raw SQL In expression
+    would yield NULL here and ~NULL = NULL would drop the row — the
+    In(..) AND IsNotNull(..) lowering pins the definite-boolean contract."""
+    from apache_arrow_spark.predicates import Not, isin
+
+    t = Table(spark.createDataFrame([("a",), ("b",), (None,)], "tag string"))
+    kept = t.filter(Not(isin(col("tag"), ["a"]))).df
+    assert sorted(r["tag"] for r in kept.collect() if r["tag"] is not None) == ["b"]
+    assert kept.count() == 2  # 'b' AND the NULL row

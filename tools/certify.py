@@ -76,7 +76,7 @@ print("CERTIFY " + json.dumps({
         if line.startswith("CERTIFY "):
             d = json.loads(line[len("CERTIFY "):])
             d["ok"] = (
-                d["entry_rows"] >= 0
+                d["entry_rows"] > 0
                 and not d["oracle_orphans"]
                 and not d["vanilla_problems"]
             )
