@@ -797,11 +797,20 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     # gram cells via explode + lead: tokens() evaluates ONCE inside the
-    # generator; the n-gram is a window concat over (id, pos)
+    # generator; the n-gram is a window concat over (id, pos).  Raw docs
+    # are repartitioned by id FIRST (the minhash_signatures discipline):
+    # a single-row-group source is one scan split, which would serialize
+    # the regexp tokenize + posexplode on one core — and the id exchange
+    # doubles as the window's required partitioning, so the lead/concat
+    # stage adds NO further shuffle.
     wseq = Window.partitionBy("id").orderBy("pos")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w"),
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__raw"))
+        .repartition(_compute_parallelism(df), F.col("id"))
+        .select(
+            "id",
+            F.posexplode(tokens(normalize_text(F.col("__raw")))).alias("pos", "w"),
+        )
     )
     parts = [F.col("w")] + [F.lead("w", j).over(wseq) for j in range(1, n)]
     gram = F.concat_ws(" ", *parts)
@@ -906,7 +915,6 @@ def shingle_containment_pairs(
     """
     from pyspark.sql import Window
 
-    norm = normalize_text(F.col(text_col))
     # shingle cells WITHOUT building per-row arrays: explode character
     # positions and substring on the materialized attribute, deduping
     # distributed.  The array form (array_distinct over ~len substrings)
@@ -918,8 +926,17 @@ def shingle_containment_pairs(
     # only-shuffle discipline (collision odds at 64 bits are ~|grams|^2
     # / 2^65, ~1e-7 for a 3M-gram corpus, and the driver's value-hash
     # gate would surface one as a containment mismatch).
+    # repartition RAW docs by id BEFORE normalize + explode (the
+    # minhash_signatures discipline): a single-row-group source file is
+    # ONE scan split, and without the exchange the regexp normalize, the
+    # entire char-explode + substr + xxhash64, and the distinct map side
+    # all run in that one task (measured 4.3 s of an ~6.5 s call
+    # serialized on one core at sf0.1).  The exchange moves only
+    # (id, raw text) rows — ~1% of the exploded cell volume.
     cells = (
-        df.select(F.col(id_col).alias("id"), norm.alias("t"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__raw"))
+        .repartition(_compute_parallelism(df), F.col("id"))
+        .select("id", normalize_text(F.col("__raw")).alias("t"))
         .filter(F.length("t") >= k)
         .select(
             "id",

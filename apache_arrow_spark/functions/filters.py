@@ -149,6 +149,12 @@ def explode_word_ngrams(
     """
     from pyspark.ml.feature import NGram
 
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before the tokenize+window: a single-split source would
+    # otherwise run the whole gram stream (and the first aggregate's map
+    # side) in one task; identity when the source is already well-split
+    df = spread_compute(df)
     tk = df.select(*keep, tokens(F.col(text_col)).alias("__tk"))
     ng = NGram(n=n, inputCol="__tk", outputCol="__ng").transform(tk)
     return ng.select(*keep, F.explode("__ng").alias(out_col))

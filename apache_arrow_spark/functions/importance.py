@@ -164,8 +164,12 @@ def hashed_linear_score(
     Returns (id_col, n_tokens, score_micro, keep)."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
     from apache_arrow_spark.functions.text import token_count, tokens
+    from apache_arrow_spark.session import spread_compute
 
-    toks = df.select(
+    # spread before the explode: the scoring pass (tokenize + hash +
+    # broadcast join + partial sum) is narrow end-to-end, so a
+    # single-split source would serialize it all into one task
+    toks = spread_compute(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )

@@ -217,7 +217,15 @@ def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_gen, MEDIA_SCHEMA)
+    from apache_arrow_spark.session import spread_compute
+
+    # spread the id stream before the encode stage: a single-split source
+    # would serialize every payload synthesis (and a downstream parquet
+    # write of the media would produce ONE file, re-serializing the
+    # decode pass that reads it back); identity on well-split sources
+    return spread_compute(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
 
 
 def channel_stats(media_df: DataFrame) -> DataFrame:
@@ -386,7 +394,10 @@ def attach_real_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before the encode stage (see attach_real_media)
+    return spread_compute(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         _gen,
         "doc_id bigint, payload binary, media_type string, "
         "n_frames int, width int, height int",
@@ -552,7 +563,10 @@ def attach_real_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before the encode stage (see attach_real_media)
+    return spread_compute(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         _gen, "doc_id bigint, payload binary, media_type string, n_samples int"
     )
 

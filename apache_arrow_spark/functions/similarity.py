@@ -403,10 +403,20 @@ def knn_join_exact(
     path is :func:`knn_join_lsh`.  Returns (q_id, n_id, rank, sim)."""
     from pyspark.sql import Window
 
-    qq = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    from apache_arrow_spark.session import spread_compute
+
+    # broadcast the QUERY side explicitly: without the hint Spark may
+    # build on the (often byte-smaller) corpus side, which turns the
+    # query scan into the stream side — and then every |Q|·|C| cosine
+    # evaluates inside that single-split task (measured 0.7 s of a 1.0 s
+    # wall on one core).  With the query batch broadcast and the corpus
+    # spread, the cosines parallelize across the full corpus scan.
+    qq = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
     )
-    cc = corpus.select(
+    cc = spread_compute(corpus).select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     sim = F.round(cosine(F.col("qv"), F.col("nv")), ndigits)

@@ -3108,11 +3108,17 @@ def q101_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from apache_arrow_spark.functions.text import tokens
 
+    from apache_arrow_spark.session import spread_compute
+
     d = load_table(spark, sf_dir, "documents")
     # no persist: both consumers re-run the (cheap) explode — a returned
     # lazy DataFrame can't unpersist after itself, and leaked cache blocks
-    # cost more than one extra scan (the dedup.py lesson)
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    # cost more than one extra scan (the dedup.py lesson).  Spread before
+    # the explode: tokenize + CMS hashing + both partial aggregates are
+    # narrow, and a single-split source would serialize them on one task.
+    toks = spread_compute(d.select("text")).select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    )
     cells = count_min_cells(toks, "t", width=_CMS_W, depth=_CMS_D)
     top = (
         toks.groupBy("t")
@@ -3827,7 +3833,16 @@ def q119_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    hs = d.select("lang", gram_hashes(normalize_text(F.col("text")), 5).alias("hs"))
+    # spread the md5 gram stream + window-min array work across cores
+    # BEFORE the heavy projection: the single-row-group source is one
+    # scan split, and without this exchange the whole winnowing compute
+    # (and the map-side partial of the final aggregate) serializes on
+    # one task — measured 3.8 s of a 4.3 s wall at sf0.1.  The exchange
+    # moves raw (lang, text) rows only.
+    n_part = spark.sparkContext.defaultParallelism
+    hs = d.select("lang", "text").repartition(n_part).select(
+        "lang", gram_hashes(normalize_text(F.col("text")), 5).alias("hs")
+    )
     fps = hs.select("lang", F.explode(winnow_fingerprints(F.col("hs"), 4)).alias("fp"))
     return fps.groupBy("lang").agg(
         F.count(F.lit(1)).alias("total_fp"),
@@ -6609,8 +6624,11 @@ def q213_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites in ANSI SQL.  Output: per-doc exact char and BPE token
     counts and how many merges fired."""
     from apache_arrow_spark.functions.text import bpe_apply_merges
+    from apache_arrow_spark.session import spread_compute
 
-    d = load_table(spark, sf_dir, "documents")
+    # the merge-chain replaces are narrow per-row work — spread so a
+    # single-split source doesn't run the whole tokenizer on one core
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
     seq = bpe_apply_merges(F.col("text"))
     no_space = F.replace(seq, F.lit("( )"), F.lit(""))
     n_bpe = (

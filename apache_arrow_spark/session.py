@@ -15,6 +15,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -95,6 +96,36 @@ def _ship_package(spark: SparkSession) -> None:
     except Exception:
         pass  # e.g. spark-connect sessions; local imports still work there
     spark._aas_shipped = True
+
+
+def spread_compute(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition ahead of a compute-heavy per-row projection — round
+    robin, or hash on ``key_cols`` when the downstream aggregate keys on
+    them (the hash form doubles as the aggregate's partitioning, so the
+    exchange is not additional).
+
+    Rationale: a single-row-group parquet table is ONE scan split, and
+    Spark fuses every narrow transformation into the scan stage — so a
+    regex tokenize, gram explode + hash, BPE replace chain, or codec
+    decode, plus the map side of the first aggregate, all serialize into
+    that one task (measured 3.8 s of a 4.3 s winnowing wall on one core
+    at sf0.1).  The exchange moves RAW input rows — orders of magnitude
+    smaller than the exploded/decoded intermediate it unlocks.
+
+    Scale guard: when the source already has >= the target parallelism
+    (a real multi-file cluster dataset), this is an identity — no
+    100 TB re-shuffle of raw text is ever introduced; the helper only
+    repairs the degenerate few-splits case where the cluster would
+    otherwise idle."""
+    try:
+        target = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        target = 32
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
 
 
 def get_spark(
