@@ -220,8 +220,14 @@ def paragraph_dedup_flags(
     text) -> digest -> distinct-doc count -> flag digests seen in >1 doc ->
     join back per doc.  Both aggregates are map-side combinable.
     """
+    from apache_arrow_spark.session import spread_compute
+
     paragraphs_of = paragraphs_of or _lines
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # spread: chunk/line explode + digest + both aggregates' map sides
+    # are narrow, single-task on a single-split source
+    base = spread_compute(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
     lines = base.select(
         "id", F.explode(paragraphs_of(F.col("t"))).alias("line")
     ).select("id", F.xxhash64("line").alias("h"))

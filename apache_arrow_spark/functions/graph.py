@@ -43,11 +43,19 @@ def pagerank(
     integer space (see module docstring), so two engines running the same
     rounds produce identical rank9 values.
     """
-    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).union(
-        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    # checkpoint the EDGES first and derive everything else from the
+    # checkpointed lineage: the old order (deg.count(), then
+    # deg.localCheckpoint(), then edges.localCheckpoint()) evaluated the
+    # caller's whole pair pipeline THREE times — measured as nine
+    # repeated multi-second stages when the pairs came from the
+    # winnowing join (q127)
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .localCheckpoint()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # driver scalar, same contract as CC's changed-count
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    n = deg.count()  # driver scalar off the checkpoint — no recompute
     if n == 0:
         return pairs.sparkSession.createDataFrame([], "node bigint, rank9 bigint")
     from fractions import Fraction
@@ -59,8 +67,6 @@ def pagerank(
     # double(0.85)*s and DECIMAL 0.85*s floor differently at integer
     # boundaries — a measured cross-engine trap)
     base9 = (10**9 * (dden - dnum) // dden) // n
-    deg = deg.localCheckpoint()
-    edges = edges.localCheckpoint()
     r = deg.select("u", F.lit(init9).cast("long").alias("r9"))
     nodes = deg.select(F.col("u").alias("v"))
     for _ in range(iters):

@@ -255,7 +255,11 @@ def bigram_nll(
     collapsed immediately to per-(doc, w1, w2) counts — the only
     corpus-sized shuffle; the model cell table (distinct bigrams) joins
     broadcast-style onto the scoring cells."""
-    toks = df.select(
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before tokenize + pair explode: narrow up to the first
+    # aggregate's map side, so a single-split source would serialize it
+    toks = spread_compute(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("a")
     ).filter(F.size("a") >= 2)
     pairs = toks.select(

@@ -282,7 +282,15 @@ def bpe_train_merges(
     of the sequential algorithm (each round's counts depend on the
     previous merge); production vocab sizes batch tens of merges per
     round with the same plan shape."""
-    seq = df.select(bpe_symbols(F.col(text_col)).alias("q"))
+    from apache_arrow_spark.session import spread_compute
+
+    # spread once up front: every round's pair count AND the replace
+    # rewrite chain are narrow, so a single-split source would serialize
+    # all n_merges corpus passes on one core (measured five ~1 s
+    # single-task stages at sf0.1); the exchange moves raw text once
+    seq = spread_compute(df.select(F.col(text_col))).select(
+        bpe_symbols(F.col(text_col)).alias("q")
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         sy = seq.filter(F.length("q") >= 4).select(
@@ -406,7 +414,11 @@ def log_templates(
     without changing the wildcard decisions at any sane threshold."""
     from pyspark.sql import DataFrame  # noqa: F401
 
-    toks = df.select(
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before the double tokenize + posexplode: narrow up to the
+    # distinct-count map side, so a single-split source serializes it
+    toks = spread_compute(df.select(F.col(line_col))).select(
         F.posexplode(tokens(F.col(line_col))).alias("pos", "tok"),
         F.size(tokens(F.col(line_col))).alias("n_toks"),
         F.substring_index(F.btrim(F.col(line_col)), " ", 1).alias("tok0"),

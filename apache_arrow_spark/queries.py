@@ -719,8 +719,11 @@ _LANG_SCORES_SQL = ", ".join(
 )
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.text import lang_id
+    from apache_arrow_spark.session import spread_compute
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the n-gram scoring expression runs in the aggregate's map
+    # side, single-task on a single-split source
+    d = spread_compute(load_table(spark, sf_dir, "documents").select("lang", "text"))
     return d.groupBy("lang", lang_id(F.col("text")).alias("pred")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -778,11 +781,20 @@ def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_arrow_spark.functions.text import shingles
+    from apache_arrow_spark.functions.text import normalize_text, shingles_of_normalized
+    from apache_arrow_spark.session import spread_compute
 
     d = load_table(spark, sf_dir, "documents")
-    n_sh = F.size(shingles(F.col("text"), 5)).cast("bigint")
-    return d.groupBy("lang").agg(
+    # spread + normalize-first: the distinct-shingle count is per-row
+    # quadratic array work fused into the aggregate's map side, and
+    # inlining normalize_text into the shingle expression re-evaluates
+    # the regex per reference — on the single-split source this ran the
+    # whole corpus single-task (measured 13.7 s of a 13.9 s wall)
+    base = spread_compute(d.select("lang", "text")).select(
+        "lang", normalize_text(F.col("text")).alias("t")
+    )
+    n_sh = F.size(shingles_of_normalized(F.col("t"), 5)).cast("bigint")
+    return base.groupBy("lang").agg(
         F.sum(n_sh).alias("total_shingles"), F.max(n_sh).alias("max_shingles")
     )
 
@@ -1655,7 +1667,14 @@ def q62_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference serializes object graphs one at a time too) — this is a
     registry surface, not a scan-speed path."""
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    from apache_arrow_spark.session import spread_compute
+
+    # spread so the per-object Python round-trips fan out across workers
+    # (the registry's per-row cost is the semantics; serializing it all
+    # in the single scan split is not)
+    docs = spread_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    )
 
     def _roundtrip(batches):
         import pandas as pd
@@ -1961,7 +1980,9 @@ def q71_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_chunks,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from apache_arrow_spark.session import spread_compute
+
+    d = spread_compute(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     base = d.filter(F.length(F.btrim("text")) > 0).select(
         "doc_id", token_chunks(F.col("text"), 10).alias("lines")
     )
@@ -2885,8 +2906,11 @@ def q83_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the ANN
     storage path), emitted long-format so every code is hash-checked."""
     from apache_arrow_spark.functions.similarity import quantize_int8
+    from apache_arrow_spark.session import spread_compute
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread the single-split source so the per-row quantize + posexplode
+    # parallelize; quantize_int8 itself stays a pure zero-shuffle expression
+    e = spread_compute(load_table(spark, sf_dir, "embeddings"))
     q = quantize_int8(e, "embedding", "vec_id")
     return q.select(
         F.col("id").alias("vec_id"),
@@ -3900,8 +3924,14 @@ def q120_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         winnow_fingerprints,
     )
 
+    from apache_arrow_spark.session import spread_compute
+
     d = load_table(spark, sf_dir, "documents")
-    hs = d.select(
+    # spread before the md5 gram + winnow projection (the q119 fix): e0
+    # is consumed three times in this plan (cap aggregate + both join
+    # sides), and on a single-split source each evaluation serialized
+    # the whole fingerprint stream on one core (measured 3 x ~4 s)
+    hs = spread_compute(d.select("doc_id", "text")).select(
         F.col("doc_id"), gram_hashes(normalize_text(F.col("text")), 5).alias("hs")
     )
     e0 = hs.select(
@@ -8321,8 +8351,13 @@ def q240_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     descend.  Digests are the q166/q211 md5-fold discipline; the oracle
     replays both levels and the pruning decision."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
+    from apache_arrow_spark.session import spread_compute
 
     o = load_table(spark, sf_dir, "orders")
+    # spread before the digest aggregates: both versions' per-row md5
+    # folds run in the groupBy map side, which a single-split source
+    # would serialize (measured three ~0.5 s single-task stages)
+    o = spread_compute(o.select("o_orderkey", "o_orderpriority", "o_orderdate"))
     base = o.select(
         "o_orderkey",
         "o_orderpriority",
@@ -8579,18 +8614,32 @@ def q243_match_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair-scale join back to shingle cells + a per-pair top-3 window —
     never a corpus-scale expansion (pairs are the tiny side)."""
     from apache_arrow_spark.functions.dedup import minhash_near_duplicates
-    from apache_arrow_spark.functions.text import normalize_text, shingles_of_normalized
+    from apache_arrow_spark.functions.text import normalize_text
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(d, jaccard_threshold=0.5).select(
         "id_a", "id_b"
     )
-    cells = d.select(
-        F.col("doc_id"),
-        F.explode(
-            shingles_of_normalized(normalize_text(F.col("text")), 5)
-        ).alias("g"),
-    ).distinct()
+    # shingle cells via position explode + substr (the q143 cell shape):
+    # the array form (array_distinct over ~len substrings) is per-row
+    # QUADRATIC in doc length, and on the single-split source it ran
+    # single-task — measured as two 17 s stages of a 25 s wall at sf0.1.
+    # Gram STRINGS are kept (they are the output evidence); only this
+    # query's intermediate joins carry them, at pair scale.
+    n_part = spark.sparkContext.defaultParallelism
+    cells = (
+        d.select("doc_id", "text")
+        .repartition(n_part, F.col("doc_id"))
+        .select("doc_id", normalize_text(F.col("text")).alias("t"))
+        .filter(F.length("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(4))).alias("pos"),
+            "t",
+        )
+        .select("doc_id", F.col("t").substr(F.col("pos"), F.lit(5)).alias("g"))
+        .distinct()
+    )
     freq = cells.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ca = cells.select(F.col("doc_id").alias("id_a"), F.col("g"))
     cb = cells.select(F.col("doc_id").alias("id_b"), F.col("g"))
@@ -9023,8 +9072,12 @@ def q251_sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(toks, toks[1:]):
                 yield a, b
 
+    from apache_arrow_spark.session import spread_compute
+
     spark.udtf.register("aas_word_pairs", WordPairs)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+    # spread so the per-row Python UDTF fans out across workers — on a
+    # single-split source the whole lateral evaluation runs in one task
+    spread_compute(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
         "aas_q251_docs"
     )
     return spark.sql(
@@ -11700,13 +11753,25 @@ def q259_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     only as the in-query audit."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
     from apache_arrow_spark.operators.ivm import apply_view_delta, delta_join_sum
+    from apache_arrow_spark.session import spread_compute
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # spread on the JOIN KEY: the per-row md5 bucketing and every join's
+    # map side are narrow (single-split sources serialize them), and the
+    # keyed exchange doubles as the join partitioning downstream
+    o = spread_compute(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+    ).select(
         "o_orderkey",
         "o_orderstatus",
         (hash_bucket(F.col("o_orderkey"), "ivmA") < 50000).alias("is_delta"),
     )
-    l = load_table(spark, sf_dir, "lineitem").select(
+    l = spread_compute(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_linenumber"
+        ),
+        "l_orderkey",
+    ).select(
         F.col("l_orderkey").alias("o_orderkey"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         (
@@ -13216,9 +13281,14 @@ def q283_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the point set beyond the final 25-group aggregate."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
 
+    from apache_arrow_spark.session import spread_compute
+
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    p = c.select(
+    # spread the point set: the 25-way distance fan-out and the argmin
+    # window's map side are narrow — single-split customer would run
+    # them all on one core
+    p = spread_compute(c.select("c_custkey")).select(
         F.col("c_custkey").alias("id"),
         hash_bucket(F.col("c_custkey"), "geo_x", 360_000_000).alias("x"),
         hash_bucket(F.col("c_custkey"), "geo_y", 180_000_000).alias("y"),
@@ -13429,10 +13499,18 @@ def q286_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     see block comment."""
     from apache_arrow_spark.functions.text import normalize_text
 
+    from apache_arrow_spark.session import spread_compute
+
     d = load_table(spark, sf_dir, "documents")
     k = 9
+    # spread before the char-explode (the q143 cell discipline): the
+    # normalize + explode + substr + distinct map side is narrow, and
+    # the un-persisted cells plan is evaluated twice (first + per), so a
+    # single-split source paid the whole gram stream serially TWICE
+    # (measured 4.1 s + 3.3 s single-task stages at sf0.1)
     cells = (
-        d.select(
+        spread_compute(d.select("doc_id", "text"))
+        .select(
             F.expr("doc_id div 50").alias("batch"), normalize_text(F.col("text")).alias("t")
         )
         .filter(F.length("t") >= k)
