@@ -367,6 +367,7 @@ def curate_corpus(
     strata_col: str = "lang",
     text_col: str = "text",
     key_col: str = "doc_id",
+    eager_checkpoint: bool = False,
 ) -> dict[str, DataFrame]:
     """End-to-end corpus curation: the full pretraining data funnel as one
     composition of this engine's operators —
@@ -391,16 +392,25 @@ def curate_corpus(
     )
     from apache_arrow_spark.functions.filters import decontaminate
 
+    # eager_checkpoint=True materializes each stage and TRUNCATES its
+    # lineage (localCheckpoint) before the next builds on it: the lazy
+    # composition embeds the entire upstream tree in every downstream
+    # plan, so a caller that executes all stages (the funnel report)
+    # pays Catalyst analysis of ever-growing trees per action — measured
+    # ~16 s of a 23 s q78 wall in pure driver planning.  Values are
+    # identical either way; keep the default lazy for callers that
+    # materialize only one stage.
+    ck = (lambda df: df.localCheckpoint()) if eager_checkpoint else (lambda df: df)
     stages: dict[str, DataFrame] = {"raw": docs}
-    quality = docs.filter(token_count(F.col(text_col)) >= min_tokens)
+    quality = ck(docs.filter(token_count(F.col(text_col)) >= min_tokens))
     stages["quality"] = quality
-    exact = exact_dedup(quality, text_col, key_col)
+    exact = ck(exact_dedup(quality, text_col, key_col))
     stages["exact_dedup"] = exact
     pairs = minhash_near_duplicates(
         exact, text_col, key_col, jaccard_threshold=jaccard_threshold
     )
     drop = pairs.select(F.col("id_b").alias(key_col)).distinct()
-    near = exact.join(drop, key_col, "left_anti")
+    near = ck(exact.join(drop, key_col, "left_anti"))
     stages["near_dedup"] = near
     decon = decontaminate(
         near,
@@ -410,6 +420,7 @@ def curate_corpus(
         id_col=key_col,
         mode="drop",
     )
+    decon = ck(decon)
     stages["decontaminated"] = decon
     sampled = stratified_sample(
         decon,
@@ -419,8 +430,9 @@ def curate_corpus(
         default=default_fraction,
         salt="curate",
     )
+    sampled = ck(sampled)
     stages["sampled"] = sampled
-    stages["split"] = group_split(sampled, key_col)
+    stages["split"] = ck(group_split(sampled, key_col))
     return stages
 
 

@@ -2321,7 +2321,14 @@ def q78_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.filter(hash_bucket(F.col("doc_id"), "bench") >= 100000)
     stages = curate_corpus(
-        corpus, bench, fractions={"en": 0.7, "de": 1.0}, default_fraction=0.5
+        corpus,
+        bench,
+        fractions={"en": 0.7, "de": 1.0},
+        default_fraction=0.5,
+        # the funnel executes EVERY stage — checkpoint each so downstream
+        # plans stay flat instead of embedding the whole upstream tree
+        # (measured ~16 s of pure Catalyst planning otherwise)
+        eager_checkpoint=True,
     )
     return curation_funnel(stages)
 
