@@ -1980,9 +1980,12 @@ def q71_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_chunks,
     )
 
-    from apache_arrow_spark.session import spread_compute
-
-    d = spread_compute(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NO spread here (unlike the aggregate-backed audit fixes): this query
+    # is a pure per-row projection whose output is corpus-sized, so its
+    # zero-shuffle plan (pinned by test_q71_repetition_stats_no_shuffle)
+    # IS the scale story — on a real many-split dataset the scan itself
+    # parallelizes, and an exchange would only double the I/O
+    d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.length(F.btrim("text")) > 0).select(
         "doc_id", token_chunks(F.col("text"), 10).alias("lines")
     )

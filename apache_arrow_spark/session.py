@@ -156,7 +156,10 @@ def get_spark(
         # MinHash/decimal aggregates being the biggest) thrashes it and
         # recompiles multi-second expression trees on every re-run.  A
         # long-lived cluster session wants the compiled classes resident.
-        .config("spark.sql.codegen.cache.maxEntries", "4000")
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4000"),
+        )
         # local[N] puts driver + all N executor threads in ONE JVM.  8g
         # measures best here: bigger heaps (48g) lengthen G1 young-gen
         # pauses and cost more than the extra headroom saves.
