@@ -25,7 +25,12 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = Fals
     ``n_distinct`` counts non-null distinct values (exact by default;
     ``approx=True`` for the HLL estimate at scale).
     """
+    from apache_arrow_spark.session import spread_compute
+
     cols = columns or df.columns
+    # spread: the all-columns distinct/null metrics evaluate in the
+    # aggregate's map side, single-task on a single-split source
+    df = spread_compute(df.select(*cols) if columns else df)
     distinct = F.approx_count_distinct if approx else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

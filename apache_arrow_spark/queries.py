@@ -1349,7 +1349,12 @@ def q50_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column (events.props) — get_json_object stays
     JVM-side; at scale prefer from_json with an explicit schema so Catalyst
     prunes unused keys."""
-    ev = load_table(spark, sf_dir, "events")
+    from apache_arrow_spark.session import spread_compute
+
+    # spread: the JSON path extraction runs in the aggregate's map side
+    ev = spread_compute(
+        load_table(spark, sf_dir, "events").select("event_type", "props")
+    )
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
@@ -2402,9 +2407,13 @@ def q80_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in 4 overlapping windows.  Spark's window generator handles
     the fan-out JVM-side; the oracle replays it as an explicit k=0..3
     window-start expansion."""
+    from apache_arrow_spark.session import spread_compute
     from apache_arrow_spark.streaming.ops import with_event_time
 
-    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    # spread: the 4x window fan-out and the count's map side are narrow
+    ev = with_event_time(
+        spread_compute(load_table(spark, sf_dir, "events").select("event_type", "ts"))
+    )
     return (
         ev.groupBy(
             F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
@@ -9578,7 +9587,14 @@ def q193_json_expr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the serialize->parse pair is lossless for these types
     (engine-side codegen JSON, no Python).  Document-file twin: q86
     (jsonl io); property-bag twin: q50 (get_json_object)."""
-    o = load_table(spark, sf_dir, "orders")
+    from apache_arrow_spark.session import spread_compute
+
+    # spread: serialize->parse->aggregate-map-side is narrow end to end
+    o = spread_compute(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_custkey"
+        )
+    )
     js = o.select(
         "o_orderpriority",
         F.to_json(F.struct("o_orderkey", "o_custkey")).alias("doc"),
