@@ -599,3 +599,25 @@ def test_q265_covariance_egress_is_partition_bounded(spark, sf_dir):
     # 4 partitions x (2080 + 64 + 1) = 8580 partial rows max
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_spread_compute_identity_on_well_split_input(spark):
+    """The scale guard of session.spread_compute: on a source that already
+    has >= default-parallelism partitions (a real multi-file cluster
+    dataset) it must be an IDENTITY — never introducing a raw-data
+    re-shuffle at 100 TB.  Only the degenerate few-splits case (single-
+    row-group local files) gets repaired."""
+    from apache_arrow_spark.session import spread_compute
+
+    target = max(spark.sparkContext.defaultParallelism, 8)
+    wide = spark.range(10_000, numPartitions=target + 4)
+    assert spread_compute(wide) is wide  # identity, not even a new plan node
+
+    narrow = spark.range(10_000, numPartitions=1)
+    out = spread_compute(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+    # keyed form: the exchange hash-partitions on the key so a downstream
+    # aggregate/join on it adds no further shuffle
+    keyed = spread_compute(narrow.withColumnRenamed("id", "k"), "k")
+    assert "hashpartitioning(k" in keyed._jdf.queryExecution().executedPlan().toString()
