@@ -36,10 +36,13 @@ XOR_MASKS = [_rng.getrandbits(63) for _ in range(64)]
 
 
 def _compute_parallelism(df: DataFrame) -> int:
-    """Partition count for compute-bound stages: cluster default parallelism
-    (executor-count aware), floor 8."""
+    """Partition count for compute-bound stages — delegates to the single
+    policy source, session.compute_parallelism (defaultParallelism,
+    floor 8)."""
+    from apache_arrow_spark.session import compute_parallelism
+
     try:
-        return max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        return compute_parallelism(df.sparkSession)
     except Exception:
         return 32
 

@@ -302,9 +302,15 @@ def materialize_ivf_index(
     tree).  A probe reading ``n_probe`` clusters lists only those
     directories — partition pruning, visible as `PartitionFilters` in the
     scan and fewer files read."""
-    assign_to_centroids(df, centroids, vec_col).write.partitionBy("__cluster").mode(
-        "overwrite"
-    ).parquet(path)
+    # repartition BY CLUSTER before the partitionBy write: the spread
+    # inside assign_to_centroids would otherwise leave each __cluster
+    # directory with one small file per spread partition — more files to
+    # list/open for every pruned probe, the opposite of this index's
+    # purpose.  One exchange on the cluster id yields one file per
+    # cluster directory (per final partition that holds it).
+    assign_to_centroids(df, centroids, vec_col).repartition(
+        F.col("__cluster")
+    ).write.partitionBy("__cluster").mode("overwrite").parquet(path)
 
 
 def ivf_topk_indexed(
@@ -403,26 +409,30 @@ def knn_join_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     ndigits: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k corpus neighbors for EVERY query row (batch retrieval), by
     exact cosine — the all-pairs baseline, O(|Q|·|C|).  Use for oracles,
     reranking a pruned candidate set, or small query batches; the scale
-    path is :func:`knn_join_lsh`.  Returns (q_id, n_id, rank, sim)."""
+    path is :func:`knn_join_lsh`.  Returns (q_id, n_id, rank, sim).
+
+    ``broadcast_queries`` (default True) pins the QUERY side as the
+    broadcast build — the right topology for this function's contract
+    (a small query batch against a large corpus: the cosines then
+    parallelize across the corpus scan rather than a single query-side
+    split).  A caller with a query set too large for a broadcast table
+    should pass False (Spark then picks the build side by size) — but a
+    query set that big makes the O(|Q|·|C|) exact join itself the wrong
+    tool; use :func:`knn_join_lsh`."""
     from pyspark.sql import Window
 
     from apache_arrow_spark.session import spread_compute
 
-    # broadcast the QUERY side explicitly: without the hint Spark may
-    # build on the (often byte-smaller) corpus side, which turns the
-    # query scan into the stream side — and then every |Q|·|C| cosine
-    # evaluates inside that single-split task (measured 0.7 s of a 1.0 s
-    # wall on one core).  With the query batch broadcast and the corpus
-    # spread, the cosines parallelize across the full corpus scan.
-    qq = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
+    qq = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    if broadcast_queries:
+        qq = F.broadcast(qq)
     cc = spread_compute(corpus).select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
     )

@@ -2338,7 +2338,17 @@ def q78_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured ~16 s of pure Catalyst planning otherwise)
         eager_checkpoint=True,
     )
-    return curation_funnel(stages)
+    out = curation_funnel(stages)
+    # curation_funnel's result is a LOCAL DataFrame (counts already
+    # collected), so the stage checkpoints' storage blocks can be freed
+    # eagerly here instead of waiting for GC + ContextCleaner — the
+    # leaked-cache-blocks lesson (q101) applied to localCheckpoint
+    for df in stages.values():
+        try:
+            df.rdd.unpersist(False)
+        except Exception:
+            pass
+    return out
 
 
 @register(
@@ -3875,15 +3885,17 @@ def q119_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
+    from apache_arrow_spark.session import spread_compute
+
     d = load_table(spark, sf_dir, "documents")
     # spread the md5 gram stream + window-min array work across cores
     # BEFORE the heavy projection: the single-row-group source is one
     # scan split, and without this exchange the whole winnowing compute
     # (and the map-side partial of the final aggregate) serializes on
-    # one task — measured 3.8 s of a 4.3 s wall at sf0.1.  The exchange
-    # moves raw (lang, text) rows only.
-    n_part = spark.sparkContext.defaultParallelism
-    hs = d.select("lang", "text").repartition(n_part).select(
+    # one task — measured 3.8 s of a 4.3 s wall at sf0.1.  spread_compute
+    # is an identity on well-split sources, so no raw-text re-shuffle at
+    # cluster scale.
+    hs = spread_compute(d.select("lang", "text")).select(
         "lang", gram_hashes(normalize_text(F.col("text")), 5).alias("hs")
     )
     fps = hs.select("lang", F.explode(winnow_fingerprints(F.col("hs"), 4)).alias("fp"))
@@ -8645,10 +8657,10 @@ def q243_match_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task — measured as two 17 s stages of a 25 s wall at sf0.1.
     # Gram STRINGS are kept (they are the output evidence); only this
     # query's intermediate joins carry them, at pair scale.
-    n_part = spark.sparkContext.defaultParallelism
+    from apache_arrow_spark.session import spread_compute
+
     cells = (
-        d.select("doc_id", "text")
-        .repartition(n_part, F.col("doc_id"))
+        spread_compute(d.select("doc_id", "text"), "doc_id")
         .select("doc_id", normalize_text(F.col("text")).alias("t"))
         .filter(F.length("t") >= 5)
         .select(
@@ -13311,10 +13323,12 @@ def q283_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    # spread the point set: the 25-way distance fan-out and the argmin
-    # window's map side are narrow — single-split customer would run
-    # them all on one core
-    p = spread_compute(c.select("c_custkey")).select(
+    # spread the point set KEYED on the point id: the 25-way distance
+    # fan-out and the argmin window's map side are narrow — single-split
+    # customer would run them all on one core — and the keyed exchange
+    # doubles as the argmin window's required partitioning (id survives
+    # the broadcast cross join), eliminating the 25x-row window shuffle
+    p = spread_compute(c.select("c_custkey"), "c_custkey").select(
         F.col("c_custkey").alias("id"),
         hash_bucket(F.col("c_custkey"), "geo_x", 360_000_000).alias("x"),
         hash_bucket(F.col("c_custkey"), "geo_y", 180_000_000).alias("y"),

@@ -118,14 +118,25 @@ def spread_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     repairs the degenerate few-splits case where the cluster would
     otherwise idle."""
     try:
-        target = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        target = compute_parallelism(df.sparkSession)
         if df.rdd.getNumPartitions() >= target:
             return df
     except Exception:
-        target = 32
+        # guard unevaluable (e.g. Spark Connect: no sparkContext / rdd) —
+        # the SAFE fallback is the identity: forcing a repartition here
+        # would inflict the full raw re-shuffle on exactly the well-split
+        # cluster datasets the guard exists to protect
+        return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def compute_parallelism(spark: SparkSession) -> int:
+    """THE partition-count policy for compute-bound stages (single source
+    of truth — dedup._compute_parallelism and every spread site delegate
+    here): cluster default parallelism, floor 8."""
+    return max(spark.sparkContext.defaultParallelism, 8)
 
 
 def get_spark(
