@@ -173,3 +173,20 @@ def test_new_operators_on_empty_inputs(spark):
     )
     assert knn_join_exact(empty_vecs, some_vecs).count() == 0
     assert knn_join_exact(some_vecs, empty_vecs).count() == 0
+
+
+def test_spread_wave_functions_on_empty_inputs(spark):
+    """The r5 spread_compute wave must not break empty-input degradation:
+    every touched function degrades to an empty result (pagerank's n==0
+    early-exit included) instead of erroring on the empty exchange."""
+    from apache_arrow_spark.functions.dedup import shingle_containment_pairs
+    from apache_arrow_spark.functions.graph import pagerank
+    from apache_arrow_spark.functions.text import bpe_train_merges, log_templates
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert shingle_containment_pairs(empty_docs, k=9).count() == 0
+    assert bpe_train_merges(empty_docs) == []
+    empty_lines = spark.createDataFrame([], "line string")
+    assert log_templates(empty_lines, "line").count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(empty_pairs).count() == 0
