@@ -13946,12 +13946,12 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-5 window = q195-q244, the oldest 50 of
-# the never-driver-graded rotation stock (q195-q289 after r4 graded
-# q145-q194).  Round-6 window plan: q245-q291 (47 remaining incl. the two r5
-# registrations q290/q291) — that empties the backlog in one window.  Everything
-# deferred below carries a green driver-grade row in CORRECTNESS_r01-r04
-# (rows+schema+hash) and stays covered by pytest + tools/check_oracle.py.
+# first 50 registered queries.  Round-6 window = q245-q291 (the 47 remaining
+# never-driver-graded queries, incl. the two r5 registrations q290/q291) plus
+# up to 3 new r6 registrations — this empties the never-graded backlog.
+# Everything deferred below carries a green driver-grade row in
+# CORRECTNESS_r01-r05 (rows+schema+hash) and stays covered by pytest +
+# tools/check_oracle.py.
 # --------------------------------------------------------------------------
 _DEFERRED = [
     "q01_pricing_summary",
@@ -14148,6 +14148,56 @@ _DEFERRED = [
     "q192_map_roundtrip",
     "q193_json_expr_roundtrip",
     "q194_sql_interface",
+    "q195_sequence_gaps",
+    "q196_activity_streaks",
+    "q197_conversion_wilson",
+    "q198_histogram_intersection",
+    "q199_argmax_per_group",
+    "q200_transition_dwell",
+    "q201_resize_channel_stats",
+    "q202_video_frame_sample",
+    "q203_hybrid_rrf",
+    "q204_quality_classifier",
+    "q205_perplexity_strata",
+    "q206_dup_weighted_sample",
+    "q207_streaming_ann_index",
+    "q208_heavy_suppliers",
+    "q209_last_shipper",
+    "q210_cheapest_supplier",
+    "q211_partition_diff",
+    "q212_disjunctive_bands",
+    "q213_bpe_encode",
+    "q214_bpe_train",
+    "q215_kmeans_exact",
+    "q216_nb_confusion",
+    "q217_coverage_select",
+    "q218_bigram_nll",
+    "q219_more_like_this",
+    "q220_markov_predictor",
+    "q221_image_near_duplicates",
+    "q222_similarity_profile",
+    "q223_incremental_min_maintenance",
+    "q224_luhn_pii",
+    "q225_balance_deciles",
+    "q226_write_audit_publish",
+    "q227_shard_rebalance",
+    "q228_theil_sen_trend",
+    "q229_synthetic_generation",
+    "q230_late_dimension_repair",
+    "q231_audio_decimate",
+    "q232_equalize_channel_stats",
+    "q233_gini_concentration",
+    "q234_heavy_hitters",
+    "q235_fair_share_allocation",
+    "q236_rank_movers",
+    "q237_trending_decay",
+    "q238_pareto_frontier",
+    "q239_negative_sampling",
+    "q240_merkle_reconcile",
+    "q241_peak_concurrency",
+    "q242_asof_nearest",
+    "q243_match_evidence",
+    "q244_custom_datasource",
 ]
 def _qnum(name: str) -> int:
     return int(name[1 : name.index("_")])
