@@ -6443,25 +6443,31 @@ def q210_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part — with the correlated scalar-min subquery decorrelated into a
     per-part min aggregate joined back (ties emit all holders, identical
     in both engines since min over doubles is exact).  Scale plan: the
-    (part, supplier) supply table aggregates once; the per-part min is a
-    second narrow aggregate on the SAME partitioning (no extra exchange
-    under AQE reuse); the size-10 part keyset and supplier names
-    broadcast.  min (not sum) keeps doubles engine-exact."""
+    size-10 part keyset SEMI-JOINS onto lineitem BEFORE the supply
+    aggregate (the per-part min is computed within each part, so
+    pre-filtering parts cannot change it) — at 100 TB the supply shuffle
+    carries only the ~2 % of (partkey, suppkey) groups that survive,
+    instead of aggregating the full fact table and discarding 98 %
+    afterwards.  The per-part min is a second narrow aggregate on the
+    SAME partitioning (no extra exchange under AQE reuse).  No forced
+    broadcast hints: part and supplier are O(SF) dimensions (the q266
+    precedent), so AQE picks broadcast at small SF and a shuffle join at
+    cluster scale.  min (not sum) keeps doubles engine-exact."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+    sized = p.filter(F.col("p_size") == 10).select("p_partkey")
+    li_sized = li.join(sized, li.l_partkey == sized.p_partkey, "left_semi")
+    supply = li_sized.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("best")
     )
     part_min = supply.groupBy("l_partkey").agg(F.min("best").alias("pmin"))
-    sized = p.filter(F.col("p_size") == 10).select("p_partkey")
     return (
         supply.join(part_min, "l_partkey")
         .filter(F.col("best") == F.col("pmin"))
-        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "p_partkey",
+            F.col("l_partkey").alias("p_partkey"),
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
             "best",

@@ -353,24 +353,57 @@ def main():
         arrow_topandas = _anchor_topandas(fb)
         sort_rate = _anchor_sort(fb)
 
+    anchors = {
+        "arrow_topandas_4194304_rows_sec": arrow_topandas,
+        "reference_blog_sec": 0.737,
+        "sort_m_entries_per_sec": sort_rate,
+        "reference_blog_sort_m_entries_per_sec": 22.7,
+    }
+    # Full-detail record (full query names + per-query shuffle bytes) for
+    # PROGRESS.jsonl / repo use.  NOT the last line: the round driver keeps
+    # only the final 2000 stdout chars and json-parses the tail, so the
+    # LAST line must be a complete JSON object under 2000 chars.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall",
+                "metric": "headline_queries_wall_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "shuffle_bytes": shuffle_bytes,
                 "sf": sf,
-                "baseline_anchors": {
-                    "arrow_topandas_4194304_rows_sec": arrow_topandas,
-                    "reference_blog_sec": 0.737,
-                    "sort_m_entries_per_sec": sort_rate,
-                    "reference_blog_sort_m_entries_per_sec": 22.7,
-                },
+                "baseline_anchors": anchors,
             }
         )
     )
+    # Compact final line: short keys (qNNN), 2-decimal walls, top-15
+    # shuffle movers in MB.  Verified < 2000 chars (hard-trimmed below).
+    short_walls = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
+    shuffle_top = dict(
+        sorted(
+            ((n.split("_")[0], round(b / 1e6, 1)) for n, b in shuffle_bytes.items()),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": short_walls,
+        "shuffle_top_mb": shuffle_top,
+        "baseline_anchors": anchors,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        compact.pop("shuffle_top_mb")
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1950 and compact["queries"]:
+        # drop the cheapest walls first; the expensive ones are the signal
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
