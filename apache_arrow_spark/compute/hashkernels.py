@@ -69,19 +69,26 @@ def dictionary(df: DataFrame, column: str) -> DataFrame:
     )
 
 
-def is_in(df: DataFrame, column: str, members) -> DataFrame:
+def is_in(
+    df: DataFrame, column: str, members, broadcast_members: bool = True
+) -> DataFrame:
     """IsIn kernel: per-row boolean ``<col>_isin`` — membership of the
     column value in ``members`` (reference hash.h:94-96, a TODO upstream
     like value_counts; implemented here).
 
     ``members`` is either a Python sequence (lowered to the codegen
     ``Column.isin`` literal set — stays inside WholeStageCodegen, no
-    shuffle, pushes down) or a one-column DataFrame (lowered to a
-    broadcast LEFT join against the distinct member set — the fact side
-    never shuffles, so the recipe holds at any corpus size as long as
-    the member set is broadcast-sized).  NULL values follow Arrow set
-    semantics: a NULL value is not a member (false), matching the SQL
-    semi-join recipe rather than SQL IN's three-valued NULL.
+    shuffle, pushes down) or a one-column DataFrame (lowered to a LEFT
+    join against the distinct member set).  ``broadcast_members=True``
+    (default) pins a broadcast — the fact side never shuffles — and is a
+    SIZE CONTRACT: the caller asserts the member set is dictionary-sized
+    (bounded, not O(corpus)).  Pass ``False`` when the member set scales
+    with the data (e.g. a keyset filtered from another fact table): no
+    hint is planted, so AQE broadcasts while it is actually small and
+    degrades to a shuffle join instead of an OOM at cluster scale.  NULL
+    values follow Arrow set semantics: a NULL value is not a member
+    (false), matching the SQL semi-join recipe rather than SQL IN's
+    three-valued NULL.
     """
     if isinstance(members, DataFrame):
         if len(members.columns) != 1:
@@ -96,8 +103,10 @@ def is_in(df: DataFrame, column: str, members) -> DataFrame:
             .distinct()
             .withColumn(hit, F.lit(True))
         )
+        if broadcast_members:
+            mset = F.broadcast(mset)
         return (
-            df.join(F.broadcast(mset), on=column, how="left")
+            df.join(mset, on=column, how="left")
             .withColumn(f"{column}_isin", F.coalesce(F.col(hit), F.lit(False)))
             .drop(hit)
         )

@@ -188,14 +188,17 @@ def debounce(
     debounce window, so Python-level iterations ≈ kept events (not all
     events); carry state (last entity, last kept ts) crosses Arrow batch
     boundaries within a partition, which mapInPandas's order guarantee
-    makes sound.  NULL entity keys reset the carry at batch boundaries —
-    use a non-null key (or coalesce a sentinel) if nulls matter.  The
-    declarative twin (a recursive CTE stepping from each kept event to
-    the next candidate) is the oracle in q282.
+    makes sound.  NULL entity keys are DROPPED up front: inside the walk
+    a numeric null becomes NaN (NaN != NaN → every null row its own
+    segment → all kept) while an object/string None groups — a
+    dtype-dependent split no caller should inherit.  Coalesce nulls to a
+    sentinel key before calling if null-key events must be debounced as
+    one stream.  The declarative twin (a recursive CTE stepping from
+    each kept event to the next candidate) is the oracle in q282.
 
     Returns the kept (entity, ts) rows."""
     gap = int(min_gap)
-    narrowed = df.select(entity_col, ts_col)
+    narrowed = df.filter(F.col(entity_col).isNotNull()).select(entity_col, ts_col)
     # Derive the output schema from the input columns so non-int64 entity
     # keys (string ids, int32, ...) pass through unchanged instead of
     # failing or miscasting under a hardcoded "long, long" contract.

@@ -2341,13 +2341,13 @@ def q78_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = curation_funnel(stages)
     # curation_funnel's result is a LOCAL DataFrame (counts already
     # collected), so the stage checkpoints' storage blocks can be freed
-    # eagerly here instead of waiting for GC + ContextCleaner — the
-    # leaked-cache-blocks lesson (q101) applied to localCheckpoint
+    # eagerly instead of waiting for GC + ContextCleaner — via the
+    # LogicalRDD's backing RDD (DataFrame.rdd would be a fresh wrapper,
+    # not the persisted RDD; unpersisting it frees nothing)
+    from apache_arrow_spark.session import free_local_checkpoint
+
     for df in stages.values():
-        try:
-            df.rdd.unpersist(False)
-        except Exception:
-            pass
+        free_local_checkpoint(df)
     return out
 
 
@@ -13829,10 +13829,14 @@ def q289_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q290_isin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency of orders by (customer-in-BUILDING membership, order
-    priority match index vs the first-appearance member list).  IsIn =
-    broadcast semi-join recipe; Match = broadcast index lookup; -1
-    marks an unmatched priority (the kernel's NULL, pinned for a
-    hash-stable grade)."""
+    priority match index vs the first-appearance member list).  Match =
+    broadcast index lookup (3 literal members — truly dictionary-sized).
+    The IsIn member set is customer-DERIVED, i.e. O(SF), so it does NOT
+    satisfy is_in's broadcast size contract: ``broadcast_members=False``
+    plants no hint, letting AQE broadcast at small SF and fall back to a
+    shuffle join at cluster scale (the q266 dimension-broadcast
+    precedent).  -1 marks an unmatched priority (the kernel's NULL,
+    pinned for a hash-stable grade)."""
     from apache_arrow_spark.compute.hashkernels import is_in, match
 
     members = (
@@ -13842,7 +13846,7 @@ def q290_isin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     flagged = match(
-        is_in(o, "o_custkey", members),
+        is_in(o, "o_custkey", members, broadcast_members=False),
         "o_orderpriority",
         ["1-URGENT", "2-HIGH", "3-MEDIUM"],
     )
@@ -13901,41 +13905,44 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group granularity."""
     import os
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from apache_arrow_spark.io.parquet import prune_row_groups, read_row_groups
 
     li = load_table(spark, sf_dir, "lineitem")
-    n, maxk = li.agg(
-        F.count(F.lit(1)), F.max("l_orderkey")
+    n, maxk, ksum = li.agg(
+        F.count(F.lit(1)),
+        F.max("l_orderkey"),
+        F.sum("l_orderkey").cast("bigint"),
     ).collect()[0]
     gsz = (int(n) + 5) // 6
     lo, hi = int(maxk) * 10 // 100, int(maxk) * 35 // 100
     scratch = f"/tmp/aas_q291_rg_{os.path.basename(sf_dir.rstrip('/'))}"
     # the fixture name carries the CURRENT table geometry (row count +
-    # group size): regenerated testdata under the same sf dir gets a
-    # fresh fixture instead of silently reusing a stale one whose
-    # row-group boundaries no longer match the oracle's rn buckets
-    fpath = os.path.join(scratch, f"lineitem_rg_{int(n)}_{gsz}.parquet")
+    # group size) AND a content digest (max + sum of the key column):
+    # regenerated testdata under the same sf dir — even with an identical
+    # row count — gets a fresh fixture instead of silently reusing a
+    # stale one whose rows or row-group stats no longer match the oracle
+    fpath = os.path.join(
+        scratch, f"lineitem_rg_{int(n)}_{gsz}_{int(maxk)}_{int(ksum)}.parquet"
+    )
     if not os.path.exists(fpath):
-        # fixture build: sorted copy with deterministic row-group geometry
-        # (pyarrow writer so boundaries are exactly ceil(n/6) rows; the
-        # 3-column collect is the documented fixture-builder exception).
-        # Written to a temp name + atomic rename so a crash mid-write
-        # can never leave a truncated file behind the exists() check.
+        # fixture build: sorted copy with deterministic row-group geometry.
+        # The pyarrow writer is the only way to get EXACTLY ceil(n/6)-row
+        # groups in ONE globally sorted file (Spark's parquet writer sizes
+        # row groups in bytes, not rows), so the driver-side materialize is
+        # the documented fixture-builder exception — 3 narrow columns via
+        # Arrow (no pandas round-trip).  Written to a temp name + atomic
+        # rename so a crash mid-write can never leave a truncated file
+        # behind the exists() check.
         os.makedirs(scratch, exist_ok=True)
-        pdf = (
+        tbl = (
             li.select("l_orderkey", "l_linenumber", "l_quantity")
             .orderBy("l_orderkey", "l_linenumber")
-            .toPandas()
+            .toArrow()
         )
         tmp = fpath + f".tmp{os.getpid()}"
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            tmp,
-            row_group_size=gsz,
-        )
+        pq.write_table(tbl, tmp, row_group_size=gsz)
         os.replace(tmp, fpath)
     kept = prune_row_groups(fpath, "l_orderkey", lo, hi - 1)
     total = pq.ParquetFile(fpath).metadata.num_row_groups

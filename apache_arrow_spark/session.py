@@ -132,6 +132,25 @@ def spread_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target)
 
 
+def free_local_checkpoint(df: DataFrame) -> bool:
+    """Eagerly release the storage blocks of a ``df.localCheckpoint()``
+    result once nothing will read it again.  ``df.rdd.unpersist()`` does
+    NOT do this — ``DataFrame.rdd`` builds a fresh javaToPython wrapper
+    RDD, not the persisted RDD inside the plan — so this reaches the
+    ``LogicalRDD`` node's backing RDD through the analyzed plan.  Returns
+    True when a block was actually unpersisted; False (never raises) when
+    the plan is not a checkpoint root (e.g. Spark Connect, or a derived
+    DataFrame), where blocks fall back to GC + ContextCleaner."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def compute_parallelism(spark: SparkSession) -> int:
     """THE partition-count policy for compute-bound stages (single source
     of truth — dedup._compute_parallelism and every spread site delegate

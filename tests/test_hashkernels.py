@@ -126,3 +126,19 @@ def test_match_dataframe_null_member_consumes_no_slot(spark):
         r["__pos"]: r["v_match"] for r in match(df, "v", [None, "c", "a"]).collect()
     }
     assert got == lit == {0: 1, 1: 0}
+
+def test_is_in_dataframe_members_no_broadcast_contract(spark):
+    """broadcast_members=False (the O(SF) member-set escape): same
+    answer, no forced broadcast hint in the optimized plan — AQE may
+    still choose one at runtime, but nothing PINS it at cluster scale."""
+    from apache_arrow_spark.compute.hashkernels import is_in
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, None), (3, "z")], "__pos bigint, v string"
+    )
+    members = spark.createDataFrame([("a",), ("b",), (None,)], "m string")
+    out = is_in(df, "v", members, broadcast_members=False)
+    got = {r["__pos"]: r["v_isin"] for r in out.collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False}
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower()

@@ -621,3 +621,18 @@ def test_spread_compute_identity_on_well_split_input(spark):
     # aggregate/join on it adds no further shuffle
     keyed = spread_compute(narrow.withColumnRenamed("id", "k"), "k")
     assert "hashpartitioning(k" in keyed._jdf.queryExecution().executedPlan().toString()
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """session.free_local_checkpoint reaches the LogicalRDD's backing RDD
+    (DataFrame.rdd would be a fresh wrapper — unpersisting it frees
+    nothing) and returns False, never raising, on non-checkpoint plans."""
+    from apache_arrow_spark.session import free_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ck = spark.range(1000).localCheckpoint()
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert free_local_checkpoint(ck) is True
+    assert jsc.getPersistentRDDs().size() == before
+    # non-checkpoint root: honest no-op
+    assert free_local_checkpoint(spark.range(10)) is False

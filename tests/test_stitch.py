@@ -67,3 +67,20 @@ def test_debounce_is_not_lag_expressible(spark):
     # lag-naive keeps only 0 (both gaps of 10 look "recent")
     df = spark.createDataFrame([(1, 0), (1, 10), (1, 20)], "user_id long, ts long")
     assert sorted(r["ts"] for r in debounce(df, "user_id", "ts", 15).collect()) == [0, 20]
+
+def test_debounce_drops_null_entity_keys_any_dtype(spark):
+    """Null entity keys are dropped up front — identically for numeric
+    and string keys (pre-fix, numeric nulls became NaN inside the walk
+    and every null row was kept, while string Nones grouped)."""
+    from apache_arrow_spark.operators.sessionize import debounce
+
+    num = spark.createDataFrame(
+        [(1, 0), (None, 5), (None, 6), (1, 20)], "user_id long, ts long"
+    )
+    st = spark.createDataFrame(
+        [("a", 0), (None, 5), (None, 6), ("a", 20)], "user_id string, ts long"
+    )
+    got_num = sorted((r["user_id"], r["ts"]) for r in debounce(num, "user_id", "ts", 15).collect())
+    got_str = sorted((r["user_id"], r["ts"]) for r in debounce(st, "user_id", "ts", 15).collect())
+    assert got_num == [(1, 0), (1, 20)]
+    assert got_str == [("a", 0), ("a", 20)]
