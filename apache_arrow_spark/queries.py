@@ -13958,6 +13958,144 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q292 — pandas ingest/egress bridge (reference Table.from_pandas /
+# Table.to_pandas + pandas_compat.py:184 construct_metadata): the one
+# SURVEY §2.1 row that was pytest-only.  The supplier dim round-trips
+# driver-side (that is what a pandas bridge IS — the frame lives on the
+# driver by definition; supplier is the bounded dimension, the documented
+# collect exception), and the graded aggregate runs on the RE-INGESTED
+# Spark DataFrame, so the hash certifies the values survived the trip.
+# --------------------------------------------------------------------------
+@register(
+    "q292_pandas_bridge",
+    """
+    SELECT CAST(s_nationkey AS INT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           true AS index_preserved, true AS meta_present,
+           true AS roundtrip_ok
+    FROM supplier GROUP BY 1
+    """,
+)
+def q292_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas bridge round-trip: supplier -> pandas (index = s_suppkey)
+    -> from_pandas(preserve_index=True) -> Spark -> to_pandas — the index
+    must come back by NAME and VALUE (reference pandas_compat.py:184
+    b'pandas' metadata; here stashed on field-0 metadata since Spark has
+    no schema-level metadata).  The three boolean columns grade the
+    bridge contracts; the per-nation aggregate grades the data itself,
+    computed from the bridge-ingested DataFrame (the materialized
+    __index_level_0__ column supplies the key count)."""
+    from apache_arrow_spark.io.pandas_bridge import (
+        PANDAS_META_KEY,
+        from_pandas,
+        to_pandas,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    pdf = s.toPandas().set_index("s_suppkey")
+    sdf = from_pandas(spark, pdf, preserve_index=True)
+    meta_present = any(
+        f.metadata and PANDAS_META_KEY in f.metadata for f in sdf.schema.fields
+    )
+    back = to_pandas(sdf)
+    index_preserved = list(back.index.names) == ["s_suppkey"] and sorted(
+        back.index.tolist()
+    ) == sorted(pdf.index.tolist())
+    b = back.sort_index()
+    roundtrip_ok = bool(
+        b.shape == pdf.shape
+        and list(b.columns) == list(pdf.columns)
+        and b.equals(pdf.sort_index())
+    )
+    return (
+        sdf.groupBy(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("__index_level_0__").alias("n_keys"),
+            F.sum(F.floor(F.col("s_acctbal") * 100).cast("bigint")).alias(
+                "bal_cents"
+            ),
+        )
+        .withColumn("index_preserved", F.lit(bool(index_preserved)))
+        .withColumn("meta_present", F.lit(bool(meta_present)))
+        .withColumn("roundtrip_ok", F.lit(roundtrip_ok))
+    )
+
+
+# --------------------------------------------------------------------------
+# q293 — NumPy / Python-sequence ingest inference parity (reference
+# python/pyarrow type inference + the uint-widening mapping the engine
+# adopted for types Spark lacks): uint8/uint16/uint32 widen to
+# short/int/long, uint64 maps to decimal(20,0) — reference behavior that
+# a plain createDataFrame would reject.  Ingest is driver-side by nature
+# (that IS the NumPy-ingest surface); the graded aggregate runs
+# distributed on the ingested DataFrame, integer-exact, so the oracle
+# certifies both the widening arithmetic and the values.
+# --------------------------------------------------------------------------
+@register(
+    "q293_numpy_ingest_parity",
+    """
+    SELECT CAST((p_size % 8) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_partkey % 50000) AS BIGINT) AS s16,
+           CAST(sum(p_partkey) AS BIGINT) AS s32,
+           CAST(sum(p_partkey) AS BIGINT) AS s64,
+           true AS types_widened
+    FROM part GROUP BY 1
+    """,
+)
+def q293_numpy_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned-int ingest parity: build uint8/16/32/64 NumPy columns from
+    part (p_size fits uint8 by TPC-H contract, 1..50), ingest through
+    from_arrow's widening map, assert the widened Spark types, and grade
+    an integer-exact aggregate per (u8 % 8) bucket.  The oracle replays
+    the same arithmetic on the original part table — equality proves the
+    widening is value-preserving end to end."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_arrow_spark.io.pandas_bridge import from_arrow
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    pk = t["p_partkey"].to_numpy()
+    ps = t["p_size"].to_numpy()
+    tbl = pa.table(
+        {
+            "u8": pa.array(ps.astype(np.uint8)),
+            "u16": pa.array((pk % 50000).astype(np.uint16)),
+            "u32": pa.array(pk.astype(np.uint32)),
+            "u64": pa.array(pk.astype(np.uint64)),
+        }
+    )
+    sdf = from_arrow(spark, tbl)
+    widened = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    types_ok = widened == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+    }
+    return (
+        sdf.groupBy((F.col("u8") % 8).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u16").cast("bigint").alias("s16"),
+            F.sum("u32").cast("bigint").alias("s32"),
+            F.sum(F.col("u64").cast("bigint")).alias("s64"),
+        )
+        .withColumn("types_widened", F.lit(bool(types_ok)))
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-6 window = q245-q291 (the 47 remaining
 # never-driver-graded queries, incl. the two r5 registrations q290/q291) plus
