@@ -324,6 +324,14 @@ def test_shuffle_bytes_scale_linearly(spark):
         "q265_embedding_covariance",
         "q274_interval_coverage",
         "q276_session_stitch",
+        # r6: the two largest remaining headline shufflers (NB confusion
+        # cells, perplexity-strata rank passes) plus the r5 reference-
+        # parity kernels (IsIn/Match contingency, row-group scan) —
+        # alphas recorded in SCALE.md's r6 table
+        "q216_nb_confusion",
+        "q205_perplexity_strata",
+        "q290_isin_match",
+        "q291_row_group_scan",
     ]
     import time as _time
 

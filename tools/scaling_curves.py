@@ -39,6 +39,12 @@ HOT = [
     "q265_embedding_covariance",
     "q274_interval_coverage",
     "q276_session_stitch",
+    # r6: the two largest remaining headline shufflers + the r5
+    # reference-parity kernels
+    "q216_nb_confusion",
+    "q205_perplexity_strata",
+    "q290_isin_match",
+    "q291_row_group_scan",
 ]
 
 
