@@ -493,13 +493,15 @@ def q22_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |lineitem| (~4x less at any SF).  Decimal sums reassociate exactly,
     # so splitting the aggregate is value-identical.  The groupBy
     # partitioning on l_orderkey is then reused by the join — no extra
-    # exchange.  customer/nation/region broadcast.
+    # exchange.  nation/region (fixed 25/5 rows) broadcast; customer is
+    # an O(SF) dimension, so no pinned hint — AQE broadcasts it while
+    # small and degrades to a shuffle join at cluster scale.
     li_agg = li.groupBy("l_orderkey").agg(
         F.sum(rev).alias("orev"), F.count(F.lit(1)).alias("ocnt")
     )
     return (
         li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -5621,7 +5623,8 @@ def q156_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        # part is O(SF): no pinned broadcast (AQE decides)
+        .join(p.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo).cast("decimal(18,6)").cast("double").alias("promo_revenue"),
             F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_revenue"),
@@ -6309,12 +6312,15 @@ def q207_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q208_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: the nested IN(...IN(...)) + HAVING chain — which
     suppliers moved > 400 units of PROMO parts in 1997.  Scale plan: the
-    part-type keyset BROADCASTS as a left-semi join onto the lineitem
-    scan (with the shipdate filter pushed), the HAVING collapse shuffles
-    only (suppkey, qty) partial sums, and the qualifying suppkey set —
-    at most |supplier| rows — broadcasts back as the outer semi-join.
-    Nothing wide ever shuffles; both IN-subqueries become semi-joins, the
-    decorrelation Catalyst applies to this classic shape."""
+    part-type keyset semi-joins onto the lineitem scan (with the
+    shipdate filter pushed) BELOW the aggregate, the HAVING collapse
+    shuffles only (suppkey, qty) partial sums, and the qualifying
+    suppkey set — at most |supplier| rows — semi-joins back onto the
+    outer supplier scan.  Both keysets are O(SF) (part- and supplier-
+    derived), so neither carries a pinned broadcast: AQE broadcasts them
+    while small and shuffle-joins at cluster scale.  Nothing wide ever
+    shuffles; both IN-subqueries become semi-joins, the decorrelation
+    Catalyst applies to this classic shape."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -6324,13 +6330,13 @@ def q208_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .join(promo, li.l_partkey == promo.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(to_decimal(F.col("l_quantity"), 18, 4)).alias("qty"))
         .filter(F.col("qty") > 400)
         .select("l_suppkey")
     )
-    return s.join(F.broadcast(q), s.s_suppkey == q.l_suppkey, "left_semi").select(
+    return s.join(q, s.s_suppkey == q.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name", "s_acctbal"
     )
 
@@ -6613,12 +6619,14 @@ def q212_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the common p_partkey equi-join from under the OR and derives
     pushable per-side filters (brand IN the three values, quantity within
     the union envelope) so the scans prune BEFORE the join instead of
-    evaluating the disjunction on the raw cross product; the part side is
-    small after brand pruning and broadcasts.  Revenue through decimal
-    (the q01 exactness discipline)."""
+    evaluating the disjunction on the raw cross product.  Part is an
+    O(SF) dimension, so no pinned broadcast — after the derived brand/
+    size pruning AQE broadcasts the survivor set while small and shuffle-
+    joins at cluster scale.  Revenue through decimal (the q01 exactness
+    discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#11")
@@ -7305,7 +7313,10 @@ def q223_incremental_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     re-aggregate) and anti-joins the prior snapshot (untouched rows pass
     through); the oracle is the full recompute, so the graded row proves
     partial-recompute == full-recompute.  At 100 TB the re-scan cost is
-    proportional to TOUCHED groups' rows, not the table."""
+    proportional to TOUCHED groups' rows, not the table.  The pinned
+    broadcasts of touched_keys ride the IVM size contract (a changelog
+    batch's key set, bounded by the delta, like operators/ivm.py) — the
+    fixture's hash-bucket 'batch' is a stand-in for that bounded delta."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
 
     o = load_table(spark, sf_dir, "orders")
@@ -7749,14 +7760,14 @@ def q230_late_dimension_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = c.filter(hash_bucket(F.col("c_custkey"), "q230") < 600000).select(
         "c_custkey", "c_mktsegment"
     )
-    matched = o.join(F.broadcast(early), o.o_custkey == early.c_custkey).select(
+    # customer (and its 'early' subset) are O(SF) dims: no pinned
+    # broadcasts — AQE decides per size at runtime
+    matched = o.join(early, o.o_custkey == early.c_custkey).select(
         "o_orderkey", "c_mktsegment", F.lit("initial").alias("phase")
     )
-    orphans = o.join(
-        F.broadcast(early), o.o_custkey == early.c_custkey, "left_anti"
-    )
+    orphans = o.join(early, o.o_custkey == early.c_custkey, "left_anti")
     healed = orphans.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         orphans.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_mktsegment", F.lit("repaired").alias("phase"))
     return (
@@ -7915,7 +7926,8 @@ def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cust = (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        # customer is O(SF): no pinned broadcast (AQE decides)
+        o.join(c.select("c_custkey", "c_mktsegment"),
                o.o_custkey == F.col("c_custkey"))
         .groupBy("c_mktsegment", "o_custkey")
         .agg(
@@ -8324,8 +8336,10 @@ def q239_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(neg0)
         .alias("neg_id"),
     )
+    # the feature attach joins the FULL corpus back (d2 is O(corpus)):
+    # an equi-shuffle join on the dense id — never a pinned broadcast
     d2 = d.select(F.col("doc_id").alias("nid"), F.col("lang").alias("neg_lang"))
-    return neg.join(F.broadcast(d2), neg.neg_id == F.col("nid")).select(
+    return neg.join(d2, neg.neg_id == F.col("nid")).select(
         "doc_id", "k", "neg_id", "neg_lang"
     )
 
@@ -10628,7 +10642,8 @@ def q173_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("orev"))
     nr = (
         li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is O(SF): no pinned broadcast (AQE decides)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -12300,7 +12315,9 @@ def q266_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(of, li["l_orderkey"] == of["o_orderkey"])
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dims),
+            # dims is supplier-derived, O(SF): no pinned broadcast (the
+            # nation/region attach above IS pinned — those are fixed-size)
+            dims,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

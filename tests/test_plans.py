@@ -576,22 +576,23 @@ def test_q267_radius_join_is_equi_join(spark, sf_dir):
 
 
 def test_q266_q5_dims_broadcast(spark, sf_dir):
-    """TPC-H Q5 shape: the supplier/nation/region gate broadcasts, but
-    customer does NOT carry a broadcast hint (it scales with SF — 150k
-    rows/SF — so the hint would OOM at cluster scale; at graded sf AQE
-    may still pick broadcast from measured size, which is fine: a
-    runtime decision, not a plan-pinned claim).  No cartesian anywhere."""
+    """TPC-H Q5 shape: only the FIXED-SIZE dims (nation 25 rows, region
+    5 rows) carry broadcast hints; customer AND the supplier-derived
+    dims frame do not (both scale with SF, so a pinned hint would OOM at
+    cluster scale; at graded sf AQE may still pick broadcast from
+    measured size, which is fine: a runtime decision, not a plan-pinned
+    claim).  No cartesian anywhere."""
     df = QUERIES["q266_local_supplier_volume"](spark, sf_dir)
     p = plan_string(df, "simple")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
-    # the customer relation must not be hint-pinned to broadcast: EXACTLY
-    # the three true-dim broadcasts (supplier-dims chain) appear as hints.
-    # The equality keeps the guard live — if Spark ever renders hints
-    # differently, the count drops to 0 and the test fails loudly instead
-    # of going vacuous (<= would silently pass on a format change)
+    # EXACTLY the two fixed-size dim broadcasts (nation, region) appear
+    # as hints.  The equality keeps the guard live — if Spark ever
+    # renders hints differently, the count drops to 0 and the test fails
+    # loudly instead of going vacuous (<= would silently pass on a
+    # format change)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 3
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
 
 
 def test_q265_covariance_egress_is_partition_bounded(spark, sf_dir):
