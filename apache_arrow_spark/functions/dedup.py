@@ -537,13 +537,19 @@ def cluster_assignments(
     Returns ``df``'s id column with ``cluster_id`` (min doc id of the
     component; docs in no pair are their own singleton cluster) and
     ``is_canonical`` (the one row per cluster a dedup pipeline keeps).
-    The component table is pair-scale (small), so the join back to the
-    corpus broadcasts — the corpus itself never shuffles.
+    The component table holds only nodes that appear in a pair — usually
+    far smaller than the corpus, but O(corpus x dup-rate) in the worst
+    case, so the join back broadcasts only under the same measured-size
+    threshold as the verify stage (counting the localCheckpointed
+    component frame is one cheap job); above it, a shuffle join on the
+    id — never a pinned corpus-scale broadcast.
     """
     comp = connected_components(pairs, id_a, id_b)
+    if comp.count() <= (1 << 20):
+        comp = F.broadcast(comp)
     out = (
         df.select(id_col)
-        .join(F.broadcast(comp), df[id_col] == comp["node"], "left")
+        .join(comp, df[id_col] == comp["node"], "left")
         .select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
@@ -1022,15 +1028,17 @@ def duplication_weighted_keep(
     (deterministic across runs/retries/engines — no RNG state).  Returns
     (id_col, cluster_col, cluster_size, keep).
 
-    Scale shape: cluster sizes are a pair-scale aggregate (near-dup
-    components are tiny relative to the corpus) broadcast back onto the
-    assignment table, so the corpus never shuffles on cluster id."""
+    Scale shape: ``assignments`` carries EVERY doc (singletons included),
+    so ``sizes`` is O(#clusters) ~ O(corpus) — never broadcast.  The
+    groupBy and the join back share the cluster-id partitioning (the
+    q210 self-aggregate shape), so AQE reuses the exchange instead of
+    adding one, and nothing corpus-scale is ever pinned into memory."""
     from apache_arrow_spark.functions.pipeline import HASH_MOD, hash_bucket
 
     sizes = assignments.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    joined = assignments.join(F.broadcast(sizes), cluster_col)
+    joined = assignments.join(sizes, cluster_col)
     keep = (
         hash_bucket(F.col(id_col), salt) * F.col("cluster_size") < F.lit(HASH_MOD)
     )
