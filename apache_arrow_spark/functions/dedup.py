@@ -34,6 +34,11 @@ from apache_arrow_spark.functions.text import (
 _rng = random.Random(0xA44)
 XOR_MASKS = [_rng.getrandbits(63) for _ in range(64)]
 
+# One policy for "small enough to broadcast after measuring": used by the
+# verify stage's pair keyset and cluster_assignments' component join-back
+# so the two sites can never drift apart.
+BROADCAST_ROW_LIMIT = 1 << 20
+
 
 def _compute_parallelism(df: DataFrame) -> int:
     """Partition count for compute-bound stages — delegates to the single
@@ -545,7 +550,7 @@ def cluster_assignments(
     id — never a pinned corpus-scale broadcast.
     """
     comp = connected_components(pairs, id_a, id_b)
-    if comp.count() <= (1 << 20):
+    if comp.count() <= BROADCAST_ROW_LIMIT:
         comp = F.broadcast(comp)
     out = (
         df.select(id_col)
@@ -745,7 +750,7 @@ def _verify_pairs(
     returns the persisted (id_a, id_b, score_col) result."""
     n_pairs = candidates.count()
     pair_keys = candidates.select("id_a", "id_b")
-    if n_pairs <= (1 << 20):
+    if n_pairs <= BROADCAST_ROW_LIMIT:
         pair_keys = F.broadcast(pair_keys)
     ca = cells.join(
         candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"

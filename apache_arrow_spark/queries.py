@@ -13960,6 +13960,16 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = fpath + f".tmp{os.getpid()}"
         pq.write_table(tbl, tmp, row_group_size=gsz)
+        # prune fixtures for superseded digests of this sf dir — the
+        # content-keyed names mean a regenerated table never reuses them
+        import glob
+
+        for stale in glob.glob(os.path.join(scratch, "lineitem_rg_*.parquet")):
+            if stale != fpath:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         os.replace(tmp, fpath)
     kept = prune_row_groups(fpath, "l_orderkey", lo, hi - 1)
     total = pq.ParquetFile(fpath).metadata.num_row_groups
