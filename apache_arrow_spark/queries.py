@@ -8944,27 +8944,45 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic that would otherwise need a range join.  Keys present in
     either side appear (full-outer cogroup semantics, mirrored by the
     oracle's FULL JOIN).  One shuffle per side on the key; group sizes
-    bound the pandas memory, the 100 TB contract of every grouped-map."""
+    bound the pandas memory, the 100 TB contract of every grouped-map.
+
+    Both sides repartition EXPLICITLY on the key: AQE costs exchanges in
+    bytes, so it coalesces this byte-small shuffle to its minimum — and
+    the per-GROUP Python overhead (two pandas frames + one result frame
+    per key) that actually dominates a grouped-map stage then serializes
+    onto those few cores (measured 14.7 s on 2 tasks -> 1.6 s on 32 for
+    a trivial cogroup over the same keys).  A user repartition is exempt
+    from AQE coalescing and doubles as the cogroup's required
+    co-partitioning."""
     import pandas as pd
 
+    from apache_arrow_spark.session import compute_parallelism
+
+    n_part = compute_parallelism(spark)
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 86400000000000").alias("d")
-    )
+    ).repartition(n_part, "user_id")
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.expr("cast(cast(o_orderdate as timestamp) as bigint) div 86400").alias("od"),
-    )
+    ).repartition(n_part, "user_id")
 
     def reconcile(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         uid = int(key[0])
         n_ev, n_or = len(evs), len(ords)
         n_near = 0
         if n_ev and n_or:
-            od = ords["od"].to_numpy()
-            for d in evs["d"].to_numpy():
-                diff = d - od
-                if ((diff >= 0) & (diff <= 2)).any():
-                    n_near += 1
+            # near iff an order date falls in [d-2, d]: two vectorized
+            # searchsorted passes over the sorted order days — no Python
+            # per-event loop (was O(n_ev * n_or) with interpreter cost
+            # per event; measured 24 s -> single-digit at sf0.1)
+            od = np.sort(ords["od"].to_numpy())
+            d = evs["d"].to_numpy()
+            lo = np.searchsorted(od, d - 2, side="left")
+            hi = np.searchsorted(od, d, side="right")
+            n_near = int((hi > lo).sum())
         return pd.DataFrame(
             {
                 "user_id": [uid],
