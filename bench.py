@@ -115,6 +115,12 @@ HEADLINE = [
     # applyInPandas sequential debounce — the stateful-batch cost points
     "q276_session_stitch",
     "q282_debounce",
+    # round 6: the r6 window's expensive batch shapes — the cogrouped
+    # grouped-map (post AQE-starvation fix), the two-carry grid
+    # interpolation, and the iterative BFS frontier walk
+    "q248_cogroup_reconcile",
+    "q263_grid_interpolation",
+    "q269_bfs_khop",
 ]
 
 
