@@ -911,7 +911,20 @@ def grid_interpolate(
             F.lit(None).cast("double").alias("__v"), F.lit(1).alias("__grid"),
         )
     )
-    u = obs.unionByName(grid)
+    # explicit key repartition ahead of the carry windows: the union is
+    # byte-small at exchange time, so AQE would coalesce the window
+    # exchange (measured 10 tasks at sf0.1) — but the windows run AFTER
+    # the grid explode multiplied the rows, so byte costing
+    # under-provisions the heavy stage.  A user repartition is exempt
+    # from coalescing and is exactly the hash partitioning the windows
+    # need, so it adds no exchange.
+    from apache_arrow_spark.session import compute_parallelism
+
+    try:
+        n_part = compute_parallelism(df.sparkSession)
+    except Exception:
+        n_part = 32
+    u = obs.unionByName(grid).repartition(n_part, F.col("__k"))
     # observations sort before the grid point at the same instant, so the
     # backward carry sees an exactly-coincident observation as "previous".
     wb = (
