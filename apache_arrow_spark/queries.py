@@ -4446,9 +4446,21 @@ def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps in sample-fit k-means centroids — same plan shape, same bound.
     Exact duplicate vectors are planted (the q37 convention) so the result
     is non-vacuous at every scale; ties in the argmin break toward the
-    lowest centroid id in both engines.  One shuffle on the cluster key
-    for the self-join."""
-    from apache_arrow_spark.functions.similarity import _as_double, cosine
+    lowest centroid id in both engines.
+
+    Pair-stage plan: with only 4 cluster keys a plain self-join runs on
+    at most 4 tasks, serializing ~|cluster|^2/2 cosines onto a few cores
+    (measured 23.5 s at sf0.1).  The join is therefore SALTED fragment-
+    replicate style — one side replicated over B = parallelism buckets,
+    the other keyed by hash(id) % B, joined on (cluster, bucket) — so
+    every (i < j) pair still appears exactly once but the pair work fans
+    out over 4 x B keys (23.5 -> ~1.5 s).  Vector NORMS are precomputed
+    per row before the join (a norm is a function of one vector, bit-
+    identical hoisted or inlined), so each pair pays only the dot
+    product.  Same recipe at cluster scale whenever #clusters is below
+    the cluster's parallelism."""
+    from apache_arrow_spark.functions.similarity import _as_double, dot, norm
+    from apache_arrow_spark.session import compute_parallelism
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")).unionAll(
@@ -4481,12 +4493,27 @@ def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("cluster"),
     )
-    x, y = a.alias("x"), a.alias("y")
-    c = F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
+    an = a.withColumn("__n", norm(F.col("v")))
+    nb = compute_parallelism(spark)
+    # explicit repartition on the join keys: the salted exchanges are
+    # byte-small (vectors only) so AQE would coalesce the post-shuffle
+    # join to 1-2 tasks — but the join stage EXPLODES to ~|cluster|^2/2
+    # pair-cosines, invisible to byte costing (the q248/q263 class)
+    xs = an.withColumn(
+        "__b", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
+    ).repartition(nb, F.col("cluster"), F.col("__b"))
+    ys = an.withColumn(
+        "__b", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+    ).repartition(nb, F.col("cluster"), F.col("__b"))
+    x, y = xs.alias("x"), ys.alias("y")
+    c = F.round(
+        dot(F.col("x.v"), F.col("y.v")) / (F.col("x.__n") * F.col("y.__n")), 6
+    )
     return (
         x.join(
             y,
             (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.__b") == F.col("y.__b"))
             & (F.col("x.id") < F.col("y.id")),
         )
         .select(
