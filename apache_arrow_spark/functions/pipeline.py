@@ -917,14 +917,17 @@ def grid_interpolate(
     # the grid explode multiplied the rows, so byte costing
     # under-provisions the heavy stage.  A user repartition is exempt
     # from coalescing and is exactly the hash partitioning the windows
-    # need, so it adds no exchange.
+    # need, so it adds no exchange.  When the guard cannot be evaluated
+    # (Spark Connect: no sparkContext) the safe fallback is the IDENTITY
+    # — forcing a fixed count would pin arbitrarily large data to it
+    # (the spread_compute posture, session.py).
     from apache_arrow_spark.session import compute_parallelism
 
+    u = obs.unionByName(grid)
     try:
-        n_part = compute_parallelism(df.sparkSession)
+        u = u.repartition(compute_parallelism(df.sparkSession), F.col("__k"))
     except Exception:
-        n_part = 32
-    u = obs.unionByName(grid).repartition(n_part, F.col("__k"))
+        pass
     # observations sort before the grid point at the same instant, so the
     # backward carry sees an exactly-coincident observation as "previous".
     wb = (

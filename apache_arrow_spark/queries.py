@@ -4454,11 +4454,13 @@ def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate style — one side replicated over B = parallelism buckets,
     the other keyed by hash(id) % B, joined on (cluster, bucket) — so
     every (i < j) pair still appears exactly once but the pair work fans
-    out over 4 x B keys (23.5 -> ~1.5 s).  Vector NORMS are precomputed
-    per row before the join (a norm is a function of one vector, bit-
-    identical hoisted or inlined), so each pair pays only the dot
-    product.  Same recipe at cluster scale whenever #clusters is below
-    the cluster's parallelism."""
+    out over 4 x B keys (23.5 -> 2.5 s measured).  B = parallelism /
+    #clusters, so the replication factor SHRINKS as cluster count grows
+    — production SemDeDup with k >= parallelism clusters gets B = 1
+    (no replication, the salt is a no-op safety net).  Vector NORMS are
+    precomputed per row before the join (a norm is a function of one
+    vector, bit-identical hoisted or inlined), so each pair pays only
+    the dot product."""
     from apache_arrow_spark.functions.similarity import _as_double, dot, norm
     from apache_arrow_spark.session import compute_parallelism
 
@@ -4494,17 +4496,21 @@ def q130_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster"),
     )
     an = a.withColumn("__n", norm(F.col("v")))
-    nb = compute_parallelism(spark)
+    par = compute_parallelism(spark)
+    # salt factor: enough buckets that #clusters x B >= parallelism, no
+    # more — replication cost scales with B, and with many clusters the
+    # keys alone provide the parallelism (B collapses to 1)
+    nb = max(1, par // len(cents))
     # explicit repartition on the join keys: the salted exchanges are
     # byte-small (vectors only) so AQE would coalesce the post-shuffle
     # join to 1-2 tasks — but the join stage EXPLODES to ~|cluster|^2/2
     # pair-cosines, invisible to byte costing (the q248/q263 class)
     xs = an.withColumn(
-        "__b", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
-    ).repartition(nb, F.col("cluster"), F.col("__b"))
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    ).repartition(par, F.col("cluster"), F.col("__b"))
     ys = an.withColumn(
         "__b", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
-    ).repartition(nb, F.col("cluster"), F.col("__b"))
+    ).repartition(par, F.col("cluster"), F.col("__b"))
     x, y = xs.alias("x"), ys.alias("y")
     c = F.round(
         dot(F.col("x.v"), F.col("y.v")) / (F.col("x.__n") * F.col("y.__n")), 6
@@ -8981,6 +8987,7 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trivial cogroup over the same keys).  A user repartition is exempt
     from AQE coalescing and doubles as the cogroup's required
     co-partitioning."""
+    import numpy as np
     import pandas as pd
 
     from apache_arrow_spark.session import compute_parallelism
@@ -8995,8 +9002,6 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n_part, "user_id")
 
     def reconcile(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         uid = int(key[0])
         n_ev, n_or = len(evs), len(ords)
         n_near = 0
