@@ -332,6 +332,10 @@ def test_shuffle_bytes_scale_linearly(spark):
         "q205_perplexity_strata",
         "q290_isin_match",
         "q291_row_group_scan",
+        # r6 perf wave: the salted SemDeDup pair join and the repartitioned
+        # cogroup (alphas 0.59 / 1.02 — SCALE.md r6 table)
+        "q130_semantic_dedup_pairs",
+        "q248_cogroup_reconcile",
     ]
     import time as _time
 

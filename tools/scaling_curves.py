@@ -45,6 +45,9 @@ HOT = [
     "q205_perplexity_strata",
     "q290_isin_match",
     "q291_row_group_scan",
+    # r6 perf wave
+    "q130_semantic_dedup_pairs",
+    "q248_cogroup_reconcile",
 ]
 
 
