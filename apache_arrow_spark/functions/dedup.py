@@ -1083,7 +1083,16 @@ def remove_duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from apache_arrow_spark.session import spread_compute
+
+    # spread the docs by id BEFORE the posexplode: the window pass (md5
+    # per position over a w-token frame) and the per-doc rebuild are the
+    # compute-heavy stages, and their id-exchange is byte-small enough
+    # that AQE would coalesce them to ~2 tasks (the byte-blind class);
+    # the explicit id partitioning is coalesce-exempt, satisfies the
+    # window's required distribution (no second exchange), and moves raw
+    # docs — smaller than the exploded token stream.
+    toks = spread_compute(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
     )

@@ -389,15 +389,29 @@ def quantize_int8(
     Returns (id, scale, codes array<int>).  Dequantization is
     ``code * scale``; max reconstruction error is scale/2 per component.
     """
+    # let-bind the cast vector and the scale as plain columns BEFORE the
+    # code transform: an expression referenced inside a transform lambda
+    # is INLINED PER ELEMENT, so the original form re-evaluated the cast
+    # and the array_max-based scale 64x per row inside an interpreted
+    # (non-codegen) higher-order function — measured 1.5 s for 2k rows
+    # at sf0.1; hoisted, the lambda reads two attributes.
     dv = _as_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(dv, F.abs))
-    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
-    out = df.select(
-        F.col(id_col).alias("id"),
-        scale.alias("scale"),
-        F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")).alias(
-            "codes"
-        ),
+    base = df.select(F.col(id_col).alias("id"), dv.alias("__dv"))
+    absmax = F.array_max(F.transform(F.col("__dv"), F.abs))
+    scaled = base.select(
+        "id",
+        "__dv",
+        F.when(absmax == 0.0, F.lit(1.0))
+        .otherwise(absmax / F.lit(127.0))
+        .alias("scale"),
+    )
+    out = scaled.select(
+        "id",
+        "scale",
+        F.transform(
+            F.col("__dv"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("codes"),
     )
     return out
 
