@@ -8178,7 +8178,8 @@ def q236_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+        # part is O(SF): no pinned broadcast (AQE decides)
+        .join(p.select("p_partkey", "p_brand"),
               li.l_partkey == F.col("p_partkey"))
         .select(
             "p_brand",
@@ -10951,9 +10952,11 @@ def q170_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q168_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy-request delete propagation: the subject set (one nation's
     low-balance accounts) cascades customer -> orders -> lineitem
-    through KEY-ONLY semi-joins — the subject keyset broadcasts (privacy
-    requests are small by nature), each fact table is scanned once, and
-    the deletion wave never carries payload columns.  The report is what
+    through KEY-ONLY semi-joins — each fact table is scanned once, and
+    the deletion wave never carries payload columns.  The keysets carry
+    no pinned broadcast: del_cust/del_orders are customer-/orders-derived
+    (O(SF) — one nation's accounts cascade to ~4 % of orders), so AQE
+    broadcasts them while small and shuffle-semi-joins at cluster scale.  The report is what
     the compliance log records: per-table deleted/remaining counts.  The
     actual rewrite would be the q105 merge-upsert / q150 compaction
     machinery applied to the flagged keys."""
@@ -10964,10 +10967,10 @@ def q168_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     del_orders = o.join(
-        F.broadcast(del_cust), o.o_custkey == del_cust.c_custkey, "leftsemi"
+        del_cust, o.o_custkey == del_cust.c_custkey, "leftsemi"
     ).select("o_orderkey")
     del_li = li.join(
-        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "leftsemi"
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "leftsemi"
     )
     rows = []
     for name, total_df, del_df in (
@@ -12587,8 +12590,13 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q270_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's best topic under a deterministic term x topic
-    weight matrix — sparse matmul via broadcast join + grouped sum,
-    argmax via the per-doc window (doc-bounded partitions).  Tokenizer is
+    weight matrix — sparse matmul via an equi-join on the term + grouped
+    sum, argmax via the per-doc window (doc-bounded partitions).  The
+    weight matrix is CORPUS-VOCABULARY x topics, i.e. O(distinct terms)
+    — unbounded at 100 TB — so it carries no pinned broadcast: AQE
+    broadcasts it while small and shuffle-joins on the term at cluster
+    scale (a real deployment caps the vocab like q164's top-200 gate,
+    but the recipe must not pin an uncapped set).  Tokenizer is
     functions.text.tokens; the oracle mirrors it with
     string_split_regex(trim(text), '\\\\s+') — the q81/q164 twin."""
     from apache_arrow_spark.functions.pipeline import hash_bucket
@@ -12616,7 +12624,7 @@ def q270_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     s = (
-        tf.join(F.broadcast(w), "term")
+        tf.join(w, "term")
         .groupBy("doc_id", "topic")
         .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
     )

@@ -463,7 +463,10 @@ def test_q164_vocab_gate_broadcasts(spark, sf_dir):
 def test_q168_erasure_semi_joins_broadcast(spark, sf_dir):
     df = QUERIES["q168_erasure_cascade"](spark, sf_dir)
     p = plan_string(df, "simple")
-    # the subject keyset and the order-key wave both broadcast as semi-joins
+    # the cascade stays KEY-ONLY semi-joins; the keysets carry no pinned
+    # broadcast (customer-/orders-derived, O(SF)) — at this test scale the
+    # size-based planner still picks broadcast, which is the intended
+    # small-side behavior, while cluster scale degrades to shuffle
     assert p.count("LeftSemi") >= 2
     assert "BroadcastHashJoin" in p
 
