@@ -13158,16 +13158,18 @@ def q278_counting_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q279_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True vs MCV-estimated self-join size on l_partkey (top-20 MCVs
-    exact, uniform tail); one frequency aggregate, no join ever runs."""
+    exact, uniform tail); one frequency aggregate, no join ever runs.
+    The MCV set comes from a distributed ``orderBy().limit(20)`` (range-
+    partitioned top-k), NOT a global row_number window — the frequency
+    table is O(#parts) = O(SF) and a single-task sort over it would not
+    hold at cluster scale; the tail is everything anti-joined out of the
+    20-row MCV set (deterministic: ties break on the key)."""
     li = load_table(spark, sf_dir, "lineitem")
     f = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
-    wr = Window.orderBy(F.col("c").desc(), "k")
-    ranked = f.withColumn("rn", F.row_number().over(wr))
-    exact = ranked.agg(F.sum(F.col("c") * F.col("c")).alias("exact_pairs"))
-    mcv = ranked.filter(F.col("rn") <= 20).agg(
-        F.sum(F.col("c") * F.col("c")).alias("mcv_pairs")
-    )
-    tail = ranked.filter(F.col("rn") > 20).agg(
+    top20 = f.orderBy(F.col("c").desc(), "k").limit(20)
+    exact = f.agg(F.sum(F.col("c") * F.col("c")).alias("exact_pairs"))
+    mcv = top20.agg(F.sum(F.col("c") * F.col("c")).alias("mcv_pairs"))
+    tail = f.join(F.broadcast(top20.select("k")), "k", "left_anti").agg(
         F.count(F.lit(1)).alias("d_tail"), F.sum("c").alias("n_tail")
     )
     j = exact.crossJoin(F.broadcast(mcv)).crossJoin(F.broadcast(tail))
