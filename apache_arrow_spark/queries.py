@@ -14183,6 +14183,86 @@ def q293_numpy_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q294 — Plasma object-store lifecycle (reference cpp/src/plasma/client.h
+# Create/Seal/Get/Contains/Evict + store.cc seal notifications +
+# client.h:209 Hash + client.h:298-304 Transfer): the last SURVEY §2.1
+# surface that was pytest-only.  The graded aggregate is computed from the
+# REHYDRATED DataFrame (get() after evicting the hot copy — the sealed
+# spill copy must supply the rows), so the hash certifies the full
+# seal -> notify -> evict -> rehydrate -> transfer chain preserved values.
+# --------------------------------------------------------------------------
+@register(
+    "q294_plasma_lifecycle",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           true AS sealed_notified, true AS evict_rehydrated,
+           true AS transfer_hash_equal
+    FROM customer GROUP BY 1
+    """,
+)
+def q294_plasma_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plasma store lifecycle over the customer dim: put(spill=True) seals
+    the object and notifies the subscriber; hash() is the distributed
+    order-insensitive content digest (client.h:209); evict() drops the hot
+    copy but the sealed spill copy survives, so get() rehydrates from it;
+    transfer() copies the sealed object into a second store whose digest
+    must match (the manager-protocol integrity check).  Three boolean
+    columns grade those contracts; the per-segment aggregate — computed
+    from the REHYDRATED DataFrame — grades the data itself.  Fresh temp
+    spill dirs per call keep the query idempotent; both hot copies are
+    evicted at the end (the q101 leaked-cache-blocks lesson — the returned
+    plan rehydrates from the sealed parquet, so unpersisting is safe)."""
+    import tempfile
+
+    from apache_arrow_spark.store import ObjectStore
+
+    store = ObjectStore(spark, spill_dir=tempfile.mkdtemp(prefix="aas_q294_"))
+    sub = store.subscribe()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    store.put("customer", c, spill=True)
+    notes = sub.drain()
+    sealed_notified = (
+        len(notes) == 1
+        and notes[0].object_id == "customer"
+        and not notes[0].deleted
+        and notes[0].data_size > 0
+    )
+    store.unsubscribe(sub)
+    h1 = store.hash("customer")
+    store.evict("customer")
+    evict_rehydrated = store.contains("customer")
+    df = store.get("customer")  # rehydrates from the sealed spill copy
+    target = ObjectStore(spark, spill_dir=tempfile.mkdtemp(prefix="aas_q294t_"))
+    store.transfer("customer", target)
+    transfer_hash_equal = target.hash("customer") == h1
+    out = (
+        df.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "bal_cents"
+            ),
+        )
+        .withColumn("sealed_notified", F.lit(bool(sealed_notified)))
+        .withColumn("evict_rehydrated", F.lit(bool(evict_rehydrated)))
+        .withColumn("transfer_hash_equal", F.lit(bool(transfer_hash_equal)))
+    )
+    # localCheckpoint the 5-row result, then drop every cache pin the
+    # lifecycle created — nothing leaks into a long-lived session
+    out = out.localCheckpoint(eager=True)
+    store.evict("customer")
+    target.evict("customer")
+    return out
+
+
+# --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
 # first 50 registered queries.  Round-6 window = q245-q291 (the 47 remaining
 # never-driver-graded queries, incl. the two r5 registrations q290/q291) plus
