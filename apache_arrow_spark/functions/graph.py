@@ -172,10 +172,17 @@ def bfs_khop(
     Scale shape: ``max_hops`` rounds of (frontier JOIN edges) — each
     round one equi-join shuffle keyed by node, frontier-sized (never
     |V| x |E|); visited-set dedup via a groupBy min after each
-    expansion keeps frontiers from re-exploding through back-edges.
-    The loop count is a LITERAL bound, so the job graph is static;
-    each round is localCheckpointed to keep lineage flat (the q79
-    connected-components discipline)."""
+    expansion keeps frontiers from re-exploding through back-edges
+    (no per-round ``distinct`` — the min-aggregate's map-side partial
+    agg already absorbs duplicate expansions, and a distinct would be
+    a second shuffle of the same rows every hop).  The persisted edge
+    table is hash-partitioned ONCE on the join key, so each round
+    shuffles only the frontier side.  The loop count is a LITERAL
+    bound, so the job graph is static; each round is localCheckpointed
+    to keep lineage flat (the q79 connected-components discipline) and
+    the superseded round's blocks are freed eagerly (the q78 lesson)."""
+    from apache_arrow_spark.session import compute_parallelism, free_local_checkpoint
+
     spark = edges.sparkSession
     und = (
         edges.select(F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b"))
@@ -185,6 +192,7 @@ def bfs_khop(
             )
         )
         .distinct()
+        .repartition(compute_parallelism(spark), "a")
         .persist()
     )
     dist = spark.createDataFrame(
@@ -192,16 +200,15 @@ def bfs_khop(
     ).localCheckpoint()
     frontier = dist
     for hop in range(1, int(max_hops) + 1):
-        nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
-            .select(F.col("b").alias("node"), F.lit(hop).alias("dist"))
-            .distinct()
+        nxt = frontier.join(und, frontier["node"] == und["a"]).select(
+            F.col("b").alias("node"), F.lit(hop).alias("dist")
         )
         merged = (
             dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
         ).localCheckpoint()
         # next frontier: nodes whose best distance IS this hop (newly found)
         frontier = merged.filter(F.col("dist") == hop)
+        free_local_checkpoint(dist)
         dist = merged
     und.unpersist()
     return dist
