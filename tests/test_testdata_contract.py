@@ -73,3 +73,23 @@ def test_engine_facing_schemas(spark, sf_dir):
 def test_all_tables_load(spark, sf_dir):
     for t in TABLE_NAMES:
         assert load_table(spark, sf_dir, t).limit(1).count() >= 0, t
+
+
+def test_table_digest_tracks_file_changes(tmp_path):
+    """The fixture-cache digest (q159 layout, q291 row-group file) must
+    move whenever a backing file is rewritten — regardless of which
+    column changed — and stay put otherwise."""
+    import os
+    import shutil
+    import time
+
+    from apache_arrow_spark.session import table_digest
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    shutil.copy(src, tmp_path / "nation.parquet")
+    d1 = table_digest(str(tmp_path), "nation")
+    assert d1 == table_digest(str(tmp_path), "nation")  # stable
+    time.sleep(0.01)
+    os.utime(tmp_path / "nation.parquet")  # a rewrite always moves mtime
+    assert table_digest(str(tmp_path), "nation") != d1
+    assert table_digest(str(tmp_path), "missing") != d1  # absence keys too
