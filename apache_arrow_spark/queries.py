@@ -9066,7 +9066,17 @@ def q249_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned access.  The readout aggregates a typed extraction per
     event type; the oracle runs DuckDB's native JSON extraction over
     the same strings."""
-    e = load_table(spark, sf_dir, "events")
+    from apache_arrow_spark.session import spread_compute
+
+    # spread BEFORE the parse: variant parse_json is the compute-heavy
+    # narrow stage, and the one-row-group testdata file is a single scan
+    # split — fused, the whole parse serializes onto one core (the
+    # single-split-serialization class, SCALE.md).  KEYLESS round-robin:
+    # event_type has ~5 distinct values, so a keyed spread would cap the
+    # parse at 5 tasks; the groupBy then shuffles only map-side partials.
+    e = spread_compute(
+        load_table(spark, sf_dir, "events").select("event_type", "props")
+    )
     v = e.select(
         "event_type",
         F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
