@@ -422,7 +422,28 @@ def test_q159_bucketed_join_no_join_side_exchange(spark, sf_dir):
     assert shuffle_count(df) <= 1
 
 
-def test_tpch_pack_plan_shapes(spark, sf_dir):
+def test_q159_layout_reuse_and_wipe_recovery(spark, sf_dir):
+    """The steady-state layout cache must (a) reuse across invocations,
+    (b) survive an external scratch sweep by rewriting, (c) keep values
+    identical in every mode, and (d) self-prune so exactly one layout
+    dir exists."""
+    import glob
+    import shutil
+    import tempfile
+
+    def run():
+        return sorted(map(tuple, QUERIES["q159_bucketed_join"](spark, sf_dir).collect()))
+
+    r1 = run()
+    r2 = run()  # cache hit
+    pattern = "/dev/shm/aas_layout_q159_*"
+    if not glob.glob(pattern):
+        pattern = tempfile.gettempdir() + "/aas_layout_q159_*"
+    for d in glob.glob(pattern):
+        shutil.rmtree(d, ignore_errors=True)  # simulate a scratch sweeper
+    r3 = run()  # must detect the wipe and rewrite, not fail mid-scan
+    assert r1 == r2 == r3
+    assert len(glob.glob(pattern)) == 1  # superseded layouts pruned
     # q153: shipdate filter reaches the scan; top-10 is TakeOrdered, not a
     # global sort
     df = QUERIES["q153_shipping_priority"](spark, sf_dir)
