@@ -678,18 +678,30 @@ def image_near_duplicates(
         F.lit(0).cast("int").alias("hamming"),
         (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_pairs"),
     )
-    blocks = groups.select(
-        "rep",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("blk"), F.col(f"b{b}").alias("v"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("rep", "n", "e.blk", "e.v")
+    from apache_arrow_spark.session import compute_parallelism
+
+    # explicit repartition on the pigeonhole join keys: the group table's
+    # exchange is byte-small (5 ints/row) so AQE coalesces it to 1-2
+    # tasks — but the block self-join's work amplifies to candidate-pair
+    # volume the byte costing cannot see (the q248/q263 class; measured
+    # one 0.86 s single-task stage at sf0.1).  A user repartition is
+    # coalesce-exempt and is exactly the join's hash partitioning.
+    blocks = (
+        groups.select(
+            "rep",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("blk"), F.col(f"b{b}").alias("v"))
+                        for b in range(4)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("rep", "n", "e.blk", "e.v")
+        .repartition(compute_parallelism(media_df.sparkSession), "blk", "v")
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
