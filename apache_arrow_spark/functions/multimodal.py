@@ -686,22 +686,26 @@ def image_near_duplicates(
     # volume the byte costing cannot see (the q248/q263 class; measured
     # one 0.86 s single-task stage at sf0.1).  A user repartition is
     # coalesce-exempt and is exactly the join's hash partitioning.
-    blocks = (
-        groups.select(
-            "rep",
-            "n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("blk"), F.col(f"b{b}").alias("v"))
-                        for b in range(4)
-                    ]
-                )
-            ).alias("e"),
+    blocks = groups.select(
+        "rep",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("blk"), F.col(f"b{b}").alias("v"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("rep", "n", "e.blk", "e.v")
+    try:
+        # guard unevaluable (Spark Connect: no sparkContext) — the safe
+        # fallback is the identity, the spread_compute posture
+        blocks = blocks.repartition(
+            compute_parallelism(media_df.sparkSession), "blk", "v"
         )
-        .select("rep", "n", "e.blk", "e.v")
-        .repartition(compute_parallelism(media_df.sparkSession), "blk", "v")
-    )
+    except Exception:
+        pass
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

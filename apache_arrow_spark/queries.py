@@ -11606,7 +11606,8 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         and os.path.isdir(os.path.join(cached_root, "orders"))
     ):
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        root = tempfile.mkdtemp(prefix="aas_layout_q159_", dir=shm)
+        appid = spark.sparkContext.applicationId
+        root = tempfile.mkdtemp(prefix=f"aas_layout_q159_{appid}_", dir=shm)
         write_bucketed(
             li.select("l_orderkey", "l_extendedprice", "l_discount"),
             "aas_q159_lineitem",
@@ -11619,11 +11620,22 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "orders"),
             "o_orderkey",
         )
-        # self-prune superseded layouts (ours from earlier keys, or a dead
-        # application's leftovers) — the layout owns its scratch lifecycle
+        # self-prune: OUR superseded layouts unconditionally (the appid in
+        # the dir name scopes ownership — a concurrent process's live
+        # layout is never touched), other applications' only when old
+        # enough that no live query can still be scanning them
+        import time as _time
+
         for stale in _glob.glob(os.path.join(shm or tempfile.gettempdir(),
                                              "aas_layout_q159_*")):
-            if stale != root:
+            if stale == root:
+                continue
+            ours = os.path.basename(stale).startswith(f"aas_layout_q159_{appid}_")
+            try:
+                old = _time.time() - os.stat(stale).st_mtime > 6 * 3600
+            except OSError:
+                old = False
+            if ours or old:
                 _shutil.rmtree(stale, ignore_errors=True)
         _Q159_LAYOUT.update(key=fix_key, root=root)
     a = read_bucketed(spark, "aas_q159_lineitem")

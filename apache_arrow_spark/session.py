@@ -265,7 +265,10 @@ def table_digest(sf_dir: str, *names: str) -> str:
                 parts.append(f"{f}:absent")
                 continue
             if not os.path.isdir(f):
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                # inode too: a restore that preserves mtime (tar -x,
+                # cp -p, rsync -a) still replaces the file — new inode —
+                # so even timestamp-faithful testdata swaps move the key
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}:{st.st_ino}")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 

@@ -443,7 +443,15 @@ def test_q159_layout_reuse_and_wipe_recovery(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)  # simulate a scratch sweeper
     r3 = run()  # must detect the wipe and rewrite, not fail mid-scan
     assert r1 == r2 == r3
-    assert len(glob.glob(pattern)) == 1  # superseded layouts pruned
+    # exactly one layout for THIS application (a concurrent process may
+    # legitimately hold its own)
+    from pyspark.sql import SparkSession
+
+    appid = spark.sparkContext.applicationId
+    assert len(glob.glob(pattern.replace("q159_", f"q159_{appid}_"))) == 1
+
+
+def test_tpch_pack_plan_shapes(spark, sf_dir):
     # q153: shipdate filter reaches the scan; top-10 is TakeOrdered, not a
     # global sort
     df = QUERIES["q153_shipping_priority"](spark, sf_dir)

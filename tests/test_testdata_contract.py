@@ -80,13 +80,13 @@ def test_table_digest_tracks_file_changes(tmp_path):
     move whenever a backing file is rewritten — regardless of which
     column changed — and stay put otherwise."""
     import os
-    import shutil
     import time
 
     from apache_arrow_spark.session import table_digest
 
-    src = "/root/testdata/sf0.001/nation.parquet"
-    shutil.copy(src, tmp_path / "nation.parquet")
+    # table_digest only stats files, so any bytes work — no dependency on
+    # a real testdata location
+    (tmp_path / "nation.parquet").write_bytes(b"not-really-parquet")
     d1 = table_digest(str(tmp_path), "nation")
     assert d1 == table_digest(str(tmp_path), "nation")  # stable
     time.sleep(0.01)
