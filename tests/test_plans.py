@@ -445,8 +445,6 @@ def test_q159_layout_reuse_and_wipe_recovery(spark, sf_dir):
     assert r1 == r2 == r3
     # exactly one layout for THIS application (a concurrent process may
     # legitimately hold its own)
-    from pyspark.sql import SparkSession
-
     appid = spark.sparkContext.applicationId
     assert len(glob.glob(pattern.replace("q159_", f"q159_{appid}_"))) == 1
 
