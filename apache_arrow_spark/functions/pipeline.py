@@ -611,8 +611,9 @@ def global_value_rank(
     draw different boundaries and invalidate the collected offsets), so
     this function cannot unpersist it.  The CALLER owns the cache —
     after fully consuming (or re-materializing) the result, release it
-    with ``spark.catalog.clearCache()`` or by unpersisting the result's
-    source.
+    via the ``_aas_rank_source`` attribute stashed on the returned
+    DataFrame (``out._aas_rank_source.unpersist()``), or with
+    ``spark.catalog.clearCache()``.
 
     This is the scalable primitive under rank-based stratification,
     percentile bucketing, and top-fraction selection at 100 TB."""
@@ -640,9 +641,11 @@ def global_value_rank(
         )
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return p.withColumn(
+    out = p.withColumn(
         rank_col, (F.row_number().over(w) + omap[F.col("__pid")]).cast("bigint")
     ).drop("__pid")
+    out._aas_rank_source = p  # cache handle for the owning caller
+    return out
 
 
 def greedy_coverage_select(

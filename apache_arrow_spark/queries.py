@@ -4661,22 +4661,49 @@ def q132_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q133_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile (decile) binning of order totals via ntile — the
-    feature-bucketing transform.  The ntile window has no partition key
-    (single-partition sort — fine at dimension scale); at 100 TB bin by
-    PRE-COMPUTED quantile boundaries instead: the mergeable GK sketch
-    (q84) yields the decile edges, and binning becomes a pure scan-speed
-    expression — same results, no global sort.  Tie-break on o_orderkey
-    makes the assignment deterministic in both engines."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-    return b.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        exact_sum(F.col("o_totalprice")).alias("sum_price"),
-        F.min("o_totalprice").cast("decimal(18,4)").cast("double").alias("lo"),
-        F.max("o_totalprice").cast("decimal(18,4)").cast("double").alias("hi"),
+    """Quantile (decile) binning of order totals — the feature-bucketing
+    transform — with NO single-task global window: the exact global rank
+    comes from ``pipeline.global_value_rank`` (range-repartition + local
+    rank + broadcast per-partition offsets), and the decile is pure
+    integer arithmetic replaying ntile's exact tiling rule: with
+    N = q*10 + rem, the first ``rem`` tiles hold q+1 rows and the rest q,
+    so decile(r) = ceil(r/(q+1)) for r <= rem*(q+1), else
+    rem + ceil((r - rem*(q+1))/q).  Tie-break on o_orderkey makes the
+    rank (and hence the assignment) deterministic in both engines; the
+    oracle keeps its plain ``ntile(10) OVER (ORDER BY ...)`` — equality
+    certifies the distributed rewrite IS ntile.  This was the registry's
+    last fact-table-scale single-task window (r6 verdict): the old
+    ``Window.orderBy`` funneled all of orders through one task."""
+    from apache_arrow_spark.functions.pipeline import global_value_rank
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_value_rank(o, ["o_totalprice", "o_orderkey"], rank_col="rnk")
+    n = ranked.count()  # scalar; rides the rank cache
+    tile_q, rem = divmod(n, 10)
+    if tile_q == 0:  # degenerate N<10: rem tiles of exactly one row each
+        decile = F.col("rnk").cast("int")
+    else:
+        head = rem * (tile_q + 1)
+        # integer `div`, never `/` (double division loses exactness past
+        # 2^53 — real at 100 TB rank magnitudes)
+        decile = F.expr(
+            f"cast(1 + if(rnk <= {head}, (rnk - 1) div {tile_q + 1}, "
+            f"{rem} + (rnk - 1 - {head}) div {tile_q}) as int)"
+        )
+    out = (
+        ranked.select("o_totalprice", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("o_totalprice")).alias("sum_price"),
+            F.min("o_totalprice").cast("decimal(18,4)").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,4)").cast("double").alias("hi"),
+        )
     )
+    # 10-row result: checkpoint eagerly, then release the rank cache
+    out = out.localCheckpoint(eager=True)
+    ranked._aas_rank_source.unpersist()
+    return out
 
 
 @register(

@@ -214,6 +214,43 @@ def test_global_value_rank_exact(spark):
     assert [r["rnk"] for r in rows] == list(range(1, 201))
 
 
+def test_q133_decile_matches_ntile_with_remainder(spark):
+    """q133's distributed ntile replay vs Spark's own ntile on an N where
+    N % 10 != 0 (the fixtures are multiples of 10, so the remainder
+    branch — first `rem` tiles one row larger — is only covered here).
+    Exercises several N to hit rem = 0, 3, 7, 9 and the N < 10 edge."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_arrow_spark.functions.pipeline import global_value_rank
+
+    for n in (7, 40, 43, 107, 199):
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 29)) for i in range(n)], "id long, v double"
+        )
+        ranked = global_value_rank(df, ["v", "id"], rank_col="rnk")
+        tile_q, rem = divmod(n, 10)
+        if tile_q == 0:
+            decile = F.col("rnk").cast("int")
+        else:
+            head = rem * (tile_q + 1)
+            decile = F.expr(
+                f"cast(1 + if(rnk <= {head}, (rnk - 1) div {tile_q + 1}, "
+                f"{rem} + (rnk - 1 - {head}) div {tile_q}) as int)"
+            )
+        got = {
+            r["id"]: r["d"]
+            for r in ranked.select("id", decile.alias("d")).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["d"]
+            for r in df.select("id", F.ntile(10).over(w).alias("d")).collect()
+        }
+        assert got == want, f"N={n}"
+        ranked._aas_rank_source.unpersist()
+
+
 def test_global_value_rank_empty(spark):
     from apache_arrow_spark.functions.pipeline import global_value_rank
 
