@@ -274,22 +274,40 @@ def ann_topk_lsh_indexed(
     so Spark prunes non-matching bucket files instead of scanning them
     (`SelectedBucketsCount` in the scan).
 
-    Disables `autoBucketedScan` for the session: that heuristic turns off
-    bucketed reading for scan-only plans, which also turns off bucket
-    pruning — for probe workloads pruning is the whole point."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    dim = len(query_vec)
-    hp = hyperplanes(dim, planes, seed)
-    probes = lsh_probes(query_vec, hp, n_probe_bits)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
-    return (
-        spark.table(table_name)
-        .filter(F.col("__bucket").isin(*[int(p) for p in probes]))
-        .select(F.col(id_col), sim.alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
-        .limit(k)
-    )
+    Disables `autoBucketedScan` around the probe: that heuristic turns
+    off bucketed reading for scan-only plans, which also turns off bucket
+    pruning — for probe workloads pruning is the whole point.  The conf
+    is scoped, not leaked (the r6 q292 lesson: conf drift is how
+    order-dependent failures are made): physical planning is FORCED
+    inside the scope — QueryExecution caches its executedPlan, so the
+    returned lazy DataFrame keeps the bucket-pruned scan while the
+    session conf is restored unconditionally before return."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        dim = len(query_vec)
+        hp = hyperplanes(dim, planes, seed)
+        probes = lsh_probes(query_vec, hp, n_probe_bits)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = F.round(cosine(_as_double(F.col(vec_col)), q), ndigits)
+        out = (
+            spark.table(table_name)
+            .filter(F.col("__bucket").isin(*[int(p) for p in probes]))
+            .select(F.col(id_col), sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col))
+            .limit(k)
+        )
+        try:
+            out._jdf.queryExecution().executedPlan()  # pin plan under conf
+        except Exception:
+            pass  # Spark Connect: no _jdf; plan resolves lazily instead
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    return out
 
 
 def materialize_ivf_index(

@@ -135,6 +135,13 @@ def register_ipc_source(spark) -> None:
     whenever the driver's cwd is not the repo root.  By-value embeds the
     class code in the pickle itself, making the connector self-contained
     exactly like a user-submitted script."""
+    # Deliberately NOT restored: this is registration-scoped session
+    # state, like dataSource.register() itself — the conf is consulted
+    # when plans over format("aas_ipc") are collected, which happens
+    # AFTER this function returns (lazy DataFrames), so a scoped restore
+    # would silently disable pushdown for every actual read.  It only
+    # affects Python DataSources (this connector is the session's only
+    # one) and never changes values, only pruning.
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:

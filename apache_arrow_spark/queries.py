@@ -11616,8 +11616,15 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # cache-ownership scope: appid when available; Spark Connect has no
+    # sparkContext, so fall back to a per-process token (ADVICE r6 — the
+    # repo's spread_compute idiom: guard sparkContext access, never assume)
+    try:
+        appid = spark.sparkContext.applicationId
+    except Exception:
+        appid = f"pid{os.getpid()}"
     fix_key = (
-        spark.sparkContext.applicationId,
+        appid,
         sf_dir,
         table_digest(sf_dir, "lineitem", "orders"),
     )
@@ -11633,7 +11640,6 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         and os.path.isdir(os.path.join(cached_root, "orders"))
     ):
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        appid = spark.sparkContext.applicationId
         root = tempfile.mkdtemp(prefix=f"aas_layout_q159_{appid}_", dir=shm)
         write_bucketed(
             li.select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -11647,22 +11653,18 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "orders"),
             "o_orderkey",
         )
-        # self-prune: OUR superseded layouts unconditionally (the appid in
-        # the dir name scopes ownership — a concurrent process's live
-        # layout is never touched), other applications' only when old
-        # enough that no live query can still be scanning them
-        import time as _time
-
-        for stale in _glob.glob(os.path.join(shm or tempfile.gettempdir(),
-                                             "aas_layout_q159_*")):
-            if stale == root:
-                continue
-            ours = os.path.basename(stale).startswith(f"aas_layout_q159_{appid}_")
-            try:
-                old = _time.time() - os.stat(stale).st_mtime > 6 * 3600
-            except OSError:
-                old = False
-            if ours or old:
+        # self-prune: OUR superseded layouts only (the appid in the dir
+        # name scopes ownership — each application sweeps its own).
+        # Foreign dirs are left alone entirely: an age-based reap of other
+        # apps' layouts could remove a LIVE layout out from under a >6h
+        # application mid-scan (ADVICE r6); long-lived hosts should reap
+        # dead apps' scratch with their own tmp cleaner.
+        for stale in _glob.glob(
+            os.path.join(
+                shm or tempfile.gettempdir(), f"aas_layout_q159_{appid}_*"
+            )
+        ):
+            if stale != root:
                 _shutil.rmtree(stale, ignore_errors=True)
         _Q159_LAYOUT.update(key=fix_key, root=root)
     a = read_bucketed(spark, "aas_q159_lineitem")
