@@ -163,10 +163,10 @@ def _anchor_topandas(spark) -> float:
         runs.append(round(time.time() - t0, 3))
         assert len(pdf) == 2**22
         del pdf
-        if len(runs) >= 3 and min(runs) <= 0.45:
+        if len(runs) >= 5 and min(runs) <= 0.45:
             break
     blog_df.unpersist()
-    return min(runs)
+    return min(runs), runs
 
 
 def _anchor_sort(spark) -> float:
@@ -191,10 +191,12 @@ def _anchor_sort(spark) -> float:
         t0 = time.time()
         df.orderBy("x").write.format("noop").mode("overwrite").save()
         rates.append(n / (time.time() - t0) / 1e6)
-        if max(rates) >= 22.7:
+        # >= 5 reps even past the bar: the artifact's median/error bars
+        # need a post-warmup sample, not a single lucky window
+        if len(rates) >= 5 and max(rates) >= 22.7:
             break
     df.unpersist()
-    return round(max(rates), 1)
+    return round(max(rates), 1), [round(r, 1) for r in rates]
 
 
 def main():
@@ -203,11 +205,15 @@ def main():
 
         spark = get_spark(app_name="aas-bench-anchor")
         spark.sparkContext.setLogLevel("ERROR")
+        tp_best, tp_runs = _anchor_topandas(spark)
+        srt_best, srt_rates = _anchor_sort(spark)
         print(
             json.dumps(
                 {
-                    "arrow_topandas_sec": _anchor_topandas(spark),
-                    "sort_m_entries_per_sec": _anchor_sort(spark),
+                    "arrow_topandas_sec": tp_best,
+                    "arrow_topandas_runs_sec": tp_runs,
+                    "sort_m_entries_per_sec": srt_best,
+                    "sort_rates_m_per_s": srt_rates,
                 }
             )
         )
@@ -338,6 +344,7 @@ def main():
 
     spark.stop()
     arrow_topandas = sort_rate = None
+    tp_runs = srt_rates = []
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--anchor-only"],
@@ -350,19 +357,39 @@ def main():
                 parsed = json.loads(line)
                 arrow_topandas = parsed["arrow_topandas_sec"]
                 sort_rate = parsed.get("sort_m_entries_per_sec")
+                tp_runs = parsed.get("arrow_topandas_runs_sec", [])
+                srt_rates = parsed.get("sort_rates_m_per_s", [])
                 break
     except Exception:
         pass
     if arrow_topandas is None:
         # fallback: fresh in-process session (parent was stopped above)
         fb = get_spark(app_name="aas-bench-anchor-fb")
-        arrow_topandas = _anchor_topandas(fb)
-        sort_rate = _anchor_sort(fb)
+        arrow_topandas, tp_runs = _anchor_topandas(fb)
+        sort_rate, srt_rates = _anchor_sort(fb)
 
+    def _median(xs):
+        # steady-state median: drop the first two reps (sort-codegen JIT
+        # and first-collect warmup dominate them) when enough reps exist
+        xs = sorted(xs[2:] if len(xs) > 4 else xs)
+        n = len(xs)
+        if not n:
+            return None
+        mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+        return round(mid, 3)
+
+    # best AND median + raw reps: a best below the blog bar with a tight
+    # rep spread is a real regression; a wide spread is driver-load
+    # ambience — the artifact now carries its own error bars (r6 verdict:
+    # the sort anchor wobbled 23.7 -> 21.1 M/s across driver runs with no
+    # code change and nothing in the artifact could prove ambience).
     anchors = {
         "arrow_topandas_4194304_rows_sec": arrow_topandas,
+        "arrow_topandas_median_sec": _median(tp_runs),
         "reference_blog_sec": 0.737,
         "sort_m_entries_per_sec": sort_rate,
+        "sort_median_m_entries_per_sec": _median(srt_rates),
+        "sort_reps_m_entries_per_sec": srt_rates,
         "reference_blog_sort_m_entries_per_sec": 22.7,
     }
     # Full-detail record (full query names + per-query shuffle bytes) for
@@ -398,7 +425,10 @@ def main():
         "sf": sf,
         "queries": short_walls,
         "shuffle_top_mb": shuffle_top,
-        "baseline_anchors": anchors,
+        # raw rep list lives in the detail line; compact keeps best+median
+        "baseline_anchors": {
+            k: v for k, v in anchors.items() if not k.endswith("_reps_m_entries_per_sec")
+        },
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
