@@ -48,7 +48,22 @@ HOT = [
     # r6 perf wave
     "q130_semantic_dedup_pairs",
     "q248_cogroup_reconcile",
+    # r6 verdict follow-up: the remaining perf-wave queries enter the
+    # tooling.  q269's documented expected band is alpha <= ~1.5, NOT ~1:
+    # at toy scale the per-hop frontier saturates the whole graph (every
+    # vertex reached), so work grows faster than input until edges >>
+    # frontier; at real scale edges ≤ |lineitem| and the per-hop join is
+    # linear in frontier+edges (SCALE.md r6 "q269's +10MB shuffle delta").
+    "q263_grid_interpolation",
+    "q269_bfs_khop",
+    # r7: q133's distributed ntile replay (ex single-task global window)
+    "q133_quantile_binning",
 ]
+
+# per-query documented alpha bands (upper bound); absent -> 1.2 default
+EXPECTED_ALPHA_MAX = {
+    "q269_bfs_khop": 1.55,  # toy-graph saturation, see comment above
+}
 
 
 from apache_arrow_spark.plans.inspect import app_shuffle_bytes as total_shuffle_bytes
@@ -88,6 +103,8 @@ def main() -> None:
             row["bytes_alpha"] = round(math.log(row["bytes_ratio"]) / math.log(10), 3)
         if s["wall_s"] > 0:
             row["wall_ratio"] = round(b["wall_s"] / s["wall_s"], 2)
+        if "bytes_alpha" in row:
+            row["alpha_ok"] = row["bytes_alpha"] <= EXPECTED_ALPHA_MAX.get(name, 1.2)
         out[name] = row
         print(name, json.dumps(row), flush=True)
     print(json.dumps(out))
