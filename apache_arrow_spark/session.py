@@ -269,6 +269,20 @@ def table_digest(sf_dir: str, *names: str) -> str:
                 # cp -p, rsync -a) still replaces the file — new inode —
                 # so even timestamp-faithful testdata swaps move the key
                 parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}:{st.st_ino}")
+                # plus the parquet footer tail (last 4 KB): an IN-PLACE
+                # rewrite (open+truncate+write — same inode, same size)
+                # landing within a coarse-mtime filesystem's granularity
+                # would otherwise silently reuse a stale fixture (ADVICE
+                # r6).  The footer carries row-group stats + schema, so
+                # any content change that matters moves it; 4 KB per file
+                # keeps this O(#files) in practice, never a scan.
+                try:
+                    with open(f, "rb") as fh:
+                        fh.seek(max(0, st.st_size - 4096))
+                        tail = fh.read(4096)
+                    parts.append(hashlib.sha256(tail).hexdigest()[:12])
+                except OSError:
+                    parts.append("tail:unreadable")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 

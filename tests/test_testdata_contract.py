@@ -93,3 +93,10 @@ def test_table_digest_tracks_file_changes(tmp_path):
     os.utime(tmp_path / "nation.parquet")  # a rewrite always moves mtime
     assert table_digest(str(tmp_path), "nation") != d1
     assert table_digest(str(tmp_path), "missing") != d1  # absence keys too
+    # in-place rewrite, same size + FROZEN mtime/inode (the coarse-mtime
+    # filesystem hazard, ADVICE r6): the footer-tail sample must move
+    st = os.stat(tmp_path / "nation.parquet")
+    (tmp_path / "nation.parquet").write_bytes(b"not-really-parqueX")
+    os.utime(tmp_path / "nation.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
+    d3 = table_digest(str(tmp_path), "nation")
+    assert d3 != d1
