@@ -103,12 +103,26 @@ def shuffle_bytes_written(df: DataFrame) -> int:
     return sum(v for _, name, v in executed_metrics(df) if name == "shuffleBytesWritten")
 
 
-def app_shuffle_bytes(spark) -> int:
-    """Sum of shuffle bytes written across ALL completed stages in the app
+def app_shuffle_bytes(spark, since_stage: int | None = None) -> int:
+    """Sum of shuffle bytes written across completed stages in the app
     status store.  Unlike :func:`shuffle_bytes_written` this catches work
     done INSIDE a query function (internal persists, eager counts) that
-    per-DataFrame executed-plan metrics miss — diff before/after a run to
-    measure its true shuffle volume."""
+    per-DataFrame executed-plan metrics miss.
+
+    CAVEAT — do NOT diff two cumulative readings in a long session: the
+    status store retains only ``spark.ui.retainedStages`` (default 1000)
+    stages and silently EVICTS the oldest, so a later cumulative sum can
+    be SMALLER than an earlier one (observed: a negative 'delta' in the
+    r7 pytest suite once it crossed ~1000 stages).  Measure a run with
+    the stage-id watermark instead::
+
+        mark = latest_stage_id(spark)
+        ...run...
+        bytes = app_shuffle_bytes(spark, since_stage=mark)
+
+    which counts only stages the run itself created — eviction of OLD
+    stages can no longer corrupt it (new stages are never evicted while
+    the measurement is in flight at these scales)."""
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm = sc._jvm
@@ -121,4 +135,25 @@ def app_shuffle_bytes(spark) -> int:
         sc._gateway.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    return sum(seq.apply(i).shuffleWriteBytes() for i in range(seq.size()))
+    return sum(
+        s.shuffleWriteBytes()
+        for s in (seq.apply(i) for i in range(seq.size()))
+        if since_stage is None or s.stageId() > since_stage
+    )
+
+
+def latest_stage_id(spark) -> int:
+    """Highest stage id currently in the status store (-1 when empty) —
+    the watermark for :func:`app_shuffle_bytes`'s ``since_stage``."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = sc._jvm
+    seq = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    ids = [seq.apply(i).stageId() for i in range(seq.size())]
+    return max(ids) if ids else -1

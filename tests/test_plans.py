@@ -294,7 +294,7 @@ def test_shuffle_bytes_scale_linearly(spark):
     of 30 (alpha ~ 1.5) catches that while tolerating small-sf noise and
     per-partition constants.  q119's pair shuffle is additionally expected
     to stay FLAT (the doc-frequency cap claim)."""
-    from apache_arrow_spark.plans.inspect import app_shuffle_bytes
+    from apache_arrow_spark.plans.inspect import app_shuffle_bytes, latest_stage_id
     from apache_arrow_spark.queries import QUERIES
 
     hot = [
@@ -341,10 +341,14 @@ def test_shuffle_bytes_scale_linearly(spark):
 
     def run(name, sf):
         _time.sleep(0.3)  # listener bus drain
-        before = app_shuffle_bytes(spark)
+        # stage-id watermark, NOT a cumulative diff: in a long pytest
+        # session the status store evicts stages past retainedStages
+        # (1000) and a cumulative 'after - before' goes NEGATIVE
+        # (observed r7: q216 small-sf reading of -310 KB)
+        mark = latest_stage_id(spark)
         QUERIES[name](spark, f"/root/testdata/{sf}").collect()
         _time.sleep(0.3)
-        return app_shuffle_bytes(spark) - before
+        return app_shuffle_bytes(spark, since_stage=mark)
 
     # q291 builds a one-time /tmp fixture (a global sort) on first touch
     # per sf — a side effect, not the query's steady-state shuffle.  Warm

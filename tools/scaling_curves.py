@@ -66,7 +66,7 @@ EXPECTED_ALPHA_MAX = {
 }
 
 
-from apache_arrow_spark.plans.inspect import app_shuffle_bytes as total_shuffle_bytes
+from apache_arrow_spark.plans.inspect import app_shuffle_bytes, latest_stage_id
 
 
 def measure(spark, name: str, sf_dir: str) -> dict:
@@ -76,14 +76,16 @@ def measure(spark, name: str, sf_dir: str) -> dict:
     QUERIES[name](spark, sf_dir).collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)  # let the listener bus drain before the baseline read
-    before = total_shuffle_bytes(spark)
+    # stage-id watermark, not a cumulative diff: the status store evicts
+    # stages past spark.ui.retainedStages in long sessions (r7 lesson)
+    mark = latest_stage_id(spark)
     t0 = time.perf_counter()
     QUERIES[name](spark, sf_dir).collect()  # timed END-TO-END, call included
     wall = time.perf_counter() - t0
     time.sleep(0.5)
     return {
         "wall_s": round(wall, 3),
-        "shuffle_bytes": total_shuffle_bytes(spark) - before,
+        "shuffle_bytes": app_shuffle_bytes(spark, since_stage=mark),
     }
 
 
