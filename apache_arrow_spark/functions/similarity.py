@@ -160,26 +160,37 @@ def assign_to_centroids(df: DataFrame, centroids: list[list[float]], vec_col: st
 
     The input is spread first: the per-row argmin evaluates one zip_with
     aggregate per centroid, and a single-split source would serialize
-    the whole assignment on one core (measured 3 s of q48's 4.6 s wall)."""
+    the whole assignment on one core (measured 3 s of q48's 4.6 s wall).
+
+    The distances are LET-BOUND into one array column before the argmin
+    (the q83/quantize_int8 idiom): `least` + a 16-branch when-chain
+    reference every distance 2-3x, and interpreted HOF aggregates are
+    inlined PER REFERENCE — the original tree re-evaluated the k
+    zip_with aggregates tens of times per row (measured 2.6 s of q48's
+    single-task stage at sf0.1; let-bound it is one evaluation each,
+    argmin = array_position over k doubles, same first-index
+    tie-break)."""
     from apache_arrow_spark.session import spread_compute
 
     df = spread_compute(df)
     v = _as_double(F.col(vec_col))
-    dists = []
-    for c in centroids:
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
-    dmin = F.least(*dists)
-    assign = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        assign = F.when(dists[i] == dmin, F.lit(i)).otherwise(assign)
-    return df.withColumn("__cluster", assign)
+        for c in centroids
+    ]
+    bound = df.withColumn("__dists", F.array(*dists))
+    assign = (
+        F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1
+    ).cast("int")
+    return bound.withColumn("__cluster", assign).drop("__dists")
 
 
 def ivf_topk(
