@@ -11653,18 +11653,29 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "orders"),
             "o_orderkey",
         )
-        # self-prune: OUR superseded layouts only (the appid in the dir
-        # name scopes ownership — each application sweeps its own).
-        # Foreign dirs are left alone entirely: an age-based reap of other
-        # apps' layouts could remove a LIVE layout out from under a >6h
-        # application mid-scan (ADVICE r6); long-lived hosts should reap
-        # dead apps' scratch with their own tmp cleaner.
+        # self-prune: OUR superseded layouts unconditionally (the appid in
+        # the dir name scopes ownership), foreign dirs only past a 24 h
+        # bar — dead one-shot sessions each leave a ~6 MB layout, so some
+        # cross-app reaping is needed, but the old 6 h bar could yank a
+        # LIVE layout from under a long-running concurrent app (ADVICE
+        # r6).  Residual race, accepted and documented: an app alive >24 h
+        # loses its layout to a concurrent writer and recovers on its next
+        # invocation via the verify-on-reuse existence check above.
+        import time as _time
+
         for stale in _glob.glob(
-            os.path.join(
-                shm or tempfile.gettempdir(), f"aas_layout_q159_{appid}_*"
-            )
+            os.path.join(shm or tempfile.gettempdir(), "aas_layout_q159_*")
         ):
-            if stale != root:
+            if stale == root:
+                continue
+            ours = os.path.basename(stale).startswith(
+                f"aas_layout_q159_{appid}_"
+            )
+            try:
+                old = _time.time() - os.stat(stale).st_mtime > 24 * 3600
+            except OSError:
+                old = False
+            if ours or old:
                 _shutil.rmtree(stale, ignore_errors=True)
         _Q159_LAYOUT.update(key=fix_key, root=root)
     a = read_bucketed(spark, "aas_q159_lineitem")
