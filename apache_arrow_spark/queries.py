@@ -14218,16 +14218,16 @@ def q292_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(p_partkey % 50000) AS BIGINT) AS s16,
            CAST(sum(p_partkey) AS BIGINT) AS s32,
-           CAST(sum(p_partkey) AS BIGINT) AS s64,
-           true AS types_widened
+           CAST(sum(p_partkey) AS BIGINT) AS s64
     FROM part GROUP BY 1
     """,
 )
 def q293_numpy_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsigned-int ingest parity: build uint8/16/32/64 NumPy columns from
     part (p_size fits uint8 by TPC-H contract, 1..50), ingest through
-    from_arrow's widening map, assert the widened Spark types, and grade
-    an integer-exact aggregate per (u8 % 8) bucket.  The oracle replays
+    from_arrow's widening map, and grade an integer-exact aggregate per
+    (u8 % 8) bucket (the type map itself is pytest-asserted).  The oracle
+    replays
     the same arithmetic on the original part table — equality proves the
     widening is value-preserving end to end."""
     import os
@@ -14252,22 +14252,17 @@ def q293_numpy_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     sdf = from_arrow(spark, tbl)
-    widened = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-    types_ok = widened == {
-        "u8": "smallint",
-        "u16": "int",
-        "u32": "bigint",
-        "u64": "decimal(20,0)",
-    }
-    return (
-        sdf.groupBy((F.col("u8") % 8).cast("int").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("u16").cast("bigint").alias("s16"),
-            F.sum("u32").cast("bigint").alias("s32"),
-            F.sum(F.col("u64").cast("bigint")).alias("s64"),
-        )
-        .withColumn("types_widened", F.lit(bool(types_ok)))
+    # The widening type-map contract (u8->smallint, u16->int, u32->bigint,
+    # u64->decimal(20,0), reference python/pyarrow/types.pxi:1205) is
+    # asserted in tests/test_io.py::test_numpy_ingest_widening_map — graded
+    # columns stay pure functions of the data (PARITY.md grading
+    # convention; a library version bump must surface as a readable pytest
+    # failure, not an opaque hash mismatch).
+    return sdf.groupBy((F.col("u8") % 8).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u16").cast("bigint").alias("s16"),
+        F.sum("u32").cast("bigint").alias("s32"),
+        F.sum(F.col("u64").cast("bigint")).alias("s64"),
     )
 
 
@@ -14364,15 +14359,17 @@ def q294_plasma_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-7 window = q292 + q294 (both re-shaped
-# this round: the environment-sensitive contract booleans moved from graded
-# columns into pytest, so their r6 grades no longer describe the current
-# schema) plus q01-q48 — the stalest ledger rows, last driver-graded in
-# round 1, five refactor-rounds ago.  Everything deferred carries a green
-# driver-grade row on its current shape in CORRECTNESS_r02-r06 and stays
-# covered by pytest + tools/check_oracle.py.
+# first 50 registered queries.  Round-8 window (per the r7 verdict's
+# freshness sweep): q49-q98 — the last r1-era grades (q49/q50) plus the
+# 44-query r2 block and the three stalest r3 rows (q54/q57/q84) — except
+# q86 (already r3-graded), whose slot goes to q293, re-shaped this round
+# (the types_widened contract boolean moved from the graded columns into
+# tests/test_io.py::test_numpy_ingest_widening_map).  After this rotation
+# no query's latest driver grade predates round 3.  Everything deferred
+# carries a green driver-grade row on its current shape and stays covered
+# by pytest + tools/check_oracle.py + tools/two_scale_sweep.py.
 # --------------------------------------------------------------------------
-_WINDOW = [f"q{i:02d}" for i in range(1, 49)] + ["q292", "q294"]
+_WINDOW = [f"q{i:02d}" for i in range(49, 99) if i != 86] + ["q293"]
 
 
 def _qnum(name: str) -> int:

@@ -142,10 +142,12 @@ def _stage_shuffle_writes(spark) -> dict[int, int]:
     return out
 
 
-def _anchor_topandas(spark) -> float:
+def _anchor_topandas(spark) -> tuple[float, list[float]]:
     """Steady-state Arrow-path toPandas of 2^22 x (long, double) — the
     blog-anchored egress measurement.  Up to 6 reps, early-stop once a
-    clean (well-under-gate) window is seen; min filters external stalls."""
+    clean (well-under-gate) window is seen.  Returns (best, raw reps):
+    best (min) filters external stalls; the raw rep list feeds the
+    artifact's error bars."""
     import pyspark.sql.functions as F
 
     from apache_arrow_spark.io.pandas_bridge import to_pandas
@@ -169,54 +171,65 @@ def _anchor_topandas(spark) -> float:
     return min(runs), runs
 
 
-def _anchor_sort(spark) -> float:
+def _anchor_sort(spark) -> tuple[float, list[float]]:
     """Distributed-sort throughput (M entries/sec): orderBy over 2^25
     random doubles — Spark's native sample → range-partition → local-sort
     IS the reference's Plasma distributed-sort recipe
     (site/_posts/2017-08-08-plasma-in-memory-object-store.md:107-126,
     published: 10^9 entries / 44 s ≈ 22.7 M entries/s on 20 cores).
-    Up to 6 reps (first reps pay sort-codegen JIT), best rate reported."""
+    Up to 16 reps (first reps pay sort-codegen JIT).  Returns
+    (best, raw rep rates): best for the headline ratio, raw reps for the
+    artifact's median/error bars."""
     import pyspark.sql.functions as F
 
     n = 1 << 25
     df = spark.range(n, numPartitions=32).select((F.rand(seed=7) * 1e9).alias("x")).cache()
     df.count()
     rates = []
-    # JIT keeps warming through ~rep 7 (measured: best-so-far still climbing
-    # at rep 5-8), so the old 3-reps/20.0 early stop understated the rate by
-    # ~10%.  Stop only at the reference bar itself, else run the full 16
-    # (ambient-load variance puts single reps anywhere in 19-24 M/s; more
-    # chances to catch a clean window, ~1.6 s each).
+    # JIT keeps warming through ~rep 7 (measured ramp in a pristine JVM:
+    # 9.3, 16.0, 16.3, 20.2, ... steady only from ~rep 8), so ALL 16 reps
+    # run unconditionally — the r7 early-stop-at-the-bar left the median
+    # computed over a ramp-dominated sample and made it read as a
+    # regression.  The steady-state number is the median of reps 8-16;
+    # plan note: orderBy's sample -> range-partition -> local radix sort
+    # already lands 32+ balanced partitions (AQE does not coalesce it);
+    # measured alternatives (coalesce off, 64/128 shuffle partitions) are
+    # all equal or slower, so rep statistics — not the plan — are the
+    # honest lever here.
     for _ in range(16):
         t0 = time.time()
         df.orderBy("x").write.format("noop").mode("overwrite").save()
         rates.append(n / (time.time() - t0) / 1e6)
-        # >= 5 reps even past the bar: the artifact's median/error bars
-        # need a post-warmup sample, not a single lucky window
-        if len(rates) >= 5 and max(rates) >= 22.7:
-            break
     df.unpersist()
     return round(max(rates), 1), [round(r, 1) for r in rates]
 
 
 def main():
-    if "--anchor-only" in sys.argv:
+    anchor_args = [a for a in sys.argv if a == "--anchor-only" or a.startswith("--anchor=")]
+    if anchor_args:
+        # --anchor=sort / --anchor=topandas run ONE anchor in this process.
+        # Each anchor wants a genuinely pristine JVM: the toPandas reps'
+        # 6 x 67 MB driver collects grow old-gen + netty direct-buffer
+        # arenas, and a sort anchor run AFTER them in the same JVM measures
+        # that residue, not the machine (the r7 artifact's sort median
+        # sagging to 18.55 M/s while best held 20.6 has exactly this
+        # signature).  --anchor-only (both, topandas first) is kept for
+        # manual comparison runs.
+        which = anchor_args[0].split("=", 1)[1] if "=" in anchor_args[0] else "both"
         from apache_arrow_spark.session import get_spark
 
-        spark = get_spark(app_name="aas-bench-anchor")
+        spark = get_spark(app_name=f"aas-bench-anchor-{which}")
         spark.sparkContext.setLogLevel("ERROR")
-        tp_best, tp_runs = _anchor_topandas(spark)
-        srt_best, srt_rates = _anchor_sort(spark)
-        print(
-            json.dumps(
-                {
-                    "arrow_topandas_sec": tp_best,
-                    "arrow_topandas_runs_sec": tp_runs,
-                    "sort_m_entries_per_sec": srt_best,
-                    "sort_rates_m_per_s": srt_rates,
-                }
-            )
-        )
+        out = {}
+        if which in ("topandas", "both"):
+            tp_best, tp_runs = _anchor_topandas(spark)
+            out["arrow_topandas_sec"] = tp_best
+            out["arrow_topandas_runs_sec"] = tp_runs
+        if which in ("sort", "both"):
+            srt_best, srt_rates = _anchor_sort(spark)
+            out["sort_m_entries_per_sec"] = srt_best
+            out["sort_rates_m_per_s"] = srt_rates
+        print(json.dumps(out))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from apache_arrow_spark.queries import QUERIES
@@ -260,6 +273,24 @@ def main():
             for d in _glob.glob(os.path.join(scratch, "aas_q[0-9]*_*")):
                 _shutil.rmtree(d, ignore_errors=True)
 
+    # Run-layout record (r7 verdict: the +7% wall drift with zero plan
+    # changes needed in-artifact evidence to separate ambient driver load
+    # from a real regression).  Phase order + wall + 1-min loadavg before
+    # each phase: identical per-pass walls with flat loadavg = real; one
+    # inflated pass or elevated loadavg = ambience, and min-of-passes
+    # already filters it.
+    run_layout: dict = {"phases": []}
+
+    def _phase_mark(label: str, t0: float) -> None:
+        try:
+            load1 = round(os.getloadavg()[0], 2)
+        except OSError:
+            load1 = None
+        run_layout["phases"].append(
+            {"phase": label, "wall_sec": round(time.time() - t0, 1), "loadavg_1m_at_end": load1}
+        )
+
+    _t_phase = time.time()
     # JIT warmup: run every headline query once at the TARGET sf (untimed).
     # A tiny-sf warmup is NOT sufficient: AQE picks different physical
     # shapes at sf0.001 (broadcast instead of shuffle joins, coalesced
@@ -273,6 +304,7 @@ def main():
         except Exception:
             pass  # a warmup failure just means that query times cold
         _cleanup()
+    _phase_mark("warmup_target_sf", _t_phase)
 
     # two reps per query, best observed: single-shot timings on this box
     # suffer multi-second external stalls (hypervisor memory reclaim) that
@@ -301,6 +333,7 @@ def main():
     # (later queries are covered by the 0.1 s wait inside the loop)
     time.sleep(0.3)
     for _pass in range(3):
+        _t_phase = time.time()
         for name in names:
             if _pass == 0:
                 # capture the query's shuffle-write volume once, from the
@@ -318,6 +351,10 @@ def main():
                 )
             else:
                 reps_by_name[name].append(_timed(name))
+        _phase_mark(f"timed_pass_{_pass}", _t_phase)
+        run_layout["phases"][-1]["timed_sum_sec"] = round(
+            sum(reps_by_name[n][_pass] for n in names), 1
+        )
     timings: dict[str, float] = {}
     for name in names:
         reps = reps_by_name[name]
@@ -343,30 +380,46 @@ def main():
     import subprocess
 
     spark.stop()
-    arrow_topandas = sort_rate = None
-    tp_runs = srt_rates = []
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--anchor-only"],
-            capture_output=True,
-            text=True,
-            timeout=300,
-        )
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                parsed = json.loads(line)
-                arrow_topandas = parsed["arrow_topandas_sec"]
-                sort_rate = parsed.get("sort_m_entries_per_sec")
-                tp_runs = parsed.get("arrow_topandas_runs_sec", [])
-                srt_rates = parsed.get("sort_rates_m_per_s", [])
-                break
-    except Exception:
-        pass
-    if arrow_topandas is None:
+
+    # ONE anchor per subprocess (sort first): running both in a shared
+    # subprocess meant the sort anchor inherited the toPandas reps'
+    # old-gen/direct-buffer residue — r7's sort median (18.55 M/s) sat
+    # below the blog bar while its best (20.6) was fine, the signature of
+    # a degraded-but-occasionally-lucky JVM rather than a slow machine.
+    # Isolating each anchor costs one extra ~12 s JVM start and makes the
+    # median a trustworthy steady-state number.
+    def _run_anchor(which: str) -> dict:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--anchor={which}"],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+        except Exception:
+            pass
+        return {}
+
+    _t_phase = time.time()
+    srt = _run_anchor("sort")
+    _phase_mark("anchor_sort_subprocess", _t_phase)
+    _t_phase = time.time()
+    tp = _run_anchor("topandas")
+    _phase_mark("anchor_topandas_subprocess", _t_phase)
+    sort_rate = srt.get("sort_m_entries_per_sec")
+    srt_rates = srt.get("sort_rates_m_per_s", [])
+    arrow_topandas = tp.get("arrow_topandas_sec")
+    tp_runs = tp.get("arrow_topandas_runs_sec", [])
+    if arrow_topandas is None or sort_rate is None:
         # fallback: fresh in-process session (parent was stopped above)
         fb = get_spark(app_name="aas-bench-anchor-fb")
-        arrow_topandas, tp_runs = _anchor_topandas(fb)
-        sort_rate, srt_rates = _anchor_sort(fb)
+        if sort_rate is None:
+            sort_rate, srt_rates = _anchor_sort(fb)
+        if arrow_topandas is None:
+            arrow_topandas, tp_runs = _anchor_topandas(fb)
 
     def _median(xs):
         # steady-state median: drop the first two reps (sort-codegen JIT
@@ -389,6 +442,10 @@ def main():
         "reference_blog_sec": 0.737,
         "sort_m_entries_per_sec": sort_rate,
         "sort_median_m_entries_per_sec": _median(srt_rates),
+        # post-JIT steady state: the measured codegen ramp runs through
+        # ~rep 7, so the median over reps 8+ is the machine's sustained
+        # rate (median[2:] above keeps r6/r7 comparability)
+        "sort_steady_m_entries_per_sec": _median(srt_rates[7:]) if len(srt_rates) >= 10 else None,
         "sort_reps_m_entries_per_sec": srt_rates,
         "reference_blog_sort_m_entries_per_sec": 22.7,
     }
@@ -406,6 +463,7 @@ def main():
                 "shuffle_bytes": shuffle_bytes,
                 "sf": sf,
                 "baseline_anchors": anchors,
+                "run_layout": run_layout,
             }
         )
     )
@@ -423,6 +481,17 @@ def main():
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # batch-order evidence (r7 verdict): phase order is fixed —
+        # warmup -> 3 timed passes -> sort anchor (own pristine JVM) ->
+        # toPandas anchor (own pristine JVM); per-pass timed sums +
+        # loadavg separate ambient load from real regressions.
+        "run_layout": {
+            "order": [p["phase"] for p in run_layout["phases"]],
+            "timed_pass_sums_sec": [
+                p["timed_sum_sec"] for p in run_layout["phases"] if "timed_sum_sec" in p
+            ],
+            "loadavg_1m": [p["loadavg_1m_at_end"] for p in run_layout["phases"]],
+        },
         "queries": short_walls,
         "shuffle_top_mb": shuffle_top,
         # raw rep list lives in the detail line; compact keeps best+median

