@@ -11579,6 +11579,59 @@ def q160_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q159_LAYOUT: dict = {}
 
 
+def _q159_layout_live(root: str) -> bool:
+    """True if a live process holds the shared flock on ``root/.lock``.
+
+    Every app that owns a layout keeps a LOCK_SH on its lock file for the
+    process lifetime, so liveness is probed with a non-blocking LOCK_EX:
+    acquisition failing means an owner exists.  flock dies with its
+    process, so a crashed owner's layout correctly probes as dead.  A
+    missing lock file (legacy/orphan dir) probes as dead — the age bar
+    still protects it."""
+    import fcntl
+
+    try:
+        fd = os.open(os.path.join(root, ".lock"), os.O_RDWR)
+    except OSError:
+        return False
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return True
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        return False
+    finally:
+        os.close(fd)
+
+
+def _q159_reap_stale(scratch: str, appid: str, keep_root: str) -> None:
+    """Prune superseded layout dirs under ``scratch``.
+
+    OUR superseded dirs (appid in the name) go unconditionally; a foreign
+    dir goes only when BOTH (a) its mtime is >24 h stale — reuse refreshes
+    the mtime, so only apps that stopped touching their layout age out —
+    AND (b) no live process holds its flock (r7 verdict: the age bar alone
+    could still yank a >24 h-old LIVE layout mid-scan; the flock closes
+    that race outright instead of accepting it)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    for stale in _glob.glob(os.path.join(scratch, "aas_layout_q159_*")):
+        if stale == keep_root:
+            continue
+        ours = os.path.basename(stale).startswith(f"aas_layout_q159_{appid}_")
+        if not ours:
+            try:
+                old = _time.time() - os.stat(stale).st_mtime > 24 * 3600
+            except OSError:
+                old = False
+            if not old or _q159_layout_live(stale):
+                continue
+        _shutil.rmtree(stale, ignore_errors=True)
+
+
 
 @register(
     "q159_bucketed_join",
@@ -11611,9 +11664,6 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.io.bucketed import read_bucketed, write_bucketed
     from apache_arrow_spark.session import table_digest
 
-    import glob as _glob
-    import shutil as _shutil
-
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     # cache-ownership scope: appid when available; Spark Connect has no
@@ -11634,11 +11684,22 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The aas_layout_ prefix is deliberately OUTSIDE the aas_q*_ scratch
     # glob: a bucketed layout is durable state, not per-run scratch.
     cached_root = _Q159_LAYOUT.get("root")
-    if _Q159_LAYOUT.get("key") != fix_key or not (
+    if _Q159_LAYOUT.get("key") == fix_key and (
         cached_root
         and os.path.isdir(os.path.join(cached_root, "lineitem"))
         and os.path.isdir(os.path.join(cached_root, "orders"))
     ):
+        # cache hit: refresh the mtime so the cross-app 24 h reap bar
+        # measures time-since-last-USE, not time-since-creation — a live
+        # app that touches its layout at least daily never ages out
+        # (ADVICE r7)
+        try:
+            os.utime(cached_root)
+        except OSError:
+            pass
+    else:
+        import fcntl
+
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         root = tempfile.mkdtemp(prefix=f"aas_layout_q159_{appid}_", dir=shm)
         write_bucketed(
@@ -11653,31 +11714,23 @@ def q159_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "orders"),
             "o_orderkey",
         )
-        # self-prune: OUR superseded layouts unconditionally (the appid in
-        # the dir name scopes ownership), foreign dirs only past a 24 h
-        # bar — dead one-shot sessions each leave a ~6 MB layout, so some
-        # cross-app reaping is needed, but the old 6 h bar could yank a
-        # LIVE layout from under a long-running concurrent app (ADVICE
-        # r6).  Residual race, accepted and documented: an app alive >24 h
-        # loses its layout to a concurrent writer and recovers on its next
-        # invocation via the verify-on-reuse existence check above.
-        import time as _time
-
-        for stale in _glob.glob(
-            os.path.join(shm or tempfile.gettempdir(), "aas_layout_q159_*")
-        ):
-            if stale == root:
-                continue
-            ours = os.path.basename(stale).startswith(
-                f"aas_layout_q159_{appid}_"
-            )
+        # liveness beacon: hold LOCK_SH on the layout's lock file for the
+        # process lifetime — _q159_reap_stale probes it with a
+        # non-blocking LOCK_EX, so no concurrent app can reap this layout
+        # while we're alive, whatever its age
+        lock_fd = os.open(os.path.join(root, ".lock"), os.O_CREAT | os.O_RDWR)
+        fcntl.flock(lock_fd, fcntl.LOCK_SH)
+        old_fd = _Q159_LAYOUT.get("lock_fd")
+        if old_fd is not None:
             try:
-                old = _time.time() - os.stat(stale).st_mtime > 24 * 3600
+                os.close(old_fd)  # release the superseded layout's beacon
             except OSError:
-                old = False
-            if ours or old:
-                _shutil.rmtree(stale, ignore_errors=True)
-        _Q159_LAYOUT.update(key=fix_key, root=root)
+                pass
+        # self-prune: OUR superseded layouts unconditionally (the appid in
+        # the dir name scopes ownership), foreign dirs only when >24 h
+        # UNUSED and provably ownerless (see _q159_reap_stale)
+        _q159_reap_stale(shm or tempfile.gettempdir(), appid, root)
+        _Q159_LAYOUT.update(key=fix_key, root=root, lock_fd=lock_fd)
     a = read_bucketed(spark, "aas_q159_lineitem")
     b = read_bucketed(spark, "aas_q159_orders")
     rev = to_decimal(F.col("l_extendedprice"), 18, 4) * (

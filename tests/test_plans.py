@@ -453,6 +453,63 @@ def test_q159_layout_reuse_and_wipe_recovery(spark, sf_dir):
     assert len(glob.glob(pattern.replace("q159_", f"q159_{appid}_"))) == 1
 
 
+def test_q159_reaper_spares_locked_live_layout(tmp_path):
+    """The flock beacon (r8): a concurrent reaper must NOT remove a
+    >24 h-old foreign layout whose owner still holds the shared lock —
+    the r7-accepted live-layout race, now eliminated.  Once the owner's
+    fd closes (process death releases flock automatically) the same dir
+    becomes reapable; a young dir without a beacon stays protected by
+    the age bar."""
+    import fcntl
+    import os
+    import time
+
+    from apache_arrow_spark.queries import _q159_layout_live, _q159_reap_stale
+
+    scratch = str(tmp_path)
+    foreign = os.path.join(scratch, "aas_layout_q159_otherapp_x")
+    os.makedirs(foreign)
+    lock = os.open(os.path.join(foreign, ".lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(lock, fcntl.LOCK_SH)
+    old = time.time() - 25 * 3600
+    os.utime(foreign, (old, old))
+    _q159_reap_stale(scratch, "myapp", keep_root="")
+    assert os.path.isdir(foreign), "locked live layout must survive the reap"
+    assert _q159_layout_live(foreign)
+    os.close(lock)  # owner exits -> flock released by the kernel
+    assert not _q159_layout_live(foreign)
+    os.utime(foreign, (old, old))
+    _q159_reap_stale(scratch, "myapp", keep_root="")
+    assert not os.path.isdir(foreign), "dead + stale layout must be reaped"
+    young = os.path.join(scratch, "aas_layout_q159_otherapp_y")
+    os.makedirs(young)
+    _q159_reap_stale(scratch, "myapp", keep_root="")
+    assert os.path.isdir(young), "young beacon-less dir is spared by the age bar"
+
+
+def test_q159_reuse_refreshes_mtime(spark, sf_dir):
+    """Every cache hit must refresh the layout root's mtime so the 24 h
+    cross-app bar measures time-since-last-USE: a live app invoking the
+    join daily never ages out (ADVICE r7)."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    QUERIES["q159_bucketed_join"](spark, sf_dir).collect()
+    appid = spark.sparkContext.applicationId
+    pattern = f"/dev/shm/aas_layout_q159_{appid}_*"
+    dirs = glob.glob(pattern)
+    if not dirs:
+        pattern = tempfile.gettempdir() + f"/aas_layout_q159_{appid}_*"
+        dirs = glob.glob(pattern)
+    (root,) = dirs
+    old = time.time() - 25 * 3600
+    os.utime(root, (old, old))
+    QUERIES["q159_bucketed_join"](spark, sf_dir).collect()  # cache hit
+    assert time.time() - os.stat(root).st_mtime < 3600
+
+
 def test_tpch_pack_plan_shapes(spark, sf_dir):
     # q153: shipdate filter reaches the scan; top-10 is TakeOrdered, not a
     # global sort
