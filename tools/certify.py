@@ -6,7 +6,9 @@ suitable for PROGRESS.jsonl:
   1. driver-contract simulation — vanilla SparkSession imports
      ``__spark_entry__``; entry() rows, queries()/oracle_sql() parity,
      and the first-50 grading window are checked;
-  2. full oracle sweep — every queries() entry vs its DuckDB oracle at
+  2. grade-freshness gate — every query changed since the round boundary
+     must be windowed or carry a fresh SCALE_SWEEP.json row (PARITY.md);
+  3. full oracle sweep — every queries() entry vs its DuckDB oracle at
      sf0.01 (tools/check_oracle.py in a subprocess);
   3. pytest — the whole tests/ suite (skippable with --no-pytest for a
      mid-session sweep);
@@ -84,6 +86,69 @@ print("CERTIFY " + json.dumps({
     return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
 
 
+def _freshness() -> dict:
+    """Grade-freshness gate (PARITY.md convention, r7 verdict #7): every
+    query whose implementation changed since the round boundary (the
+    driver's last ``round N:`` commit) must either sit inside the graded
+    window (first 50 of queries()) or carry a SCALE_SWEEP.json row newer
+    than the boundary.  Detection parses the queries.py diff (hunk
+    headers name the enclosing ``def qNNN_``, changed lines catch
+    ``@register`` edits); library-file changes are the convention's
+    honor-system half — name the affected queries in the commit and
+    sweep them."""
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, cwd=REPO
+        ).stdout
+
+    boundary = _git("log", "--grep", "^round [0-9]*:", "-1", "--format=%H").strip()
+    if not boundary:
+        return {"ok": True, "note": "no round-boundary commit found"}
+    boundary_ts = float(_git("show", "-s", "--format=%ct", boundary).strip() or 0)
+    diff = _git("diff", "--unified=0", f"{boundary}..HEAD", "--",
+                "apache_arrow_spark/queries.py")
+    import re
+
+    changed = set()
+    for line in diff.splitlines():
+        if line.startswith("@@") or line[:1] in "+-":
+            changed.update(re.findall(r"\bq\d{2,3}_[a-z0-9_]+", line))
+    # restrict to real registry names and resolve the window
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as e\n"
+        "qs = list(e.queries())\n"
+        "import json; print('NAMES ' + json.dumps([qs, qs[:50]]))" % REPO
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600, cwd="/tmp")
+    names = window = []
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("NAMES "):
+            names, window = json.loads(line[len("NAMES "):])
+            break
+    changed &= set(names)
+    sweep_rows: dict = {}
+    ledger = os.path.join(REPO, "SCALE_SWEEP.json")
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            sweep_rows = json.load(f)
+    stale = sorted(
+        n for n in changed
+        if n not in window
+        and not (
+            sweep_rows.get(n, {}).get("verdict") in ("full", "slice")
+            and sweep_rows.get(n, {}).get("at", 0) > boundary_ts
+        )
+    )
+    return {
+        "ok": not stale,
+        "boundary": boundary[:10],
+        "changed_queries": sorted(changed),
+        "stale_unwindowed": stale,
+    }
+
+
 def _sweep(sf_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), sf_dir],
@@ -132,6 +197,7 @@ def main() -> None:
     result: dict = {"ts": None, "kind": "certify"}
 
     result["contract"] = _driver_contract(sf_dir, "--vanilla-all" in sys.argv)
+    result["freshness"] = _freshness()
     result["sweep"] = _sweep(sf_dir)
     if "--no-pytest" not in sys.argv:
         result["pytest"] = _pytest()
