@@ -312,7 +312,20 @@ def ann_topk_lsh_indexed(
         try:
             out._jdf.queryExecution().executedPlan()  # pin plan under conf
         except Exception:
-            pass  # Spark Connect: no _jdf; plan resolves lazily instead
+            # Spark Connect: no _jdf, so the plan resolves lazily AFTER the
+            # conf restore below — results stay correct but autoBucketedScan
+            # re-enables and the probe scans every bucket.  Surface it: a
+            # silent 16x scan blow-up is a perf regression nobody would see
+            # (ADVICE r7).
+            import warnings
+
+            warnings.warn(
+                "ann_topk_lsh_indexed: cannot pin the physical plan on this "
+                "session (no _jdf — Spark Connect?); bucket pruning may be "
+                "lost for this probe (results remain correct)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     finally:
         if old is not None:
             spark.conf.set(key, old)

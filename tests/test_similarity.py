@@ -118,6 +118,14 @@ def test_lsh_index_bucket_pruning(spark, edf, vecs):
             for r in ann_topk_lsh(edf, q, k=5, planes=8, n_probe_bits=2).collect()
         ]
         assert got == ref
+        # pruning must survive COLLECT-after-restore (ADVICE r7): the conf
+        # scope ended before collect(), so this proves the pinned
+        # QueryExecution executed the pruned scan, not a re-planned full one
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        assert spark.conf.get(key, None) is None, "conf must be restored"
+        executed = probe._jdf.queryExecution().executedPlan().toString()
+        m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", executed)
+        assert m2 and int(m2.group(1)) < int(m2.group(2))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

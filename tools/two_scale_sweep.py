@@ -214,11 +214,18 @@ FULL_ORACLE: dict[str, tuple[str, str]] = {
     pr AS (SELECT ia, ib FROM read_parquet('{pairs}') WHERE %s >= 0.5),
     cells AS (SELECT doc_id, unnest(s) AS g FROM sh),
     freq AS (SELECT g, count(*) AS df FROM cells GROUP BY g),
+    -- restrict the posting join to docs that appear in a qualifying pair
+    -- BEFORE matching shingles: ``shared`` only ever reads those docs, so
+    -- this is a pure pushdown, and it stops DuckDB from picking the
+    -- corpus-wide cells x cells join order (sum df^2 rows) that walled
+    -- the first full-sf0.1 attempt; freq stays corpus-global
+    ids AS (SELECT ia AS doc_id FROM pr UNION SELECT ib FROM pr),
+    pcells AS (SELECT c.doc_id, c.g FROM cells c JOIN ids USING (doc_id)),
     shared AS (
       SELECT pr.ia, pr.ib, ca.g, f.df
       FROM pr
-      JOIN cells ca ON ca.doc_id = pr.ia
-      JOIN cells cb ON cb.doc_id = pr.ib AND cb.g = ca.g
+      JOIN pcells ca ON ca.doc_id = pr.ia
+      JOIN pcells cb ON cb.doc_id = pr.ib AND cb.g = ca.g
       JOIN freq f ON f.g = ca.g),
     r AS (
       SELECT ia, ib, g, CAST(df AS BIGINT) AS df,
