@@ -194,6 +194,23 @@ def get_spark(
         # measures best here: bigger heaps (48g) lengthen G1 young-gen
         # pauses and cost more than the extra headroom saves.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle files on tmpfs when available: this box's /tmp is on the
+        # ext root disk, so every Exchange paid a disk round-trip.  Measured
+        # on the 2^25-double sort anchor: steady 21.6 -> 23.4 M entries/s
+        # (+8%), and the first-rep ramp halves.  Spark removes its spark-*
+        # subdirs on normal shutdown; a crashed JVM can leak until reboot —
+        # bounded by bench-scale shuffle volumes (MBs-GBs on a 126 G tmpfs).
+        # On a real cluster this points at local NVMe instead; the knob is
+        # the local-mode analog of provisioning fast shuffle storage.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/aas_spark_local"
+                if os.path.isdir("/dev/shm")
+                else tempfile.gettempdir(),
+            ),
+        )
         # local metastore/warehouse so bucketed tables (bucketBy/saveAsTable)
         # work out of the box; on a cluster this points at the real warehouse
         .config(
