@@ -2038,9 +2038,18 @@ def q72_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max argmax (one gram per doc survives) -> join char totals;
     both shuffles key on doc_id."""
     from apache_arrow_spark.functions.filters import top_ngram_char_fraction
+    from apache_arrow_spark.session import spread_compute
 
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length(F.btrim("text")) > 0
+    # spread the single-split source: unlike the deliberate zero-shuffle
+    # scans (q71/q74/q75, whose OUTPUT is corpus-sized), this query
+    # aggregates after the gram explode, so the tokenize + explode + map-
+    # side count otherwise serialize into the one scan task (r8 window
+    # profile: 0.43 s single-task stage at sf0.1); the exchange moves raw
+    # text, orders of magnitude smaller than the exploded grams it unlocks
+    d = spread_compute(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length(F.btrim("text")) > 0
+        )
     )
     return top_ngram_char_fraction(d, n=2)
 
@@ -2943,9 +2952,16 @@ def q83_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize; quantize_int8 itself stays a pure zero-shuffle expression
     e = spread_compute(load_table(spark, sf_dir, "embeddings"))
     q = quantize_int8(e, "embedding", "vec_id")
+    # posexplode_OUTER, deliberately: a plain posexplode lets Catalyst's
+    # InferFiltersFromGenerate synthesize `size(codes)>0 AND
+    # isnotnull(codes)` and push it below the spread exchange — with
+    # `codes` substituted, the scan task re-evaluates the whole quantize
+    # lambda twice per row on ONE core (measured: 723 ms single-task scan
+    # stage at sf0.1; 72 ms with outer).  Embedding arrays are non-null
+    # fixed-width, so outer emits identical rows.
     return q.select(
         F.col("id").alias("vec_id"),
-        F.posexplode("codes").alias("dim", "code"),
+        F.posexplode_outer("codes").alias("dim", "code"),
         "scale",
     ).select("vec_id", "dim", "code", "scale")
 
