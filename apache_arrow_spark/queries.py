@@ -11305,7 +11305,13 @@ def q164_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set self-join).  One doc_id-keyed self-join shuffle + one pair
     aggregate; df/N attach by broadcast.  Exact bigint floor-division
     output — no float, no log, no cross-engine drift."""
-    d = load_table(spark, sf_dir, "documents")
+    from apache_arrow_spark.session import spread_compute
+
+    # spread the single-split source: tokenize + array_distinct + explode
+    # feed aggregates and the pair self-join, so they otherwise serialize
+    # into the one scan task (r8 headline profile: 0.42 s single-task
+    # stage at sf0.1) — the documented spread_compute case
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
     toks = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select(
