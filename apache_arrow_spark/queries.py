@@ -12197,8 +12197,19 @@ def q261_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: position tables are shape-cardinality x line-width; lines are
     counted once and never pairwise compared."""
     from apache_arrow_spark.functions.text import log_templates
+    from apache_arrow_spark.session import spread_compute
 
-    e = load_table(spark, sf_dir, "events")
+    # spread the RAW 4-column projection, then synthesize the line: the
+    # concat chain otherwise fuses into the single-split scan ahead of
+    # log_templates' own spread (r8 all-query profile: 0.57 s single-task
+    # stage at sf0.1); exchanged bytes are the same either way, and
+    # log_templates' internal spread becomes an identity on the already-
+    # spread input
+    e = spread_compute(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id", "value", "ts"
+        )
+    )
     lines = e.select(
         F.concat(
             F.lit("evt="), F.col("event_type"),
