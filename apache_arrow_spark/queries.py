@@ -6628,6 +6628,12 @@ def q211_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_arrow_spark.functions.pipeline import hash_bucket
     from apache_arrow_spark.functions.profiling import snapshot_partition_diff
 
+    # NO spread here, measured: the r8 all-query profile flagged the
+    # 0.96 s 2-task digest scan, but spreading the raw projection made
+    # the query SLOWER (1.53 -> 1.63 s at sf0.1) — the md5/digest map
+    # side is cheap relative to exchanging 150 k raw snapshot rows, and
+    # on a real many-split dataset the scan parallelizes by itself.
+    # Same accepted class as q71/q74/q75's deliberate zero-spread scans.
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.date_format("o_orderdate", "yyyy-MM").alias("pk"),
