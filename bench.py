@@ -306,18 +306,19 @@ def main():
         _cleanup()
     _phase_mark("warmup_target_sf", _t_phase)
 
-    # two reps per query, best observed: single-shot timings on this box
+    # three reps per query, best observed: single-shot timings on this box
     # suffer multi-second external stalls (hypervisor memory reclaim) that
-    # land on arbitrary queries; min-of-2 reports steady-state execution.
-    # When the two reps disagree by >40% a stall (or first-execution JIT of
+    # land on arbitrary queries; min-of-3 reports steady-state execution.
+    # When the reps disagree by >40% a stall (or first-execution JIT of
     # a large codegen'd stage) landed on one of them — take a tie-breaker
     # rep so the reported number is the steady state, not the stall.
-    # Reps run as two full PASSES over the query list (not back-to-back):
-    # observed stalls blanket ~20-30 s windows, so consecutive reps of an
-    # expensive query both land inside one stall and min-of-2 can't see
-    # it.  A full pass apart, the two reps are decorrelated from any one
-    # window.  The >40% tie-breaker then only has to catch the rare case
-    # of both decorrelated reps being hit (or first-execution JIT).
+    # Reps run as three full PASSES over the query list (not back-to-back):
+    # observed stalls blanket ~20-30 s windows — and the r8 three-run
+    # comparison measured whole PASS sums swinging 90-144 s with no code
+    # change — so consecutive reps of an expensive query land inside one
+    # window and a back-to-back min can't see it.  A full pass apart, the
+    # reps are decorrelated from any one window; run_layout records the
+    # per-pass sums so the artifact itself shows when a pass was hit.
     def _timed(name: str) -> float:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
