@@ -243,6 +243,66 @@ FULL_ORACLE: dict[str, tuple[str, str]] = {
     SELECT CAST(floor(j * 10) AS INT) AS decile, count(*) AS n_pairs
     FROM p WHERE j >= 0.3 GROUP BY 1
     """),
+    # the funnel's near-dedup stage embeds the same quadratic pair join,
+    # but over the FILTERED doc set (raw -> quality -> exact-dedup) with
+    # pre-hashed shingles — so the pair generation inlines as a postings
+    # self-join on the hashed shingle values instead of reusing the shared
+    # pair parquet (shape None).  Everything before and after the
+    # ``dropped`` CTE is the registered oracle verbatim; the 0.5 length
+    # prune is implied by the 0.5 jaccard threshold as usual.
+    "q78_curation_funnel": (None, r"""
+    WITH raw AS (SELECT doc_id, text, lang FROM documents
+                 WHERE (('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) >= 100000),
+    bench AS (SELECT text FROM documents
+              WHERE (('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 100000
+                AND length(trim(text)) > 0),
+    q AS (SELECT * FROM raw WHERE CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20),
+    e AS (SELECT * FROM q WHERE doc_id IN
+            (SELECT min(doc_id) FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+    sh AS (SELECT doc_id,
+                  CASE WHEN length(t) < 5 THEN CAST([] AS UBIGINT[])
+                       ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                         i -> hash(substr(t, i, 5)))) END AS s
+           FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM e)),
+    sh2 AS MATERIALIZED (SELECT doc_id, len(s) AS ls FROM sh),
+    cells AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pp AS (SELECT ca.doc_id AS ia, cb.doc_id AS ib, count(*) AS i
+           FROM cells ca JOIN cells cb ON ca.g = cb.g AND ca.doc_id < cb.doc_id
+           GROUP BY 1, 2),
+    pj AS (SELECT pp.ia, pp.ib, pp.i, a.ls AS la, b.ls AS lb
+           FROM pp JOIN sh2 a ON a.doc_id = pp.ia JOIN sh2 b ON b.doc_id = pp.ib),
+    dropped AS (
+      SELECT DISTINCT ib
+      FROM pj
+      WHERE round(CAST(i AS DOUBLE) / greatest(la + lb - i, 1), 6) >= 0.5
+    ),
+    n AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT ib FROM dropped)),
+    tb AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
+    gb AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+           FROM tb, unnest(generate_series(1, len(tk) - 12)) s(i)),
+    tn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM n WHERE length(trim(text)) > 0),
+    gn AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           FROM tn, unnest(generate_series(1, len(tk) - 12)) s(i)),
+    contaminated AS (SELECT DISTINCT doc_id FROM gn WHERE g IN (SELECT g FROM gb)),
+    de AS (SELECT * FROM n WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    sam AS (SELECT * FROM de
+            WHERE (('0x' || substr(md5('curate' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) <
+                  CASE lang WHEN 'en' THEN 700000 WHEN 'de' THEN 1000000
+                            ELSE 500000 END),
+    spl AS (SELECT doc_id,
+                   CASE WHEN b < 100000 THEN 'test'
+                        WHEN b < 900000 THEN 'train'
+                        ELSE 'valid' END AS split
+            FROM (SELECT doc_id, (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS b FROM sam))
+    SELECT '0_raw' AS stage, count(*) AS n FROM raw
+    UNION ALL SELECT '1_quality', count(*) FROM q
+    UNION ALL SELECT '2_exact_dedup', count(*) FROM e
+    UNION ALL SELECT '3_near_dedup', count(*) FROM n
+    UNION ALL SELECT '4_decontaminated', count(*) FROM de
+    UNION ALL SELECT '5_sampled', count(*) FROM sam
+    UNION ALL SELECT '6_split_' || split, count(*) FROM spl GROUP BY split
+    """),
     # containment keeps BOTH orientations with the smaller set first;
     # la = lb legitimately emits both rows (mirrors the registered
     # ``a.doc_id <> b.doc_id AND a.ls <= b.ls`` join)
@@ -311,6 +371,10 @@ def ensure_pair_table(sf_dir: str, shape: str) -> str:
 
 def full_oracle_sql(name: str, sf_dir: str) -> str:
     shape, template = FULL_ORACLE[name]
+    if shape is None:
+        # self-contained rewrite (pair generation inlined on a filtered
+        # doc subset — q78); no shared pair table involved
+        return template
     pairs = ensure_pair_table(sf_dir, shape)
     docs = f"read_parquet('{sf_dir}/documents.parquet')"
     return template.format(
