@@ -63,6 +63,7 @@ FAMILY = [
     "q34_simhash_near_duplicates",
     "q36_ann_lsh_topk",
     "q37_embedding_near_duplicates",
+    "q78_curation_funnel",
     "q79_neardup_clusters",
     "q89_incremental_dedup",
     "q112_incremental_neardup",
