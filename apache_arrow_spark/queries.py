@@ -14451,17 +14451,22 @@ def q294_plasma_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-8 window (per the r7 verdict's
-# freshness sweep): q49-q98 — the last r1-era grades (q49/q50) plus the
-# 44-query r2 block and the three stalest r3 rows (q54/q57/q84) — except
-# q86 (already r3-graded), whose slot goes to q293, re-shaped this round
-# (the types_widened contract boolean moved from the graded columns into
-# tests/test_io.py::test_numpy_ingest_widening_map).  After this rotation
-# no query's latest driver grade predates round 3.  Everything deferred
-# carries a green driver-grade row on its current shape and stays covered
-# by pytest + tools/check_oracle.py + tools/two_scale_sweep.py.
+# first 50 registered queries.  Round-9 window (per the r8 verdict's #1):
+# the 47 remaining r3-era grades — q86 plus the q99-q144 block, five
+# refactor-rounds stale — plus the three stalest r4 rows: q159/q160/q164,
+# the r4-graded queries whose implementations changed in r8 (q159 flock
+# beacon, q160/q164 spread fixes; judge oracle re-runs were green but the
+# driver ledger still says r4 on pre-change code).  After this rotation no
+# query's latest driver grade predates round 4, and the freshness cycle
+# drops to ~1 block per round of maintenance.  Everything deferred carries
+# a green driver-grade row on its current shape and stays covered by
+# pytest + tools/check_oracle.py + tools/two_scale_sweep.py.
 # --------------------------------------------------------------------------
-_WINDOW = [f"q{i:02d}" for i in range(49, 99) if i != 86] + ["q293"]
+_WINDOW = (
+    ["q86"]
+    + [f"q{i}" for i in range(99, 145)]
+    + ["q159", "q160", "q164"]
+)
 
 
 def _qnum(name: str) -> int:

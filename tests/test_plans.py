@@ -750,3 +750,75 @@ def test_free_local_checkpoint_releases_blocks(spark):
     assert not jsc.getPersistentRDDs().contains(rid)
     # non-checkpoint root: honest no-op
     assert free_local_checkpoint(spark.range(10)) is False
+
+
+# --------------------------------------------------------------------------
+# r8 single-task-stage fixes: regression guards (r8 verdict "What's wrong"
+# #1).  q72/q164/q261 gained a spread_compute exchange and q83 a
+# posexplode_OUTER specifically to kill measured single-task scan stages;
+# nothing previously asserted the fixed plans stay fixed, so a Catalyst
+# upgrade re-deriving InferFiltersFromGenerate under the outer-explode, or
+# a refactor dropping a spread, would regress silently until the next
+# manual stage_profile run.
+# --------------------------------------------------------------------------
+
+
+def _first_index(plan: str, *fragments: str) -> int:
+    """Position of the first occurrence of any fragment (assert >= 0)."""
+    hits = [plan.find(f) for f in fragments if plan.find(f) >= 0]
+    assert hits, f"none of {fragments} in plan:\n{plan[:2000]}"
+    return min(hits)
+
+
+def test_q72_gram_explode_runs_above_spread_exchange(spark, sf_dir):
+    """q72's gram explode + map-side count must sit ABOVE the round-robin
+    spread exchange (queries.py: the r8 fix for the 0.43 s single-task
+    scan stage at sf0.1) — parents print before children, so the Generate
+    must appear before the RoundRobin exchange in the plan text."""
+    df = QUERIES["q72_top_ngram_fraction"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    gen = _first_index(plan, "Generate explode")
+    rr = _first_index(plan, "RoundRobinPartitioning")
+    assert gen < rr, "gram explode fused below the spread exchange"
+
+
+def test_q164_token_explode_runs_above_spread_exchange(spark, sf_dir):
+    df = QUERIES["q164_token_cooccurrence"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    gen = _first_index(plan, "Generate explode")
+    rr = _first_index(plan, "RoundRobinPartitioning")
+    assert gen < rr, "token explode fused below the spread exchange"
+
+
+def test_q261_posexplode_runs_above_spread_exchange(spark, sf_dir):
+    df = QUERIES["q261_log_templates"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    gen = _first_index(plan, "Generate posexplode")
+    rr = _first_index(plan, "RoundRobinPartitioning")
+    assert gen < rr, "line posexplode fused below the spread exchange"
+
+
+def test_q83_no_inferred_filter_below_spread(spark, sf_dir):
+    """q83 uses posexplode_OUTER so InferFiltersFromGenerate cannot
+    synthesize `size(codes)>0 AND isnotnull(codes)` and push it below the
+    spread exchange (measured: 723 ms single-task scan stage vs 72 ms).
+    Guard both halves: the Generate carries outer=true, and the segment
+    between the spread exchange and the scan contains NO Filter node (the
+    scan itself keeps empty DataFilters)."""
+    import re
+
+    df = QUERIES["q83_quantize_embeddings"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    # Generate posexplode(codes#N), [outputs], true, [...] — the third
+    # field is the outer flag
+    assert re.search(r"Generate posexplode\(codes#\d+\), \[[^\]]*\], true", plan), (
+        "posexplode lost its outer flag:\n" + plan[:1500]
+    )
+    rr = _first_index(plan, "RoundRobinPartitioning")
+    scan = plan.find("FileScan", rr)
+    assert scan > rr
+    between = plan[rr:scan]
+    assert "Filter" not in between, (
+        "a filter was pushed below q83's spread exchange:\n" + between
+    )
+    assert "DataFilters: []" in plan[scan : scan + 400]
