@@ -158,6 +158,76 @@ def compute_parallelism(spark: SparkSession) -> int:
     return max(spark.sparkContext.defaultParallelism, 8)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Signal-0 liveness probe; PermissionError means alive-but-foreign."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknowable — spare it
+    return True
+
+
+def _reap_orphan_local_dirs(root: str) -> None:
+    """Prune shuffle scratch left by crashed JVMs under the engine's
+    tmpfs ``spark.local.dir`` root (r8 verdict #4: Spark removes its
+    spark-* dirs on normal shutdown, but a crash loop during a long
+    session could accrete toward a full 126 G /dev/shm and fail later
+    shuffles with a confusing no-space error).
+
+    Ownership discipline mirrors _q159_reap_stale: each process gets its
+    own ``root/<pid>`` subdir (see get_spark), so liveness is a signal-0
+    probe — a dead owner's dir is garbage NOW, no age bar needed; a live
+    pid (even a recycled one) is always spared, bounded by the next reap
+    after that process exits.  Anything not pid-named (the pre-r9 flat
+    layout's spark-*/blockmgr-* dirs, stray files) has no owner mapping
+    and falls back to a 24 h mtime bar — Spark touches its scratch
+    continuously while shuffling, and the bench/test sessions here live
+    minutes, so a day of silence means orphaned.  Only ever called on a
+    root the engine itself owns (path guard in get_spark), never on a
+    user-supplied SPARK_GRAFT_LOCAL_DIR."""
+    import shutil
+    import time as _time
+
+    try:
+        children = os.listdir(root)
+    except OSError:
+        return
+    for name in children:
+        path = os.path.join(root, name)
+        if name.isdigit():
+            if int(name) == os.getpid() or _pid_alive(int(name)):
+                continue
+        else:
+            try:
+                old = _time.time() - os.stat(path).st_mtime > 24 * 3600
+            except OSError:
+                old = False
+            if not old:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _default_local_dir() -> str:
+    """Resolve spark.local.dir: env override verbatim (the operator's
+    choice — never reaped), else a per-PID subdir of the tmpfs root with
+    orphan reaping of dead siblings."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if not os.path.isdir("/dev/shm"):
+        return tempfile.gettempdir()
+    root = "/dev/shm/aas_spark_local"
+    os.makedirs(root, exist_ok=True)
+    _reap_orphan_local_dirs(root)
+    mine = os.path.join(root, str(os.getpid()))
+    os.makedirs(mine, exist_ok=True)
+    return mine
+
+
 def get_spark(
     app_name: str = "apache-arrow-spark",
     master: str | None = None,
@@ -198,19 +268,12 @@ def get_spark(
         # ext root disk, so every Exchange paid a disk round-trip.  Measured
         # on the 2^25-double sort anchor: steady 21.6 -> 23.4 M entries/s
         # (+8%), and the first-rep ramp halves.  Spark removes its spark-*
-        # subdirs on normal shutdown; a crashed JVM can leak until reboot —
-        # bounded by bench-scale shuffle volumes (MBs-GBs on a 126 G tmpfs).
+        # subdirs on normal shutdown; crashed JVMs are handled by the
+        # per-PID layout + dead-owner reaper in _default_local_dir, so a
+        # crash loop can no longer accrete toward a full 126 G tmpfs.
         # On a real cluster this points at local NVMe instead; the knob is
         # the local-mode analog of provisioning fast shuffle storage.
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/aas_spark_local"
-                if os.path.isdir("/dev/shm")
-                else tempfile.gettempdir(),
-            ),
-        )
+        .config("spark.local.dir", _default_local_dir())
         # local metastore/warehouse so bucketed tables (bucketBy/saveAsTable)
         # work out of the box; on a cluster this points at the real warehouse
         .config(

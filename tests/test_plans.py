@@ -822,3 +822,49 @@ def test_q83_no_inferred_filter_below_spread(spark, sf_dir):
         "a filter was pushed below q83's spread exchange:\n" + between
     )
     assert "DataFilters: []" in plan[scan : scan + 400]
+
+
+def test_local_dir_reaper_prunes_dead_owners_spares_live(tmp_path):
+    """session._reap_orphan_local_dirs (r8 verdict #4): a crashed JVM's
+    per-PID shuffle dir is pruned immediately (dead owner = garbage NOW);
+    a live process's dir always survives; legacy non-pid dirs fall back
+    to the 24 h age bar — old ones go, fresh ones are spared."""
+    import os
+    import subprocess
+    import time
+
+    from apache_arrow_spark.session import _reap_orphan_local_dirs
+
+    p = subprocess.Popen(["true"])
+    p.wait()  # a genuinely dead pid
+    dead = tmp_path / str(p.pid)
+    dead.mkdir()
+    (dead / "shuffle.data").write_bytes(b"x" * 64)
+    live = tmp_path / str(os.getpid())
+    live.mkdir()
+    legacy_old = tmp_path / "spark-deadbeef"
+    legacy_old.mkdir()
+    os.utime(legacy_old, (time.time() - 25 * 3600,) * 2)
+    legacy_fresh = tmp_path / "spark-cafef00d"
+    legacy_fresh.mkdir()
+
+    _reap_orphan_local_dirs(str(tmp_path))
+
+    assert not dead.exists(), "dead-owner dir survived the reap"
+    assert live.exists(), "live-owner dir was reaped"
+    assert not legacy_old.exists(), ">24h legacy dir survived the reap"
+    assert legacy_fresh.exists(), "fresh legacy dir was reaped"
+
+
+def test_get_spark_local_dir_is_per_pid(spark):
+    """get_spark wires _default_local_dir: when the engine owns the tmpfs
+    root (no SPARK_GRAFT_LOCAL_DIR override), spark.local.dir is this
+    process's own subdir — the mapping the reaper's liveness probe needs."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR") or not os.path.isdir("/dev/shm"):
+        import pytest
+
+        pytest.skip("operator-supplied local dir — reaper out of scope")
+    conf = spark.sparkContext.getConf().get("spark.local.dir")
+    assert conf.rstrip("/").endswith(os.sep + str(os.getpid()))
