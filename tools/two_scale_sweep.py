@@ -54,6 +54,32 @@ from tools.check_oracle import TABLES, _normalize, compare  # noqa: E402
 
 BIG = "/root/testdata/sf0.1"
 SMALL = "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tree_sha() -> str:
+    """The tree state a sweep row was produced on: HEAD sha, suffixed
+    ``-dirty`` when the source dirs have uncommitted changes.  Called per
+    row (cheap) so a mid-sweep commit stamps rows on the tree that
+    actually ran them; certify.py diffs a row's sha against the current
+    tree to decide whether the row still certifies its query."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=REPO, timeout=30,
+        ).stdout.strip()
+        if not head:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "apache_arrow_spark", "__spark_entry__.py"],
+            capture_output=True, text=True, cwd=REPO, timeout=30,
+        ).stdout.strip()
+        return head + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
 SLICE_DOCS = 1000  # 2x sf0.01's 500 documents — the fallback fixture only
 SLICE_VECS = 1000
 
@@ -533,7 +559,16 @@ def main() -> None:
                 detail = f"slice: {type(e).__name__}: {str(e)[:300]}"
         except Exception as e:  # noqa: BLE001
             detail = f"{type(e).__name__}: {str(e)[:300]}"
-        results[name] = {"verdict": verdict, "detail": detail}
+        # self-certifying row (r8 verdict #5): stamp the PER-QUERY run
+        # completion time and the tree SHA at run time — not one batch
+        # stamp at ledger write — so certify can reject a row whose tree
+        # predates a later change to that query.
+        results[name] = {
+            "verdict": verdict,
+            "detail": detail,
+            "at": time.time(),
+            "sha": tree_sha(),
+        }
         mark = {"full": "✓", "slice": "◐"}.get(verdict, "✗")
         print(f"  {mark} {name}: {verdict}  [{time.time()-t0:.1f}s] {detail}",
               flush=True)
@@ -554,8 +589,7 @@ def main() -> None:
                 merged = json.load(f)
         except (OSError, ValueError):
             merged = {}
-    for name, r in results.items():
-        merged[name] = {**r, "at": time.time()}
+    merged.update(results)
     with open(ledger, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     sys.exit(1 if counts["FAIL"] else 0)
