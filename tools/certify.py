@@ -86,6 +86,44 @@ print("CERTIFY " + json.dumps({
     return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
 
 
+def row_certifies(
+    name: str,
+    row: dict,
+    boundary_ts: float,
+    repo: str | None = None,
+    rel_path: str = "apache_arrow_spark/queries.py",
+) -> bool:
+    """A sweep row certifies its query iff it is green, newer than the
+    round boundary, AND (self-certifying ledger, r8 verdict #5) the
+    query's implementation has not changed between the tree the row ran
+    on (its ``sha`` stamp) and the CURRENT working tree.  Rows without a
+    sha (pre-r9 ledger) keep the timestamp-only gate; a sha git can't
+    resolve fails closed — re-sweep, never trust."""
+    import re
+
+    if row.get("verdict") not in ("full", "slice"):
+        return False
+    if row.get("at", 0) <= boundary_ts:
+        return False
+    sha = row.get("sha")
+    if not sha:
+        return True  # legacy row: timestamp gate only
+    if sha == "unknown":
+        return False
+    base = sha.removesuffix("-dirty")
+    # base..working-tree diff (committed AND uncommitted edits) — a
+    # dirty-stamped row is checked against the same diff: if the dirty
+    # edits were committed unchanged the diff is empty; if anything
+    # about the query moved, it re-sweeps (fail closed)
+    proc = subprocess.run(
+        ["git", "diff", "--unified=0", base, "--", rel_path],
+        capture_output=True, text=True, cwd=repo or REPO,
+    )
+    if proc.returncode != 0:
+        return False  # unresolvable sha
+    return name not in set(re.findall(r"\bq\d{2,3}_[a-z0-9_]+", proc.stdout))
+
+
 def _freshness() -> dict:
     """Grade-freshness gate (PARITY.md convention, r7 verdict #7): every
     query whose implementation changed since the round boundary (the
@@ -134,41 +172,10 @@ def _freshness() -> dict:
         with open(ledger) as f:
             sweep_rows = json.load(f)
 
-    def _row_certifies(name: str) -> bool:
-        """A sweep row certifies its query iff it is green, newer than
-        the round boundary, AND (self-certifying ledger, r8 verdict #5)
-        the query's implementation has not changed between the tree the
-        row ran on (its ``sha`` stamp) and the CURRENT working tree.
-        Rows without a sha (pre-r9 ledger) keep the timestamp-only gate;
-        a sha git can't resolve fails closed — re-sweep, never trust."""
-        row = sweep_rows.get(name, {})
-        if row.get("verdict") not in ("full", "slice"):
-            return False
-        if row.get("at", 0) <= boundary_ts:
-            return False
-        sha = row.get("sha")
-        if not sha:
-            return True  # legacy row: timestamp gate only
-        if sha == "unknown":
-            return False
-        base = sha.removesuffix("-dirty")
-        # base..working-tree diff (committed AND uncommitted edits) —
-        # a dirty-stamped row is checked against the same diff: if the
-        # dirty edits were committed unchanged the diff is empty; if
-        # anything about the query moved, it re-sweeps (fail closed)
-        proc = subprocess.run(
-            ["git", "diff", "--unified=0", base, "--",
-             "apache_arrow_spark/queries.py"],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        if proc.returncode != 0:
-            return False  # unresolvable sha
-        return name not in set(
-            re.findall(r"\bq\d{2,3}_[a-z0-9_]+", proc.stdout)
-        )
-
     stale = sorted(
-        n for n in changed if n not in window and not _row_certifies(n)
+        n for n in changed
+        if n not in window
+        and not row_certifies(n, sweep_rows.get(n, {}), boundary_ts)
     )
     return {
         "ok": not stale,
