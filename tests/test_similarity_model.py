@@ -111,3 +111,45 @@ def test_containment_pairs_match_all_pairs_model(spark):
     for pair, cont in expected.items():
         assert abs(got[pair] - cont) < 2e-6, (pair, got[pair], cont)
     assert any(c < 0.95 for c in expected.values()) and len(expected) >= 6
+
+
+def test_simhash_pairs_equal_bruteforce_hamming(spark):
+    """simhash_near_duplicates documents that the pigeonhole block join is
+    EXACT — output equals a brute-force all-pairs Hamming scan.  Verify
+    literally: collect the Spark-computed 64-bit keys for the sweep
+    corpus, brute-force every pair in python, and compare at two bars the
+    corpus makes interesting (measured key distribution: one pair at
+    exactly h=3 — the default bar — then pairs at h=8 vs h=9, an
+    at-the-bar/just-above split for the 16-block configuration)."""
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import simhash, simhash_near_duplicates
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    keys = {
+        r.id: r.simhash
+        for r in simhash(df).select(F.col("doc_id").alias("id"), "simhash").collect()
+    }
+    ids = sorted(keys)
+    dist = {
+        (a, b): bin((keys[a] ^ keys[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    for max_h, blocks in ((3, 4), (8, 16)):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_duplicates(
+                df, max_hamming=max_h, blocks=blocks
+            ).collect()
+        }
+        expected = {p: h for p, h in dist.items() if h <= max_h}
+        assert got == expected, (
+            f"max_hamming={max_h}: missing={set(expected) - set(got)} "
+            f"extra={set(got) - set(expected)}"
+        )
+        assert expected, "corpus produced no pair under the bar — dead test"
+    # the boundary was genuinely exercised: a pair AT each bar and a
+    # near-miss just outside the second
+    assert 3 in dist.values() and 8 in dist.values() and 9 in dist.values()
