@@ -86,19 +86,155 @@ print("CERTIFY " + json.dumps({
     return {"ok": False, "error": (out.stderr or out.stdout)[-500:]}
 
 
+def query_module_deps(repo: str | None = None) -> dict:
+    """Map every ``qNN_`` query in ``queries.py`` to the repo-relative
+    ``apache_arrow_spark`` module files it reaches, TRANSITIVELY (r9
+    verdict #2 — certify's changed-query detection used to stop at
+    queries.py, leaving library-file edits an honor-system hole).
+
+    One AST pass, no imports executed:
+
+    1. every library file is parsed and its intra-package imports
+       (absolute ``apache_arrow_spark.*`` and relative ``from .x``)
+       become file→file edges; a package module resolves to its
+       ``__init__.py`` so re-exports close transitively;
+    2. each top-level function in queries.py collects its function-local
+       library imports plus any module-level-imported names it uses;
+    3. helper calls (``_q159_layout_live`` etc.) union deps to a
+       fixpoint, then every direct dep expands through the library
+       closure.
+
+    Unresolvable modules map to the package ``__init__.py`` (fail
+    closed: a diff there invalidates broadly rather than narrowly)."""
+    import ast
+    import re
+
+    repo = repo or REPO
+    pkg_root = os.path.join(repo, "apache_arrow_spark")
+
+    def resolve(mod: str, extra_name: str | None = None) -> set:
+        """Dotted module -> repo-relative file path(s)."""
+        out = set()
+        for cand in ([f"{mod}.{extra_name}"] if extra_name else []) + [mod]:
+            rel = cand.replace(".", "/")
+            if os.path.isfile(os.path.join(repo, rel + ".py")):
+                out.add(rel + ".py")
+                return out
+            if os.path.isdir(os.path.join(repo, rel)):
+                out.add(rel + "/__init__.py")
+                return out
+        return {"apache_arrow_spark/__init__.py"}  # fail closed
+
+    # ---- library file -> direct intra-package deps -----------------------
+    lib_edges: dict = {}
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, repo)
+            pkg = os.path.relpath(dirpath, repo).replace("/", ".")
+            deps: set = set()
+            try:
+                node = ast.parse(open(path).read())
+            except SyntaxError:
+                lib_edges[rel] = deps
+                continue
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom):
+                    if sub.level:  # relative import
+                        base = pkg.rsplit(".", sub.level - 1)[0] if sub.level > 1 else pkg
+                        mod = f"{base}.{sub.module}" if sub.module else base
+                        for a in sub.names:
+                            deps |= resolve(mod, a.name)
+                    elif sub.module and sub.module.startswith("apache_arrow_spark"):
+                        for a in sub.names:
+                            deps |= resolve(sub.module, a.name)
+                elif isinstance(sub, ast.Import):
+                    for a in sub.names:
+                        if a.name.startswith("apache_arrow_spark"):
+                            deps |= resolve(a.name)
+            lib_edges[rel] = deps
+
+    def closure(start: set) -> set:
+        seen, work = set(start), list(start)
+        while work:
+            f = work.pop()
+            for d in lib_edges.get(f, ()):
+                if d not in seen:
+                    seen.add(d)
+                    work.append(d)
+        return seen
+
+    # ---- queries.py: per-function direct deps + helper-call fixpoint -----
+    qtree = ast.parse(open(os.path.join(pkg_root, "queries.py")).read())
+    global_name_deps: dict = {}  # module-level imported name -> files
+    for node in qtree.body:
+        if isinstance(node, ast.ImportFrom) and node.module and \
+                node.module.startswith("apache_arrow_spark"):
+            for a in node.names:
+                global_name_deps[a.asname or a.name] = resolve(node.module, a.name)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("apache_arrow_spark"):
+                    global_name_deps[(a.asname or a.name).split(".")[0]] = resolve(a.name)
+
+    funcs = {
+        n.name: n for n in qtree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    direct: dict = {}
+    calls: dict = {}
+    for name, node in funcs.items():
+        deps, used = set(), set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.ImportFrom) and sub.module and \
+                    sub.module.startswith("apache_arrow_spark"):
+                for a in sub.names:
+                    deps |= resolve(sub.module, a.name)
+            elif isinstance(sub, ast.Import):
+                for a in sub.names:
+                    if a.name.startswith("apache_arrow_spark"):
+                        deps |= resolve(a.name)
+            elif isinstance(sub, ast.Name):
+                used.add(sub.id)
+        for nm in used & set(global_name_deps):
+            deps |= global_name_deps[nm]
+        direct[name] = deps
+        calls[name] = used & set(funcs) - {name}
+    changed = True
+    while changed:  # helper-call fixpoint (helpers may call helpers)
+        changed = False
+        for name in funcs:
+            for callee in calls[name]:
+                if not direct[callee] <= direct[name]:
+                    direct[name] |= direct[callee]
+                    changed = True
+    return {
+        name: sorted(closure(deps))
+        for name, deps in direct.items()
+        if re.match(r"q\d{2,}_", name)
+    }
+
+
 def row_certifies(
     name: str,
     row: dict,
     boundary_ts: float,
     repo: str | None = None,
     rel_path: str = "apache_arrow_spark/queries.py",
+    deps: list | None = None,
 ) -> bool:
     """A sweep row certifies its query iff it is green, newer than the
     round boundary, AND (self-certifying ledger, r8 verdict #5) the
     query's implementation has not changed between the tree the row ran
-    on (its ``sha`` stamp) and the CURRENT working tree.  Rows without a
-    sha (pre-r9 ledger) keep the timestamp-only gate; a sha git can't
-    resolve fails closed — re-sweep, never trust."""
+    on (its ``sha`` stamp) and the CURRENT working tree — where "the
+    query's implementation" includes every library module the query
+    reaches (``deps``, from :func:`query_module_deps`; r9 verdict #2):
+    a queries.py diff must not name the query, and the reached library
+    files must have NO diff at all (coarse on purpose — fail closed).
+    Rows without a sha (pre-r9 ledger) keep the timestamp-only gate; a
+    sha git can't resolve fails closed — re-sweep, never trust."""
     import re
 
     if row.get("verdict") not in ("full", "slice"):
@@ -121,7 +257,17 @@ def row_certifies(
     )
     if proc.returncode != 0:
         return False  # unresolvable sha
-    return name not in set(re.findall(r"\bq\d{2,3}_[a-z0-9_]+", proc.stdout))
+    if name in set(re.findall(r"\bq\d{2,}_[a-z0-9_]+", proc.stdout)):
+        return False
+    lib = [d for d in (deps or []) if d != rel_path]
+    if lib:
+        proc = subprocess.run(
+            ["git", "diff", "--name-only", base, "--", *lib],
+            capture_output=True, text=True, cwd=repo or REPO,
+        )
+        if proc.returncode != 0 or proc.stdout.strip():
+            return False  # a reached library file changed (or bad sha)
+    return True
 
 
 def _freshness() -> dict:
@@ -129,11 +275,12 @@ def _freshness() -> dict:
     query whose implementation changed since the round boundary (the
     driver's last ``round N:`` commit) must either sit inside the graded
     window (first 50 of queries()) or carry a SCALE_SWEEP.json row newer
-    than the boundary.  Detection parses the queries.py diff (hunk
-    headers name the enclosing ``def qNNN_``, changed lines catch
-    ``@register`` edits); library-file changes are the convention's
-    honor-system half — name the affected queries in the commit and
-    sweep them."""
+    than the boundary.  Detection is two-pronged (r9 verdict #2 closed
+    the library-file hole): the queries.py diff names queries directly
+    (hunk headers name the enclosing ``def qNNN_``, changed lines catch
+    ``@register`` edits), and a diff in any OTHER ``apache_arrow_spark``
+    file marks every query whose transitive module closure
+    (:func:`query_module_deps`) reaches it."""
     def _git(*args: str) -> str:
         return subprocess.run(
             ["git", *args], capture_output=True, text=True, cwd=REPO
@@ -150,7 +297,19 @@ def _freshness() -> dict:
     changed = set()
     for line in diff.splitlines():
         if line.startswith("@@") or line[:1] in "+-":
-            changed.update(re.findall(r"\bq\d{2,3}_[a-z0-9_]+", line))
+            changed.update(re.findall(r"\bq\d{2,}_[a-z0-9_]+", line))
+    # library-file prong: any changed apache_arrow_spark module marks
+    # every query that (transitively) imports it
+    deps = query_module_deps()
+    lib_changed = {
+        f for f in _git("diff", "--name-only", f"{boundary}..HEAD", "--",
+                        "apache_arrow_spark").splitlines()
+        if f.strip() and f != "apache_arrow_spark/queries.py"
+    }
+    via_lib = sorted(
+        n for n, files in deps.items() if lib_changed & set(files)
+    ) if lib_changed else []
+    changed |= set(via_lib)
     # restrict to real registry names and resolve the window
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -175,12 +334,14 @@ def _freshness() -> dict:
     stale = sorted(
         n for n in changed
         if n not in window
-        and not row_certifies(n, sweep_rows.get(n, {}), boundary_ts)
+        and not row_certifies(n, sweep_rows.get(n, {}), boundary_ts,
+                              deps=deps.get(n))
     )
     return {
         "ok": not stale,
         "boundary": boundary[:10],
         "changed_queries": sorted(changed),
+        "changed_via_library": via_lib,
         "stale_unwindowed": stale,
     }
 
