@@ -180,15 +180,23 @@ def _reap_orphan_local_dirs(root: str) -> None:
 
     Ownership discipline mirrors _q159_reap_stale: each process gets its
     own ``root/<pid>`` subdir (see get_spark), so liveness is a signal-0
-    probe — a dead owner's dir is garbage NOW, no age bar needed; a live
-    pid (even a recycled one) is always spared, bounded by the next reap
-    after that process exits.  Anything not pid-named (the pre-r9 flat
-    layout's spark-*/blockmgr-* dirs, stray files) has no owner mapping
-    and falls back to a 24 h mtime bar — Spark touches its scratch
-    continuously while shuffling, and the bench/test sessions here live
-    minutes, so a day of silence means orphaned.  Only ever called on a
-    root the engine itself owns (path guard in get_spark), never on a
-    user-supplied SPARK_GRAFT_LOCAL_DIR."""
+    probe — a dead owner's dir is garbage, subject only to a short mtime
+    grace (the liveness key is the PYTHON driver pid but the scratch is
+    written by its child JVM, which can outlive the driver by a moment
+    during teardown; a dir touched in the last 60 s is spared until the
+    next reap rather than rmtree'd mid-write).  A live pid (even a
+    recycled one) is always spared, bounded by the next reap after that
+    process exits.  A pid-shaped name that doesn't parse as a probeable
+    pid (non-ASCII digits — str.isdigit accepts '²' — or a value past
+    the OS pid range) is unknowable, so it's spared to the not-pid-named
+    path below rather than crashing session start.  Anything not
+    pid-named (the pre-r9 flat layout's spark-*/blockmgr-* dirs, stray
+    files) has no owner mapping and falls back to a 24 h mtime bar —
+    Spark touches its scratch continuously while shuffling, and the
+    bench/test sessions here live minutes, so a day of silence means
+    orphaned; plain files are os.remove'd (rmtree silently skips them).
+    Only ever called on a root the engine itself owns (path guard in
+    get_spark), never on a user-supplied SPARK_GRAFT_LOCAL_DIR."""
     import shutil
     import time as _time
 
@@ -198,17 +206,31 @@ def _reap_orphan_local_dirs(root: str) -> None:
         return
     for name in children:
         path = os.path.join(root, name)
-        if name.isdigit():
-            if int(name) == os.getpid() or _pid_alive(int(name)):
+        pid = None
+        if name.isascii() and name.isdigit():
+            try:
+                pid = int(name)
+                alive = pid == os.getpid() or _pid_alive(pid)
+            except (ValueError, OverflowError):
+                pid = None  # unprobeable — treat as unowned below
+        if pid is not None:
+            if alive:
                 continue
+            grace = 60  # JVM may briefly outlive its Python driver
+        else:
+            grace = 24 * 3600
+        try:
+            if _time.time() - os.stat(path).st_mtime <= grace:
+                continue
+        except OSError:
+            continue  # vanished or unstat-able — spare it
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path, ignore_errors=True)
         else:
             try:
-                old = _time.time() - os.stat(path).st_mtime > 24 * 3600
+                os.remove(path)
             except OSError:
-                old = False
-            if not old:
-                continue
-        shutil.rmtree(path, ignore_errors=True)
+                pass
 
 
 def _default_local_dir() -> str:

@@ -825,10 +825,17 @@ def test_q83_no_inferred_filter_below_spread(spark, sf_dir):
 
 
 def test_local_dir_reaper_prunes_dead_owners_spares_live(tmp_path):
-    """session._reap_orphan_local_dirs (r8 verdict #4): a crashed JVM's
-    per-PID shuffle dir is pruned immediately (dead owner = garbage NOW);
-    a live process's dir always survives; legacy non-pid dirs fall back
-    to the 24 h age bar — old ones go, fresh ones are spared."""
+    """session._reap_orphan_local_dirs (r8 verdict #4, hardened per r9
+    ADVICE): a crashed JVM's per-PID shuffle dir is pruned once past the
+    60 s teardown grace (the child JVM can outlive its Python driver by
+    a moment — never rmtree mid-write); a JUST-dead owner's dir is
+    spared until the next reap; a live process's dir always survives;
+    legacy non-pid dirs fall back to the 24 h age bar; plain stray files
+    follow the same bar via os.remove (rmtree skips non-dirs silently);
+    unprobeable pid-shaped names — non-ASCII digits like '²' where
+    str.isdigit lies, or values past the OS pid range that overflow
+    os.kill — must not crash the reap (they bricked every session start
+    before) and are treated as unowned."""
     import os
     import subprocess
     import time
@@ -840,6 +847,13 @@ def test_local_dir_reaper_prunes_dead_owners_spares_live(tmp_path):
     dead = tmp_path / str(p.pid)
     dead.mkdir()
     (dead / "shuffle.data").write_bytes(b"x" * 64)
+    os.utime(dead, (time.time() - 120,) * 2)  # past the teardown grace
+    p2 = subprocess.Popen(["true"])
+    p2.wait()
+    dead_fresh = tmp_path / str(p2.pid)  # dead but inside the grace
+    if dead_fresh == dead:  # pid reuse paranoia
+        dead_fresh = tmp_path / "999999"
+    dead_fresh.mkdir()
     live = tmp_path / str(os.getpid())
     live.mkdir()
     legacy_old = tmp_path / "spark-deadbeef"
@@ -847,13 +861,29 @@ def test_local_dir_reaper_prunes_dead_owners_spares_live(tmp_path):
     os.utime(legacy_old, (time.time() - 25 * 3600,) * 2)
     legacy_fresh = tmp_path / "spark-cafef00d"
     legacy_fresh.mkdir()
+    stray_old = tmp_path / "stray.lock"
+    stray_old.write_bytes(b"x")
+    os.utime(stray_old, (time.time() - 25 * 3600,) * 2)
+    stray_fresh = tmp_path / "stray2.lock"
+    stray_fresh.write_bytes(b"x")
+    weird_digit = tmp_path / "²"  # isdigit() True, int() raises
+    weird_digit.mkdir()
+    os.utime(weird_digit, (time.time() - 25 * 3600,) * 2)
+    huge = tmp_path / str(2**63)  # os.kill would raise OverflowError
+    huge.mkdir()
+    os.utime(huge, (time.time() - 25 * 3600,) * 2)
 
     _reap_orphan_local_dirs(str(tmp_path))
 
-    assert not dead.exists(), "dead-owner dir survived the reap"
+    assert not dead.exists(), "dead-owner dir past grace survived the reap"
+    assert dead_fresh.exists(), "just-dead dir reaped inside teardown grace"
     assert live.exists(), "live-owner dir was reaped"
     assert not legacy_old.exists(), ">24h legacy dir survived the reap"
     assert legacy_fresh.exists(), "fresh legacy dir was reaped"
+    assert not stray_old.exists(), ">24h stray file survived the reap"
+    assert stray_fresh.exists(), "fresh stray file was reaped"
+    assert not weird_digit.exists(), "non-ASCII-digit dir survived (or crashed)"
+    assert not huge.exists(), "past-pid-range dir survived (or crashed)"
 
 
 def test_get_spark_local_dir_is_per_pid(spark):
