@@ -52,6 +52,78 @@ def _compute_parallelism(df: DataFrame) -> int:
         return 32
 
 
+# A bucket whose membership reaches this size gets its self-join salted
+# (split into N_SALTS sub-keys) so no single join task emits the whole
+# m^2/2 pair flood; buckets below it keep the plain equi-join.  4096 was
+# chosen so the cold path covers every real corpus bucket observed at
+# sf0.1 (max measured bucket ~60) while a pathological boilerplate flood
+# (10^4+ near-identical docs -> one bucket per band) gets split before a
+# single task would emit 5*10^7 pairs.
+HOT_BUCKET_ROWS = 4096
+HOT_BUCKET_TOP_K = 10_000  # driver-side hot-key list stays bounded
+N_BUCKET_SALTS = 16
+
+
+def _bucket_self_join_pairs(
+    bucketed: DataFrame,
+    key_cols: list,
+    carry_cols: tuple = (),
+    hot_rows: int = HOT_BUCKET_ROWS,
+    n_salts: int = N_BUCKET_SALTS,
+    distinct: bool = True,
+) -> DataFrame:
+    """Skew-balanced candidate generation shared by the LSH-band,
+    pigeonhole, and prefix-filter joins (r9 verdict #5): self-join
+    ``bucketed`` (columns ``id`` + key_cols + carry_cols) on key_cols
+    with ``id_a < id_b``; ``distinct`` dedups the pair (the LSH/banding
+    callers), ``distinct=False`` keeps one row per (key, pair) match
+    (the PPJoin caller, whose downstream pair-count aggregate needs
+    every gram co-occurrence).
+
+    Skew defense — conditional salting, one declarative plan: bucket
+    sizes come from a map-side-combined count over the narrow key
+    columns, joined back onto the rows (same key partitioning the
+    self-join needs, so AQE reuses the exchange).  Rows in a bucket of
+    >= ``hot_rows`` ids — the 10^4-near-identical-docs pathology, where
+    one join key makes a single task emit m^2/2 pairs — join on an
+    extra salt sub-key: the a-side's salt is derived from its id, the
+    b-side explodes all ``n_salts`` values, so each qualifying pair
+    still matches EXACTLY once while no task emits more than
+    ~m^2/n_salts of the flood.  Cold-bucket rows carry salt 0 on both
+    sides (the b-side explode is over a 1-element array), preserving
+    today's single equi-join semantics with no second code path, no
+    driver-side key list, and no cap on how many buckets may run hot."""
+    out_a = [F.col("a.id").alias("id_a")] + [
+        F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols
+    ]
+    out_b = [F.col("b.id").alias("id_b")] + [
+        F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols
+    ]
+    sizes = bucketed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    tagged = bucketed.join(sizes, key_cols)
+    hot = F.col("__n") >= F.lit(hot_rows)
+    zero = F.array(F.lit(0).cast("bigint"))
+    a = tagged.withColumn(
+        "__salt",
+        F.when(
+            hot, F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(n_salts))
+        ).otherwise(F.lit(0).cast("bigint")),
+    ).alias("a")
+    b = tagged.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                hot, F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint"))
+            ).otherwise(zero)
+        ),
+    ).alias("b")
+    cond = (F.col("a.__salt") == F.col("b.__salt")) & (F.col("a.id") < F.col("b.id"))
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    pairs = a.join(b, cond).select(*out_a, *out_b)
+    return pairs.dropDuplicates(["id_a", "id_b"]) if distinct else pairs
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
 
@@ -111,6 +183,7 @@ def minhash_near_duplicates(
     k: int = 5,
     jaccard_threshold: float = 0.8,
     est_margin: float | None = None,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -173,16 +246,11 @@ def minhash_near_duplicates(
         "id", "bb.band", "bb.bucket"
     )
 
-    a, b = banded.alias("a"), banded.alias("b")
-    raw_candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # skew-balanced candidate generation: plain (band, bucket) equi-join
+    # until a bucket crosses HOT_BUCKET_ROWS, salted sub-keys beyond (the
+    # boilerplate-flood defense — see _bucket_self_join_pairs)
+    raw_candidates = _bucket_self_join_pairs(
+        banded, ["band", "bucket"], hot_rows=hot_bucket_rows
     )
     # estimate prune: matched-component fraction of the two signatures.
     # The sig_arr sides are id-keyed joins Spark broadcasts when small; at
@@ -655,6 +723,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     blocks: int = 4,
     token_hash=None,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bit distance, via the pigeonhole trick:
     split the 64-bit key into ``blocks`` chunks — any pair within distance
@@ -682,26 +751,22 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("id", "simhash", "c.blk", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # persist: the simhash aggregation above otherwise recomputes for the
+    # bucket-size pass and both self-join sides inside the helper
+    chunks = chunks.persist()
+    cand = _bucket_self_join_pairs(
+        chunks, ["blk", "chunk"], carry_cols=("simhash",), hot_rows=hot_bucket_rows
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    result = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .persist()
+    )
+    result.count()
+    chunks.unpersist()
+    return result
 
 
 def exact_dedup_incremental(
@@ -783,6 +848,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     jaccard_threshold: float = 0.4,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard near-duplicate pairs via prefix-filtered
     set-similarity self-join (the PPJoin family's blocking, public
@@ -856,7 +922,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("rk") <= prefix_len)
         .select("id", "ls", "gram")
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
     # PPJoin+-style prefix-overlap count filter (exact): J >= t needs total
     # overlap alpha = ceil(t/(1+t) * (la+lb)) and (via the length filter)
     # alpha >= ceil(t*la), ceil(t*lb).  Theorem: the i smallest shared
@@ -878,17 +943,24 @@ def ngram_jaccard_pairs(
         F.ceil(F.lit(t) * F.col("la")), F.ceil(F.lit(t) * F.col("lb"))
     )
     candidates = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        # skew-balanced prefix-gram join (distinct=False: the pair-count
+        # aggregate below needs EVERY gram co-occurrence row, and a hot
+        # boilerplate gram shared by m docs would otherwise put all
+        # m^2/2 of its co-occurrences in one task)
+        _bucket_self_join_pairs(
+            ranked, ["gram"], carry_cols=("ls",), hot_rows=hot_bucket_rows,
+            distinct=False,
+        )
         # length filter: J >= t forces t*la <= lb <= la/t
         .filter(
-            (F.col("b.ls") >= F.lit(t) * F.col("a.ls"))
-            & (F.col("a.ls") >= F.lit(t) * F.col("b.ls"))
+            (F.col("ls_b") >= F.lit(t) * F.col("ls_a"))
+            & (F.col("ls_a") >= F.lit(t) * F.col("ls_b"))
         )
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.ls").alias("la"),
-            F.col("b.ls").alias("lb"),
+            "id_a",
+            "id_b",
+            F.col("ls_a").alias("la"),
+            F.col("ls_b").alias("lb"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= alpha - max_side)  # = (1 + alpha - max) - 1 slack
@@ -907,6 +979,7 @@ def shingle_containment_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     containment_threshold: float = 0.8,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: quote/contamination detection.  Returns ordered
     pairs (id_a, id_b, containment) where containment = |A∩B| / |A| >=
@@ -980,6 +1053,16 @@ def shingle_containment_pairs(
         (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int"),
         F.ceil(F.lit(probe_frac) * F.col("ls")).cast("int"),
     )
+    # conditional salting of the probe join (r9 verdict #5): a gram whose
+    # corpus doc-frequency reaches HOT_BUCKET_ROWS — the boilerplate
+    # flood, where one gram key would put all |a(g)| x |b(g)| matches in
+    # a single task — splits into N_BUCKET_SALTS sub-keys (a-side salt
+    # from id_a, b-side replicated); cold grams ride salt 0 on both
+    # sides.  df_ is already aggregated for the rarest-first probe
+    # ranking, so hotness costs the b-side one reusable freq join, not a
+    # new aggregation.  Each (gram, a-doc, b-doc) match still occurs
+    # exactly once, so the hit-count aggregate is unchanged.
+    ghot = F.col("df_") >= F.lit(hot_bucket_rows)
     a_probe = (
         cells.join(freq, "gram")
         .join(sizes, "id")
@@ -995,16 +1078,36 @@ def shingle_containment_pairs(
             F.col("ls").alias("la"),
             probe_len.alias("pl"),
             "gram",
+            F.when(
+                ghot,
+                F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS)),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("__salt"),
         )
     )
-    b_index = cells.join(sizes, "id").select(
-        F.col("id").alias("id_b"), F.col("ls").alias("lb"), "gram"
+    b_index = (
+        cells.join(freq, "gram")
+        .join(sizes, "id")
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("ls").alias("lb"),
+            "gram",
+            F.explode(
+                F.when(
+                    ghot,
+                    F.sequence(
+                        F.lit(0).cast("bigint"), F.lit(N_BUCKET_SALTS - 1).cast("bigint")
+                    ),
+                ).otherwise(F.array(F.lit(0).cast("bigint")))
+            ).alias("__salt"),
+        )
     )
     # exact hit-count bound: hits within the probe >= ceil(t*la) - (la - pl)
     # (-1 slack absorbs float-ceil boundary ulps; weakens, never breaks)
     required = F.ceil(F.lit(t) * F.col("la")) - (F.col("la") - F.col("pl")) - 1
     candidates = (
-        a_probe.join(b_index, "gram")
+        a_probe.join(b_index, ["gram", "__salt"])
         .filter((F.col("id_a") != F.col("id_b")) & (F.col("la") <= F.col("lb")))
         .groupBy("id_a", "id_b", "la", "pl")
         .agg(F.count(F.lit(1)).alias("hits"))
