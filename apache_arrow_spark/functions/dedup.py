@@ -1053,16 +1053,6 @@ def shingle_containment_pairs(
         (F.col("ls") - F.ceil(F.lit(t) * F.col("ls")) + 1).cast("int"),
         F.ceil(F.lit(probe_frac) * F.col("ls")).cast("int"),
     )
-    # conditional salting of the probe join (r9 verdict #5): a gram whose
-    # corpus doc-frequency reaches HOT_BUCKET_ROWS — the boilerplate
-    # flood, where one gram key would put all |a(g)| x |b(g)| matches in
-    # a single task — splits into N_BUCKET_SALTS sub-keys (a-side salt
-    # from id_a, b-side replicated); cold grams ride salt 0 on both
-    # sides.  df_ is already aggregated for the rarest-first probe
-    # ranking, so hotness costs the b-side one reusable freq join, not a
-    # new aggregation.  Each (gram, a-doc, b-doc) match still occurs
-    # exactly once, so the hit-count aggregate is unchanged.
-    ghot = F.col("df_") >= F.lit(hot_bucket_rows)
     a_probe = (
         cells.join(freq, "gram")
         .join(sizes, "id")
@@ -1078,20 +1068,65 @@ def shingle_containment_pairs(
             F.col("ls").alias("la"),
             probe_len.alias("pl"),
             "gram",
+        )
+    )
+    # conditional salting of the probe join (r9 verdict #5): hotness is
+    # measured on the PROBE side — |a(g)| is the binding factor of the
+    # join's per-gram output |a(g)| x |b(g)|, and the probe is rarest-
+    # first, so a hot probe gram only arises from a genuine flood
+    # (thousands of near-identical docs whose "rare" grams coincide).
+    # The first cut keyed hotness on corpus doc-frequency instead, and
+    # the r10 sf0.3 scaling notch caught it at alpha 2.66: ubiquitous
+    # grams (df >= 4096 but almost never in any probe) were exploded
+    # x16 on the b side for zero matching work — 18.5x shuffle bytes on
+    # 3x data.  Gate order keeps the common corpus cheap: a probe gram
+    # can only be hot if its corpus df is hot (probe count <= df), and
+    # ``freq`` is a plain count over the CACHED cells — so one bounded
+    # limit(1) job decides the cold path (measured ~0.2 s) without ever
+    # analyzing the window subtree twice; only a df-hot corpus pays the
+    # probe-frequency aggregation (persisting the probe first).  The
+    # hot list is bounded at HOT_BUCKET_TOP_K (overflow grams degrade
+    # to the plain join); when it is empty the join below is EXACTLY
+    # the pre-salting plan.
+    hot_grams = []
+    if freq.filter(F.col("df_") >= F.lit(hot_bucket_rows)).limit(1).count() > 0:
+        a_probe = a_probe.persist()
+        hot_grams = [
+            r["gram"]
+            for r in a_probe.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("pn"))
+            .filter(F.col("pn") >= F.lit(hot_bucket_rows))
+            .orderBy(F.desc("pn"), "gram")
+            .limit(HOT_BUCKET_TOP_K)
+            .collect()
+        ]
+    b_index = cells.join(sizes, "id").select(
+        F.col("id").alias("id_b"), F.col("ls").alias("lb"), "gram"
+    )
+    if not hot_grams:
+        joined = a_probe.join(b_index, "gram")
+    else:
+        marker = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(g,) for g in hot_grams], "gram bigint"
+            ).withColumn("__hot", F.lit(1))
+        )
+        ghot = F.col("__hot").isNotNull()
+        ap = a_probe.join(marker, "gram", "left").select(
+            "id_a",
+            "la",
+            "pl",
+            "gram",
             F.when(
                 ghot,
-                F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS)),
+                F.pmod(F.xxhash64(F.col("id_a"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS)),
             )
             .otherwise(F.lit(0).cast("bigint"))
             .alias("__salt"),
         )
-    )
-    b_index = (
-        cells.join(freq, "gram")
-        .join(sizes, "id")
-        .select(
-            F.col("id").alias("id_b"),
-            F.col("ls").alias("lb"),
+        bi = b_index.join(marker, "gram", "left").select(
+            "id_b",
+            "lb",
             "gram",
             F.explode(
                 F.when(
@@ -1102,13 +1137,12 @@ def shingle_containment_pairs(
                 ).otherwise(F.array(F.lit(0).cast("bigint")))
             ).alias("__salt"),
         )
-    )
+        joined = ap.join(bi, ["gram", "__salt"])
     # exact hit-count bound: hits within the probe >= ceil(t*la) - (la - pl)
     # (-1 slack absorbs float-ceil boundary ulps; weakens, never breaks)
     required = F.ceil(F.lit(t) * F.col("la")) - (F.col("la") - F.col("pl")) - 1
     candidates = (
-        a_probe.join(b_index, ["gram", "__salt"])
-        .filter((F.col("id_a") != F.col("id_b")) & (F.col("la") <= F.col("lb")))
+        joined.filter((F.col("id_a") != F.col("id_b")) & (F.col("la") <= F.col("lb")))
         .groupBy("id_a", "id_b", "la", "pl")
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= required)
@@ -1116,7 +1150,9 @@ def shingle_containment_pairs(
         .persist()
     )
     cont = F.round(F.col("inter") / F.greatest(F.col("la"), F.lit(1)), 6)
-    return _verify_pairs(cells, candidates, cont, "containment", t)
+    out = _verify_pairs(cells, candidates, cont, "containment", t)
+    a_probe.unpersist()
+    return out
 
 
 def duplication_weighted_keep(

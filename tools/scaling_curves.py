@@ -90,19 +90,35 @@ def measure(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # --ratio R: the data-size ratio between the two dirs (alpha
+    # denominator log(R); default 10 for the sf0.01 -> sf0.1 pair).
+    # --queries a,b,c: restrict to a subset of HOT (the sf0.3 notch runs
+    # the top-5 wall queries only, r9 verdict #6).
+    args = list(sys.argv[1:])
+    ratio = 10.0
+    names = HOT
+    rest = []
+    while args:
+        a = args.pop(0)
+        if a == "--ratio":
+            ratio = float(args.pop(0))
+        elif a == "--queries":
+            names = [q for q in args.pop(0).split(",") if q]
+        else:
+            rest.append(a)
+    small = rest[0] if rest else "/root/testdata/sf0.01"
+    big = rest[1] if len(rest) > 1 else "/root/testdata/sf0.1"
     from apache_arrow_spark.session import get_spark
 
     spark = get_spark()
     out = {}
-    for name in HOT:
+    for name in names:
         s = measure(spark, name, small)
         b = measure(spark, name, big)
         row = {"small": s, "big": b}
         if s["shuffle_bytes"] > 0:
             row["bytes_ratio"] = round(b["shuffle_bytes"] / s["shuffle_bytes"], 2)
-            row["bytes_alpha"] = round(math.log(row["bytes_ratio"]) / math.log(10), 3)
+            row["bytes_alpha"] = round(math.log(row["bytes_ratio"]) / math.log(ratio), 3)
         if s["wall_s"] > 0:
             row["wall_ratio"] = round(b["wall_s"] / s["wall_s"], 2)
         if "bytes_alpha" in row:
