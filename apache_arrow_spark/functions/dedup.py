@@ -393,6 +393,7 @@ def minhash_near_duplicates_against(
     jaccard_threshold: float = 0.8,
     corpus_sig: DataFrame | None = None,
     est_margin: float | None = None,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """Near-duplicate pairs between an INCOMING batch and an already-
     ingested corpus — the per-crawl/per-snapshot shape production dedup
@@ -442,11 +443,51 @@ def minhash_near_duplicates_against(
             "id", "bb.band", "bb.bucket"
         )
 
-    n, c = banded(new_sig).alias("n"), banded(corpus_sig).alias("c")
+    # skew-balanced batch-vs-corpus candidate join (the asymmetric twin
+    # of _bucket_self_join_pairs' conditional salting, r9 verdict #5): a
+    # corpus bucket holding >= HOT_BUCKET_ROWS docs — the boilerplate
+    # flood — would put every (new-doc x corpus-doc) match for that key
+    # in one task, so hot buckets split into N_BUCKET_SALTS sub-keys
+    # (new-side salt derived from the new id, corpus side replicated);
+    # cold buckets ride salt 0 on both sides, preserving the plain
+    # equi-join.  Hotness comes from a map-side-combined count over the
+    # corpus band keys — the side whose membership drives the blowup.
+    cb = banded(corpus_sig)
+    bsizes = cb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    bhot = F.col("__n") >= F.lit(hot_bucket_rows)
+    nb = (
+        banded(new_sig)
+        .join(bsizes, ["band", "bucket"])  # inner: keys absent from the
+        # corpus have no match anyway, so dropping them is a free prune
+        .withColumn(
+            "__salt",
+            F.when(
+                bhot, F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS))
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .alias("n")
+    )
+    cbs = (
+        cb.join(bsizes, ["band", "bucket"])
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    bhot,
+                    F.sequence(
+                        F.lit(0).cast("bigint"), F.lit(N_BUCKET_SALTS - 1).cast("bigint")
+                    ),
+                ).otherwise(F.array(F.lit(0).cast("bigint")))
+            ),
+        )
+        .alias("c")
+    )
     raw = (
-        n.join(
-            c,
-            (F.col("n.band") == F.col("c.band")) & (F.col("n.bucket") == F.col("c.bucket")),
+        nb.join(
+            cbs,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            & (F.col("n.__salt") == F.col("c.__salt")),
         )
         .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])

@@ -208,3 +208,20 @@ def test_salting_engages_and_balances_candidate_stage(spark):
         f"salting spread too weak: worst sub-key emits {worst_salted}, "
         f"plain key emits {worst_plain}"
     )
+
+
+def test_incremental_minhash_salted_matches_plain_on_flood(spark):
+    """The batch-vs-corpus twin: a hot CORPUS bucket splits into salted
+    sub-keys; pairs must be identical to the plain join."""
+    from apache_arrow_spark.functions.dedup import minhash_near_duplicates_against
+
+    docs = _flood_docs(spark, n_flood=200, n_noise=120)
+    new = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    kw = dict(jaccard_threshold=0.5)
+    salted = minhash_near_duplicates_against(new, corpus, hot_bucket_rows=64, **kw)
+    plain = minhash_near_duplicates_against(new, corpus, hot_bucket_rows=1 << 30, **kw)
+    cols = ("new_id", "corpus_id")
+    assert _pairs(salted, cols) == _pairs(plain, cols)
+    assert len(_pairs(salted, cols)) > 0
+    salted.unpersist(), plain.unpersist()
