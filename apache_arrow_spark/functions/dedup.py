@@ -71,6 +71,7 @@ def _bucket_self_join_pairs(
     hot_rows: int = HOT_BUCKET_ROWS,
     n_salts: int = N_BUCKET_SALTS,
     distinct: bool = True,
+    hot_precheck: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-balanced candidate generation shared by the LSH-band,
     pigeonhole, and prefix-filter joins (r9 verdict #5): self-join
@@ -80,19 +81,26 @@ def _bucket_self_join_pairs(
     (the PPJoin caller, whose downstream pair-count aggregate needs
     every gram co-occurrence).
 
-    Skew defense — conditional salting, one declarative plan: bucket
-    sizes come from a map-side-combined count over the narrow key
-    columns, joined back onto the rows (same key partitioning the
-    self-join needs, so AQE reuses the exchange).  Rows in a bucket of
-    >= ``hot_rows`` ids — the 10^4-near-identical-docs pathology, where
-    one join key makes a single task emit m^2/2 pairs — join on an
-    extra salt sub-key: the a-side's salt is derived from its id, the
-    b-side explodes all ``n_salts`` values, so each qualifying pair
-    still matches EXACTLY once while no task emits more than
-    ~m^2/n_salts of the flood.  Cold-bucket rows carry salt 0 on both
-    sides (the b-side explode is over a 1-element array), preserving
-    today's single equi-join semantics with no second code path, no
-    driver-side key list, and no cap on how many buckets may run hot."""
+    Skew defense in two tiers.  A bounded ``limit(1)`` existence check
+    decides whether ANY bucket reaches ``hot_rows`` — ``hot_precheck``
+    lets the caller supply a cheaper (possibly conservative) frame
+    whose non-emptiness implies "a hot bucket may exist" (q140 passes
+    the already-cached gram df table: prefix counts <= df), else the
+    check aggregates ``bucketed`` itself.  The common corpus has no hot
+    bucket (max sf0.1 band bucket ~60) and takes the EXACT pre-salting
+    single equi-join — the check is the only overhead (one small job;
+    the always-on sizes join of the first cut cost q33/q140 +1.6 s each
+    at sf0.1, caught by the r10 bench).
+
+    Hot path — conditional salting, one declarative plan: bucket sizes
+    join back onto the rows; rows in a bucket of >= ``hot_rows`` ids —
+    the 10^4-near-identical-docs pathology, where one join key makes a
+    single task emit m^2/2 pairs — join on an extra salt sub-key: the
+    a-side's salt is derived from its id, the b-side explodes all
+    ``n_salts`` values, so each qualifying pair still matches EXACTLY
+    once while no task emits more than ~m^2/n_salts of the flood.
+    Cold-bucket rows there ride salt 0 on both sides; no driver-side
+    key list, no cap on how many buckets may run hot."""
     out_a = [F.col("a.id").alias("id_a")] + [
         F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols
     ]
@@ -100,6 +108,18 @@ def _bucket_self_join_pairs(
         F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols
     ]
     sizes = bucketed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    probe = (
+        hot_precheck
+        if hot_precheck is not None
+        else sizes.filter(F.col("__n") >= F.lit(hot_rows))
+    )
+    if probe.limit(1).count() == 0:
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        for k in key_cols:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        pairs = a.join(b, cond).select(*out_a, *out_b)
+        return pairs.dropDuplicates(["id_a", "id_b"]) if distinct else pairs
     tagged = bucketed.join(sizes, key_cols)
     hot = F.col("__n") >= F.lit(hot_rows)
     zero = F.array(F.lit(0).cast("bigint"))
@@ -455,43 +475,61 @@ def minhash_near_duplicates_against(
     cb = banded(corpus_sig)
     bsizes = cb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
     bhot = F.col("__n") >= F.lit(hot_bucket_rows)
-    nb = (
-        banded(new_sig)
-        .join(bsizes, ["band", "bucket"])  # inner: keys absent from the
-        # corpus have no match anyway, so dropping them is a free prune
-        .withColumn(
-            "__salt",
-            F.when(
-                bhot, F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS))
-            ).otherwise(F.lit(0).cast("bigint")),
+    # bounded existence check first (the _bucket_self_join_pairs
+    # two-tier discipline): no hot corpus bucket — every real corpus —
+    # keeps the exact plain equi-join; bsizes aggregates off the cached
+    # signature store, so the check is one small job
+    if bsizes.filter(bhot).limit(1).count() == 0:
+        n, c = banded(new_sig).alias("n"), cb.alias("c")
+        raw = (
+            n.join(
+                c,
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+            .dropDuplicates(["new_id", "corpus_id"])
         )
-        .alias("n")
-    )
-    cbs = (
-        cb.join(bsizes, ["band", "bucket"])
-        .withColumn(
-            "__salt",
-            F.explode(
+    else:
+        nb = (
+            banded(new_sig)
+            .join(bsizes, ["band", "bucket"])  # inner: keys absent from the
+            # corpus have no match anyway, so dropping them is a free prune
+            .withColumn(
+                "__salt",
                 F.when(
                     bhot,
-                    F.sequence(
-                        F.lit(0).cast("bigint"), F.lit(N_BUCKET_SALTS - 1).cast("bigint")
-                    ),
-                ).otherwise(F.array(F.lit(0).cast("bigint")))
-            ),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(0x5317)), F.lit(N_BUCKET_SALTS)),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .alias("n")
         )
-        .alias("c")
-    )
-    raw = (
-        nb.join(
-            cbs,
-            (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bucket") == F.col("c.bucket"))
-            & (F.col("n.__salt") == F.col("c.__salt")),
+        cbs = (
+            cb.join(bsizes, ["band", "bucket"])
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.when(
+                        bhot,
+                        F.sequence(
+                            F.lit(0).cast("bigint"),
+                            F.lit(N_BUCKET_SALTS - 1).cast("bigint"),
+                        ),
+                    ).otherwise(F.array(F.lit(0).cast("bigint")))
+                ),
+            )
+            .alias("c")
         )
-        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
-        .dropDuplicates(["new_id", "corpus_id"])
-    )
+        raw = (
+            nb.join(
+                cbs,
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket"))
+                & (F.col("n.__salt") == F.col("c.__salt")),
+            )
+            .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
     est = (
         F.aggregate(
             F.zip_with(
@@ -991,6 +1029,11 @@ def ngram_jaccard_pairs(
         _bucket_self_join_pairs(
             ranked, ["gram"], carry_cols=("ls",), hot_rows=hot_bucket_rows,
             distinct=False,
+            # conservative pre-check off the CACHED cells' df table:
+            # prefix counts <= df, so no df-hot gram => no hot prefix
+            # gram — and the ranked window subtree is never re-run for
+            # a bucket-size count
+            hot_precheck=freq.filter(F.col("df_") >= F.lit(hot_bucket_rows)),
         )
         # length filter: J >= t forces t*la <= lb <= la/t
         .filter(
