@@ -239,13 +239,17 @@ def minhash_near_duplicates(
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     # persist the signature ARRAY once: it feeds band-bucket generation
     # (both sides of the self-join) and the estimate prune.  num_hashes
-    # longs per doc — tiny.  Materialize EAGERLY: racing lazy
-    # materialization from multiple consumers causes double-compute /
-    # cache-lock stalls.
+    # longs per doc — tiny.  It must be materialized EAGERLY before any
+    # job consumes it twice (racing lazy materialization from multiple
+    # consumers causes double-compute / cache-lock stalls) — but the
+    # hot-bucket existence probe inside _bucket_self_join_pairs is
+    # itself a full pass over the banded signatures, so THAT job doubles
+    # as the materialization and a separate count() would be a whole
+    # extra job of driver work (measured 0.3-0.4 s of q33's wall at
+    # sf0.1: analysis + scheduling, the stage itself is trivial).
     sig_arr = sig.select(
         "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
     ).persist()
-    sig_arr.count()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -443,8 +447,10 @@ def minhash_near_duplicates_against(
     corpus_sig_is_internal = corpus_sig is None
     if corpus_sig_is_internal:
         corpus_sig = minhash_sig_array(corpus_df, text_col, id_col, num_hashes, k)
+        # persisted but not eagerly counted: the bsizes hot-bucket
+        # existence check below is a full pass over the corpus band keys
+        # and doubles as the materialization (the q33 discipline)
         corpus_sig = corpus_sig.persist()
-        corpus_sig.count()
 
     def banded(sig_arr: DataFrame) -> DataFrame:
         structs = [
@@ -984,7 +990,10 @@ def ngram_jaccard_pairs(
         .distinct()
         .persist()
     )
-    cells.count()
+    # no eager count: the hot-precheck job below (freq.filter.limit(1)
+    # inside _bucket_self_join_pairs) is a full aggregation over cells and
+    # doubles as the cache materialization — a separate count() was one
+    # whole extra job of per-call driver work for an already-scheduled scan
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("ls"))
     freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     t = float(jaccard_threshold)
@@ -1051,7 +1060,8 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "la", "lb")
         .persist()
     )
-    candidates.count()
+    # _verify_pairs' own n_pairs = candidates.count() materializes the
+    # cache; counting here too was a duplicate job (same cached rows)
     union = F.col("la") + F.col("lb") - F.col("inter")
     jac = F.round(F.col("inter") / F.greatest(union, F.lit(1)), 6)
     return _verify_pairs(cells, candidates, jac, "jaccard", t)
@@ -1123,7 +1133,9 @@ def shingle_containment_pairs(
         .distinct()
         .persist()
     )
-    cells.count()
+    # no eager count: the df-hot existence check below is a full freq
+    # aggregation over cells and doubles as the cache materialization
+    # (the q140 discipline — one fewer whole job per call)
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("ls"))
     freq = cells.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     t = float(containment_threshold)

@@ -171,16 +171,20 @@ def bfs_khop(
 
     Scale shape: ``max_hops`` rounds of (frontier JOIN edges) — each
     round one equi-join shuffle keyed by node, frontier-sized (never
-    |V| x |E|); visited-set dedup via a groupBy min after each
-    expansion keeps frontiers from re-exploding through back-edges
-    (no per-round ``distinct`` — the min-aggregate's map-side partial
-    agg already absorbs duplicate expansions, and a distinct would be
-    a second shuffle of the same rows every hop).  The persisted edge
-    table is hash-partitioned ONCE on the join key, so each round
-    shuffles only the frontier side.  The loop count is a LITERAL
-    bound, so the job graph is static; each round is localCheckpointed
-    to keep lineage flat (the q79 connected-components discipline) and
-    the superseded round's blocks are freed eagerly (the q78 lesson)."""
+    |V| x |E|); visited-set maintenance is a distinct over the hop's
+    EXPANSION only plus an anti-join against the found set — the BFS
+    invariant (every node already in ``dist`` carries a distance below
+    the current hop) makes that exactly equivalent to the min-aggregate
+    over ``dist ∪ expansion`` it replaces, while shuffling only the new
+    expansion instead of re-shuffling the whole accumulated distance
+    table every round; the merge back is a shuffle-free union.  The
+    persisted edge table is deduplicated INSIDE its one hash exchange
+    on the join key (repartition first, then dropDuplicates — the
+    aggregate reuses the partitioning), so each round shuffles only the
+    frontier side.  The loop count is a LITERAL bound, so the job graph
+    is static; each round is localCheckpointed to keep lineage flat
+    (the q79 connected-components discipline) and the superseded
+    round's blocks are freed eagerly (the q78 lesson)."""
     from apache_arrow_spark.session import compute_parallelism, free_local_checkpoint
 
     spark = edges.sparkSession
@@ -191,8 +195,8 @@ def bfs_khop(
                 F.col(dst_col).cast("long").alias("a"), F.col(src_col).cast("long").alias("b")
             )
         )
-        .distinct()
         .repartition(compute_parallelism(spark), "a")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     dist = spark.createDataFrame(
@@ -201,11 +205,14 @@ def bfs_khop(
     frontier = dist
     for hop in range(1, int(max_hops) + 1):
         nxt = frontier.join(und, frontier["node"] == und["a"]).select(
-            F.col("b").alias("node"), F.lit(hop).alias("dist")
+            F.col("b").alias("node")
         )
-        merged = (
-            dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
-        ).localCheckpoint()
+        new_nodes = (
+            nxt.distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+        )
+        merged = dist.unionByName(new_nodes).localCheckpoint()
         # next frontier: nodes whose best distance IS this hop (newly found)
         frontier = merged.filter(F.col("dist") == hop)
         free_local_checkpoint(dist)

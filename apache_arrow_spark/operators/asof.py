@@ -62,6 +62,22 @@ def asof_join(
         *[F.col(c) for c in rcols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # explicit key repartition ahead of the carry window (the
+    # grid_interpolate discipline): the union's exchange is byte-costed
+    # by AQE, which coalesces it to ~2 tasks at bench scale and
+    # serializes the per-key sort + carry of the fact-scale union
+    # (measured: a 1.1 s 2-task window stage in q152's profile).  A user
+    # repartition is coalesce-exempt and IS the window's required hash
+    # partitioning, so it adds no exchange; when the parallelism guard
+    # cannot be evaluated (Spark Connect) the safe fallback is identity.
+    try:
+        from apache_arrow_spark.session import compute_parallelism
+
+        unioned = unioned.repartition(
+            compute_parallelism(left.sparkSession), F.col("__k")
+        )
+    except Exception:
+        pass
 
     # right rows sort before left rows at equal time -> inclusive (<=) match
     w = (

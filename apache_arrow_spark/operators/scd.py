@@ -26,6 +26,20 @@ def scd2_intervals(
     change's (NULL while current).  ``order_cols[0]`` must be the change
     timestamp; remaining columns break ties deterministically."""
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    # explicit key repartition ahead of the window (the asof/grid
+    # discipline): AQE byte-costs the window's exchange and coalesces it
+    # to ~2 tasks at bench scale, serializing the per-key sort of the
+    # whole changelog; a user repartition is coalesce-exempt and IS the
+    # window's required partitioning (no extra exchange).  Identity
+    # fallback when the guard can't be evaluated (Spark Connect).
+    try:
+        from apache_arrow_spark.session import compute_parallelism
+
+        changes = changes.repartition(
+            compute_parallelism(changes.sparkSession), F.col(key_col)
+        )
+    except Exception:
+        pass
     from_col = F.col(order_cols[0])
     to_col = F.lead(order_cols[0]).over(w)
     return (

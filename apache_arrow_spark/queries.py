@@ -9036,7 +9036,19 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto those few cores (measured 14.7 s on 2 tasks -> 1.6 s on 32 for
     a trivial cogroup over the same keys).  A user repartition is exempt
     from AQE coalescing and doubles as the cogroup's required
-    co-partitioning."""
+    co-partitioning.
+
+    r10 shape fixes (guide §4.1/§2.3), result-identical:
+    - events pre-aggregate to per-(user, day) counts BEFORE the key
+      exchange and the Python boundary — the interval check only needs
+      the distinct day with its multiplicity (n_near weights each day by
+      its count), so raw event rows never cross into pandas;
+    - the cogroup runs ONLY over users that have events: an orders-only
+      key (14.999k of the 16.5k keys at sf0.1 — 90% of the per-group
+      pandas overhead) produces the constant row (uid, 0, n_orders, 0),
+      which a plain JVM count-aggregate emits without a Python worker in
+      the loop; the union of the two branches is exactly the full-outer
+      cogroup output."""
     import numpy as np
     import pandas as pd
 
@@ -9045,26 +9057,49 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = compute_parallelism(spark)
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 86400000000000").alias("d")
-    ).repartition(n_part, "user_id")
+    )
+    # map-side partial agg shrinks the exchange (guide §2.3); the second,
+    # user-keyed exchange is the cogroup's required co-partitioning and
+    # carries only the distinct (user, day) rows
+    e_cnt = (
+        e.groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(n_part, "user_id")
+    )
+    e_users = e.select("user_id").distinct()
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.expr("cast(cast(o_orderdate as timestamp) as bigint) div 86400").alias("od"),
-    ).repartition(n_part, "user_id")
+    )
+    o_in = o.join(e_users, "user_id", "left_semi").repartition(n_part, "user_id")
+    o_only = (
+        o.join(e_users, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "user_id",
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.col("n_orders"),
+            F.lit(0).cast("bigint").alias("n_event_near_order"),
+        )
+    )
 
     def reconcile(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
         uid = int(key[0])
-        n_ev, n_or = len(evs), len(ords)
+        n_or = len(ords)
+        n_ev = int(evs["cnt"].sum()) if len(evs) else 0
         n_near = 0
-        if n_ev and n_or:
+        if len(evs) and n_or:
             # near iff an order date falls in [d-2, d]: two vectorized
             # searchsorted passes over the sorted order days — no Python
             # per-event loop (was O(n_ev * n_or) with interpreter cost
-            # per event; measured 24 s -> single-digit at sf0.1)
+            # per event; measured 24 s -> single-digit at sf0.1); each
+            # matching day contributes its pre-aggregated event count
             od = np.sort(ords["od"].to_numpy())
             d = evs["d"].to_numpy()
             lo = np.searchsorted(od, d - 2, side="left")
             hi = np.searchsorted(od, d, side="right")
-            n_near = int((hi > lo).sum())
+            n_near = int(evs["cnt"].to_numpy()[hi > lo].sum())
         return pd.DataFrame(
             {
                 "user_id": [uid],
@@ -9074,15 +9109,16 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("user_id"))
+    cg = (
+        e_cnt.groupBy("user_id")
+        .cogroup(o_in.groupBy("user_id"))
         .applyInPandas(
             reconcile,
             "user_id bigint, n_events bigint, n_orders bigint, "
             "n_event_near_order bigint",
         )
     )
+    return cg.unionByName(o_only)
 
 
 # --------------------------------------------------------------------------
@@ -12734,13 +12770,12 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .distinct()
+    # no distinct here: bfs_khop dedups the undirected edge set inside
+    # its one hash exchange — a distinct at this level was a second full
+    # shuffle of the same edge rows (measured in the r10 plan audit)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
     )
     return bfs_khop(edges, seeds=[2], max_hops=3).select(
         "node", F.col("dist").cast("int").alias("dist")
