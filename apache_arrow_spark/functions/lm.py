@@ -152,15 +152,23 @@ def naive_bayes_confusion(
     ).persist()
 
     train = cells.filter(F.col("is_train"))
-    vocab_n = train.select("term").distinct().count()
-    label_stats = (
-        train.groupBy("label")
+    # vocab size + per-label stats in ONE job: rollup(label) emits the
+    # per-label rows and the grand-total row (global distinct-term count)
+    # from a single aggregation — the separate distinct().count() was a
+    # whole extra job over the same cached cells.  grouping() separates a
+    # genuine NULL label from the rollup total row.
+    stats_rows = (
+        train.rollup("label")
         .agg(
             F.sum("tf").alias("n_tok"),
             F.countDistinct("id").alias("n_docs"),
+            F.countDistinct("term").alias("n_terms"),
+            F.grouping("label").alias("__g"),
         )
         .collect()
     )
+    vocab_n = next(int(r["n_terms"]) for r in stats_rows if r["__g"] == 1)
+    label_stats = [r for r in stats_rows if r["__g"] == 0]
     n_total_docs = sum(r["n_docs"] for r in label_stats)
     q = 10_000_000.0
     import math

@@ -645,6 +645,10 @@ def global_value_rank(
         rank_col, (F.row_number().over(w) + omap[F.col("__pid")]).cast("bigint")
     ).drop("__pid")
     out._aas_rank_source = p  # cache handle for the owning caller
+    # total row count is already known from the offsets collect — callers
+    # needing it (tercile/quota arithmetic) can read it instead of paying
+    # a whole count() job over the same cache
+    out._aas_rank_total = off
     return out
 
 

@@ -4694,7 +4694,7 @@ def q133_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     ranked = global_value_rank(o, ["o_totalprice", "o_orderkey"], rank_col="rnk")
-    n = ranked.count()  # scalar; rides the rank cache
+    n = ranked._aas_rank_total  # already counted by the rank's offsets job
     tile_q, rem = divmod(n, 10)
     if tile_q == 0:  # degenerate N<10: rem tiles of exactly one row each
         decile = F.col("rnk").cast("int")
@@ -6187,7 +6187,9 @@ def q205_perplexity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.expr("nll_q div n_tokens").alias("mean_nll_q")
     )
     ranked = global_value_rank(sc, ["mean_nll_q", "doc_id"], rank_col="rnk")
-    nd = ranked.count()
+    # the rank pass already counted every partition for its offsets — the
+    # stashed total replaces what was a whole extra count() job
+    nd = ranked._aas_rank_total
     strat = ranked.select(
         "doc_id",
         "n_tokens",
@@ -9835,10 +9837,12 @@ def q188_rank_blend_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = global_value_rank(t, ["n_chars", "doc_id"], rank_col="rk_len")
     r = global_value_rank(r, ["stop_ratio", "doc_id"], rank_col="rk_stop")
-    n = t.agg(F.count(F.lit(1)).alias("__n"))
-    r = r.crossJoin(F.broadcast(n))
-    pr_len = (F.col("rk_len") - 1).cast("double") / (F.col("__n") - 1).cast("double")
-    pr_stop = (F.col("rk_stop") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    # N comes from the first rank's offsets collect — the crossJoin'd
+    # count-aggregate subtree this replaces re-scanned the documents
+    # (stopword regex included) for a scalar the rank pass already knew
+    n = F.lit(r._aas_rank_total)
+    pr_len = (F.col("rk_len") - 1).cast("double") / (n - 1).cast("double")
+    pr_stop = (F.col("rk_stop") - 1).cast("double") / (n - 1).cast("double")
     r = r.withColumn("pr_len", pr_len).withColumn("pr_stop", pr_stop)
     blend = 0.5 * F.col("pr_len") + 0.5 * F.col("pr_stop")
     return (
