@@ -633,6 +633,33 @@ def dimension_stats(
     )
 
 
+def _recall_table(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(q_id, n_exact, n_hits, recall_micro) from an exact and an
+    approximate top-k table — in ONE pass over the exact side.  The old
+    form consumed ``exact`` twice (an inner join for hits plus a groupBy
+    for the denominator), recomputing the |Q|·|C| crossJoin + window; a
+    left join against the (unique-keyed) approx pairs with a match
+    marker folds both counts into a single aggregate."""
+    marked = exact.select("q_id", "n_id").join(
+        approx.select("q_id", "n_id").withColumn("__m", F.lit(1)),
+        ["q_id", "n_id"],
+        "left",
+    )
+    return (
+        marked.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__m").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_exact").alias("recall_micro"),
+        )
+    )
+
+
 def ann_recall_eval(
     queries: DataFrame,
     corpus: DataFrame,
@@ -664,24 +691,7 @@ def ann_recall_eval(
         n_probe_bits=n_probe_bits,
         seed=seed,
     )
-    hits = (
-        exact.select("q_id", "n_id")
-        .join(approx.select("q_id", "n_id"), ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
-        base.join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            "n_exact",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.expr(
-                "coalesce(n_hits, 0) * 1000000 div n_exact"
-            ).alias("recall_micro"),
-        )
-    )
+    return _recall_table(exact, approx)
 
 
 def knn_join_ivf(
@@ -759,19 +769,7 @@ def ivf_recall_eval(
         vec_col=vec_col,
         id_col=id_col,
     )
-    hits = (
-        exact.select("q_id", "n_id")
-        .join(approx.select("q_id", "n_id"), ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return base.join(hits, "q_id", "left").select(
-        "q_id",
-        "n_exact",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        F.expr("coalesce(n_hits, 0) * 1000000 div n_exact").alias("recall_micro"),
-    )
+    return _recall_table(exact, approx)
 
 
 def streaming_lsh_index_upsert(
