@@ -662,25 +662,49 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor labels flow along edges; union with own label, take min
+        # neighbor labels flow along edges; union with own label, take min.
+        # The fixpoint test needs each node's OLD label next to its new
+        # one — carried through the SAME aggregation (labels rows tag
+        # their component as __old, neighbor messages contribute null;
+        # every node has exactly one labels row, so min(__old) IS the old
+        # label).  The previous form re-joined new_labels against labels
+        # after the checkpoint — a whole extra shuffle join per round.
+        comp_type = labels.schema["component"].dataType
         msgs = edges.join(
             labels.withColumnRenamed("node", "src"), on="src"
-        ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
-            msgs.union(labels)
+        ).select(
+            F.col("dst").alias("node"),
+            "component",
+            F.lit(None).cast(comp_type).alias("__old"),
+        )
+        merged = (
+            msgs.union(labels.select("node", "component", F.col("component").alias("__old")))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), on="node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        # the changed-label count rides the checkpoint job as an observed
+        # metric — the fixpoint test costs NO extra job (it used to be a
+        # shuffle join + count, i.e. one whole extra job per round)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = merged.observe(
+            obs,
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["changed"])
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "component")
 
 
 def cluster_assignments(

@@ -56,6 +56,7 @@ def write_ipc(
     format: str = "stream",
     dictionary_encode: Sequence[str] = (),
     num_shards: int | None = None,
+    shard_cols: Sequence[str] = (),
 ) -> int:
     """Distributed IPC sink: one shard per partition under ``path``/.
 
@@ -71,8 +72,18 @@ def write_ipc(
     if num_shards:
         # shard-count control: a degenerate upstream partitioning (e.g. a
         # single-row-group parquet file locally) would otherwise serialize
-        # the write AND the eventual read of the shard directory
-        df = df.repartition(num_shards)
+        # the write AND the eventual read of the shard directory.
+        # ``shard_cols`` shards by hash of the named columns — a keyless
+        # round-robin repartition first pays a full local sort of every
+        # row (spark.sql.execution.sortBeforeRepartition, needed for
+        # deterministic retries) which is pure overhead for a shard sink;
+        # hashing a key column is deterministic without the sort.
+        if shard_cols:
+            import pyspark.sql.functions as F
+
+            df = df.repartition(num_shards, *[F.col(c) for c in shard_cols])
+        else:
+            df = df.repartition(num_shards)
     os.makedirs(path, exist_ok=True)
     ext = "arrows" if format == "stream" else "arrow"
     run_id = uuid.uuid4().hex[:8]

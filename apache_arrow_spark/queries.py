@@ -613,8 +613,16 @@ def q26_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     path = tempfile.mkdtemp(prefix="aas_q26_", dir=shm)
     # explicit shard count: the testdata table is one row group, which
-    # would otherwise serialize both the write and the read-back
-    write_ipc(li, path, format="stream", num_shards=spark.sparkContext.defaultParallelism)
+    # would otherwise serialize both the write and the read-back; shard
+    # by orderkey hash — the keyless round-robin form paid a full local
+    # sort of every 16-column row before the exchange (guide §2.5)
+    write_ipc(
+        li,
+        path,
+        format="stream",
+        num_shards=spark.sparkContext.defaultParallelism,
+        shard_cols=("l_orderkey",),
+    )
     back = read_ipc(spark, path)
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1488,6 +1496,14 @@ def q55_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = (v - v.mean()) / v.std()  # pandas std = sample std (ddof=1)
         return pd.DataFrame({"l_returnflag": pdf["l_returnflag"], "z": z.round(6)})
 
+    # explicit key repartition: AQE byte-costs the grouped-map exchange
+    # and coalesces it to ONE task, serializing all three returnflag
+    # groups' pandas calls on one core (q248 discipline); the user
+    # repartition is coalesce-exempt and IS the required clustering, so
+    # the three groups land on three tasks
+    from apache_arrow_spark.session import compute_parallelism
+
+    li = li.repartition(compute_parallelism(spark), "l_returnflag")
     z = li.groupBy("l_returnflag").applyInPandas(normalize, "l_returnflag string, z double")
     return z.groupBy("l_returnflag").agg(
         F.sum(F.abs(F.col("z")).cast("decimal(12,6)")).cast("decimal(18,6)").cast("double").alias("sum_abs_z"),
@@ -1759,8 +1775,15 @@ def q64_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     any codec corruption diverges from the oracle's octet_length."""
     from apache_arrow_spark.io.compression import compress_column, decompress_column
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("body"), "lang"
+    from apache_arrow_spark.session import spread_compute
+
+    # spread before the codec chain: the single-split scan otherwise
+    # serializes compress AND decompress on one core (r10 profile: 0.57 s
+    # single-task stage); identity on well-split inputs
+    docs = spread_compute(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("body"), "lang"
+        )
     )
     packed = compress_column(docs, "body", codec="zstd")
     back = decompress_column(packed, "body")
