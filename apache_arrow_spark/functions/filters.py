@@ -281,20 +281,19 @@ def decontaminate(
     if mode not in ("flag", "drop"):
         raise ValueError(f"decontaminate: unknown mode {mode!r}")
     btc = benchmark_text_col or text_col
-    # spread BOTH explode inputs (session.spread_compute discipline): a
-    # single-row-group source is one scan split, so the tokenize + n-gram
-    # explode + hash of each side would otherwise serialize on one core
-    # (measured: a 0.6 s single-task stage in q74's sf0.1 profile).  The
-    # guard makes this an identity on well-split cluster inputs.
-    from apache_arrow_spark.session import spread_compute
-
+    # NO spread_compute here — tried in r10 and MEASURED SLOWER warm
+    # (min-of-5 noop at sf0.1: 0.86 s fused vs 1.13 s spread): the n-gram
+    # explode + hash is not the warm bottleneck, and the two raw-doc
+    # exchanges cost more than the single-split scan fusion they relieve.
+    # The ~0.5 s single-task stage in a cold profile is the raw
+    # single-row-group scan itself (the q33/q211 accepted class).
     bench_grams = (
-        explode_word_ngrams(spread_compute(benchmark), n, btc, out_col="g")
+        explode_word_ngrams(benchmark, n, btc, out_col="g")
         .select(F.xxhash64("g").alias("h"))
         .distinct()
     )
     doc_grams = explode_word_ngrams(
-        spread_compute(df.select(F.col(id_col).alias("__did"), F.col(text_col))),
+        df.select(F.col(id_col).alias("__did"), F.col(text_col)),
         n,
         text_col,
         out_col="g",

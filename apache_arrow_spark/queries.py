@@ -1775,15 +1775,13 @@ def q64_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     any codec corruption diverges from the oracle's octet_length."""
     from apache_arrow_spark.io.compression import compress_column, decompress_column
 
-    from apache_arrow_spark.session import spread_compute
-
-    # spread before the codec chain: the single-split scan otherwise
-    # serializes compress AND decompress on one core (r10 profile: 0.57 s
-    # single-task stage); identity on well-split inputs
-    docs = spread_compute(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "utf-8").alias("body"), "lang"
-        )
+    # NO spread_compute — tried in r10 and MEASURED SLOWER warm
+    # (min-of-5 noop at sf0.1: 0.65 s fused vs 0.86 s spread): the zstd
+    # chain over this corpus is cheaper than the raw-doc exchange it
+    # would take to parallelize it; the cold-profile single-task stage
+    # is the single-row-group scan class (accepted)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("body"), "lang"
     )
     packed = compress_column(docs, "body", codec="zstd")
     back = decompress_column(packed, "body")
