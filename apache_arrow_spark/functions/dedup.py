@@ -39,6 +39,38 @@ XOR_MASKS = [_rng.getrandbits(63) for _ in range(64)]
 # so the two sites can never drift apart.
 BROADCAST_ROW_LIMIT = 1 << 20
 
+# Below this measured cardinality the candidate pair table's lineage is
+# TRUNCATED (r10 verdict #1): localCheckpoint re-roots the already-cached
+# frame as a LogicalRDD over its in-memory blocks (one cheap JVM job over
+# the cache — no Python round-trip, no recompute), so every downstream
+# action (pair keyset, shingle semi-join scope, both verify join sides,
+# the returned result) analyzes a tiny plan instead of re-walking the full
+# candidate lineage (~400 kB formatted for q33/q140 — measured 1.6-2.6 s
+# of serial per-call driver time across the 4-6 sequential actions).
+# Fault-tolerance trade (why the signature tables do NOT get this): the
+# truncated frame is a measured-small (<= 64 Ki pairs) call-scoped
+# intermediate; losing an executor mid-verify fails the call, and
+# re-running the call costs less than the per-call analysis tax the full
+# lineage charges every action.  (A collect+createDataFrame re-root was
+# tried first and REVERTED: classic PySpark parallelizes local data into
+# a 32-slice Python RDD, so every consumer re-ran Python deserialization
+# tasks and planned SMJs off unknown stats — measured q140 2.13 s -> 4.3 s
+# of stage time.)
+LOCAL_PAIR_LIMIT = 1 << 16
+
+
+def _reroot_small(candidates: DataFrame) -> DataFrame:
+    """Lineage-truncate a measured-small, already-persisted pair frame
+    (see LOCAL_PAIR_LIMIT).  Returns the LogicalRDD-rooted twin and drops
+    the original cache pin; callers release the checkpoint blocks with
+    ``session.free_local_checkpoint`` when done."""
+    # coalesce(1) first: the frame is measured-small, and a single-block
+    # checkpoint makes every downstream distinct/broadcast build a
+    # one-task job instead of shuffle.partitions near-empty tasks
+    cp = candidates.coalesce(1).localCheckpoint(eager=True)
+    candidates.unpersist()
+    return cp
+
 
 def _compute_parallelism(df: DataFrame) -> int:
     """Partition count for compute-bound stages — delegates to the single
@@ -309,6 +341,12 @@ def minhash_near_duplicates(
     # joins collapse into one shuffle-free stage — while a huge one (mega-
     # bucket corpora) keeps the scale-safe shuffle equi-join.
     bcast_cand = n_pairs <= (1 << 21)
+    local_cand = n_pairs <= LOCAL_PAIR_LIMIT
+    if local_cand:
+        # lineage-truncate the measured-small pair set (LOCAL_PAIR_LIMIT):
+        # every later action analyzes a tiny LogicalRDD plan instead of
+        # the full banded-signature lineage — the q33 serial driver share.
+        candidates = _reroot_small(candidates)
     cand_join = F.broadcast(candidates) if bcast_cand else candidates
     # shingle sets for exact verification — computed ONLY for docs that
     # appear in a candidate pair (left-semi on the candidate id set).  At
@@ -383,8 +421,14 @@ def minhash_near_duplicates(
     # memory on every call
     result = result.persist()
     result.count()
-    for c in (sig_arr, candidates, sh_df):
+    for c in (sig_arr, sh_df):
         c.unpersist()
+    if local_cand:
+        from apache_arrow_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(candidates)
+    else:
+        candidates.unpersist()
     return result
 
 
@@ -558,6 +602,13 @@ def minhash_near_duplicates_against(
     )
     n_pairs = candidates.count()
     bcast = n_pairs <= (1 << 21)
+    local_cand = n_pairs <= LOCAL_PAIR_LIMIT
+    if local_cand:
+        # lineage-truncate the measured-small candidate set (the
+        # minhash_near_duplicates discipline — see LOCAL_PAIR_LIMIT)
+        candidates = _reroot_small(candidates)
+    new_ids = candidates.select(F.col("new_id").alias("id")).distinct()
+    cor_ids = candidates.select(F.col("corpus_id").alias("id")).distinct()
     cand_join = F.broadcast(candidates) if bcast else candidates
     verify_part = max(1, min(_compute_parallelism(new_df), (2 * n_pairs) // 512 + 1))
 
@@ -577,10 +628,8 @@ def minhash_near_duplicates_against(
             .persist()
         )
 
-    sh_new = shingle_sets(new_df, candidates.select(F.col("new_id").alias("id")).distinct())
-    sh_cor = shingle_sets(
-        corpus_df, candidates.select(F.col("corpus_id").alias("id")).distinct()
-    )
+    sh_new = shingle_sets(new_df, new_ids)
+    sh_cor = shingle_sets(corpus_df, cor_ids)
     sh_new.count()
     sh_cor.count()
     pairs = (
@@ -613,12 +662,39 @@ def minhash_near_duplicates_against(
         .persist()
     )
     result.count()
-    internal_caches = [new_sig, candidates, sh_new, sh_cor]
+    internal_caches = [new_sig, sh_new, sh_cor]
+    if not local_cand:
+        internal_caches.append(candidates)
     if corpus_sig_is_internal:
         internal_caches.append(corpus_sig)
     for cch in internal_caches:
         cch.unpersist()
+    if local_cand:
+        from apache_arrow_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(candidates)
     return result
+
+
+def _observed_changed(obs, timeout_s: float = 10.0):
+    """Bounded read of the fixpoint Observation: polls the JVM promise
+    (``getRowOrEmpty`` waits ~100 ms per call) up to ``timeout_s``, then
+    returns None so the caller can fall back to an explicit count job —
+    the blocking ``obs.get`` has no timeout and the listener bus that
+    fulfils it can drop events under load (r10 ADVICE)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while _time.monotonic() < deadline:
+            row_opt = obs._jo.getRowOrEmpty()
+            if row_opt.isDefined():
+                r = row_opt.get()
+                return int(r.getLong(r.fieldIndex("changed")))
+            _time.sleep(0.05)  # getRowOrEmpty's own wait is bounded
+    except Exception:
+        return None
+    return None
 
 
 def connected_components(
@@ -700,7 +776,14 @@ def connected_components(
                 F.lit(0),
             ).alias("changed"),
         ).localCheckpoint(eager=True)
-        changed = int(obs.get["changed"])
+        changed = _observed_changed(obs)
+        if changed is None:
+            # metrics ride Spark's async listener bus, which can drop
+            # SQLExecutionEnd events under load — a blocking obs.get could
+            # then hang forever (r10 ADVICE).  Bounded wait above; on
+            # timeout, fall back to ONE explicit count over the already-
+            # checkpointed frame (cheap: cached blocks, tiny plan).
+            changed = new_labels.filter(F.col("component") != F.col("__old")).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
@@ -923,15 +1006,26 @@ def _verify_pairs(
     columns plus ``inter``.  Unpersists ``cells`` and ``candidates``;
     returns the persisted (id_a, id_b, score_col) result."""
     n_pairs = candidates.count()
+    local_cand = n_pairs <= LOCAL_PAIR_LIMIT
+    if local_cand:
+        # lineage-truncate the measured-small candidate set (see
+        # LOCAL_PAIR_LIMIT): the pair keyset, both semi-join id scopes and
+        # the final score join then hang off a tiny LogicalRDD plan
+        # instead of re-analyzing the candidate lineage per action (the
+        # q140/q143 driver share, r10 verdict #5).  The LogicalRDD has no
+        # size statistics, so the small-side broadcasts below are hinted
+        # explicitly off the measured count — the same physical joins the
+        # cached frame's accurate stats used to produce.
+        candidates = _reroot_small(candidates)
+    small = n_pairs <= BROADCAST_ROW_LIMIT
     pair_keys = candidates.select("id_a", "id_b")
-    if n_pairs <= BROADCAST_ROW_LIMIT:
+    ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
+    ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
+    if small:
         pair_keys = F.broadcast(pair_keys)
-    ca = cells.join(
-        candidates.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_a"), "gram")
-    cb = cells.join(
-        candidates.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi"
-    ).select(F.col("id").alias("id_b"), "gram")
+        ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
+    ca = cells.join(ids_a, "id", "left_semi").select(F.col("id").alias("id_a"), "gram")
+    cb = cells.join(ids_b, "id", "left_semi").select(F.col("id").alias("id_b"), "gram")
     inter = (
         pair_keys.join(ca, "id_a")
         .join(cb, ["id_b", "gram"])
@@ -939,7 +1033,8 @@ def _verify_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        candidates.join(inter, ["id_a", "id_b"])
+        (F.broadcast(candidates) if small else candidates)
+        .join(inter, ["id_a", "id_b"])
         .withColumn(score_col, score)
         .filter(F.col(score_col) >= threshold)
         .select("id_a", "id_b", score_col)
@@ -947,7 +1042,12 @@ def _verify_pairs(
     )
     out.count()
     cells.unpersist()
-    candidates.unpersist()
+    if local_cand:
+        from apache_arrow_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(candidates)
+    else:
+        candidates.unpersist()
     return out
 
 

@@ -167,8 +167,17 @@ def naive_bayes_confusion(
         )
         .collect()
     )
-    vocab_n = next(int(r["n_terms"]) for r in stats_rows if r["__g"] == 1)
+    # rollup over an EMPTY train split emits zero rows (no grand-total
+    # row): default the vocab to 0 and fail with an explicit message
+    # instead of a bare StopIteration (r10 ADVICE)
+    vocab_n = next((int(r["n_terms"]) for r in stats_rows if r["__g"] == 1), 0)
     label_stats = [r for r in stats_rows if r["__g"] == 0]
+    if not label_stats:
+        cells.unpersist()
+        raise ValueError(
+            "naive_bayes_confusion: the training split is empty "
+            f"(train_frac={train_frac}) — no model can be fit"
+        )
     n_total_docs = sum(r["n_docs"] for r in label_stats)
     q = 10_000_000.0
     import math

@@ -887,90 +887,101 @@ def grid_interpolate(
     Returns (key, grid_t, value_interp) with ``value_interp`` the raw
     double — callers quantize for cross-engine comparison.
 
-    Scale shape: the grid materializes as one ``sequence`` explode off
-    the per-key span aggregate (grid rows ≈ span/step per key, never a
-    calendar cross join); the carry windows are PARTITIONed by key —
-    embarrassingly parallel, no global window, no driver data.  The
-    ratio is computed on int64 DELTAS cast to double (deltas ≪ 2^53, so
-    the cast is exact even when absolute epoch-nanos are not)."""
+    Scale shape: one ``lead`` window pairs each observation with its
+    successor, and the grid materializes as a ``sequence`` explode of the
+    slots each pair covers (grid rows ≈ span/step per key, never a
+    calendar cross join) — 1 scan, 1 key-partitioned exchange, 1
+    offset-frame window; embarrassingly parallel, no global window, no
+    driver data.  The ratio is computed on int64 DELTAS cast to double
+    (deltas ≪ 2^53, so the cast is exact even when absolute epoch-nanos
+    are not)."""
     k, t, v = F.col(key_col), F.col(time_col), F.col(value_col)
     # Null-valued observations carry no value and must not act as bracket
-    # endpoints: __tp takes the time of any observation row while __vp takes
-    # the last non-null value, so a null observation would desynchronize the
-    # (tp, vp) pair and silently interpolate from mismatched rows.
+    # endpoints, so they are dropped before bracketing on either side.
     obs = df.filter(v.isNotNull()).select(
-        k.alias("__k"), t.cast("long").alias("__t"), v.cast("double").alias("__v"),
-        F.lit(0).alias("__grid"),
+        k.alias("__k"), t.cast("long").alias("__t"), v.cast("double").alias("__v")
     )
-    step = F.lit(int(step_ns)).cast("long")
-    span = obs.groupBy("__k").agg(F.min("__t").alias("__lo"), F.max("__t").alias("__hi"))
-    h0 = F.expr(f"(__lo + {int(step_ns)} - 1) div {int(step_ns)}")
-    h1 = F.expr(f"__hi div {int(step_ns)}")
-    grid = (
-        span.select("__k", h0.alias("__h0"), h1.alias("__h1"))
-        .filter(F.col("__h1") >= F.col("__h0"))
-        .select(
-            "__k",
-            F.explode(F.sequence(F.col("__h0"), F.col("__h1"))).alias("__h"),
-        )
-        .select(
-            "__k", (F.col("__h") * step).alias("__t"),
-            F.lit(None).cast("double").alias("__v"), F.lit(1).alias("__grid"),
-        )
-    )
-    # explicit key repartition ahead of the carry windows: the union is
-    # byte-small at exchange time, so AQE would coalesce the window
-    # exchange (measured 10 tasks at sf0.1) — but the windows run AFTER
-    # the grid explode multiplied the rows, so byte costing
-    # under-provisions the heavy stage.  A user repartition is exempt
-    # from coalescing and is exactly the hash partitioning the windows
-    # need, so it adds no exchange.  When the guard cannot be evaluated
-    # (Spark Connect: no sparkContext) the safe fallback is the IDENTITY
-    # — forcing a fixed count would pin arbitrarily large data to it
-    # (the spread_compute posture, session.py).
+    step = int(step_ns)
+    # r11 restructure (guide §2.4 — remove shuffles outright).  The old
+    # shape generated the grid from a per-key span AGGREGATE, unioned it
+    # under the observations and bracketed every grid row with two
+    # unbounded carry windows: 2 scans of the source, 2 exchanges, and 2
+    # full window passes over obs+grid rows.  But each grid instant's
+    # bracket is simply the CONSECUTIVE observation pair around it, so
+    # one ``lead`` window over the observations and a per-pair
+    # sequence-explode of the covered grid slots produce the identical
+    # rows from 1 scan, 1 exchange and 1 cheap offset-frame window —
+    # and the window now runs BEFORE the grid multiplication instead of
+    # after it.  Slot ownership: the pair (t0 -> t1) owns grid instants
+    # t0 <= h*step < t1 (the coincident instant t0 is a direct sample;
+    # instants at t1 belong to the next pair); the final observation
+    # (t1 NULL) owns only its own coincident instant — which also makes
+    # "no extrapolation" structural.  A max_gap cap suppresses the
+    # strictly-interior slots of an over-wide pair, never the coincident
+    # sample, exactly as before.
+    #
+    # explicit key repartition ahead of the lead window: the obs exchange
+    # is byte-small, so AQE would coalesce it to ~2 tasks while the
+    # explode below multiplies rows AFTER the exchange — byte costing
+    # under-provisions the heavy stage.  A user repartition is
+    # coalesce-exempt and IS the window's required partitioning (no extra
+    # exchange); identity fallback when the guard cannot be evaluated
+    # (Spark Connect: no sparkContext).
     from apache_arrow_spark.session import compute_parallelism
 
-    u = obs.unionByName(grid)
     try:
-        u = u.repartition(compute_parallelism(df.sparkSession), F.col("__k"))
-    except Exception:
+        obs = obs.repartition(compute_parallelism(df.sparkSession), F.col("__k"))
+    except (ImportError, AttributeError):
         pass
-    # observations sort before the grid point at the same instant, so the
-    # backward carry sees an exactly-coincident observation as "previous".
-    wb = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__grid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("__k").orderBy("__t")
+    p = obs.withColumn("__tn", F.lead("__t").over(w)).withColumn(
+        "__vn", F.lead("__v").over(w)
     )
-    wf = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__grid")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # first grid slot at or after this observation; last slot owned by the
+    # pair (strictly before the next observation — epoch-ns times are
+    # non-negative, so integer ``div`` is the floor in both expressions).
+    # When max_gap caps an over-wide pair, only the coincident slot
+    # survives (same predicate the old form applied post-window).
+    h_lo = F.expr(f"(__t + {step - 1}) div {step}")
+    h_hi_pair = F.expr(f"(__tn - 1) div {step}")
+    h_coincident = F.expr(f"__t div {step}")
+    gap_ok = (
+        F.lit(True)
+        if max_gap_ns is None
+        else (F.col("__tn") - F.col("__t")) <= F.lit(int(max_gap_ns))
     )
+    h_hi = F.when(
+        F.col("__tn").isNull() | ~gap_ok, h_coincident
+    ).otherwise(h_hi_pair)
     c = (
-        u.withColumn("__tp", F.last(F.when(F.col("__grid") == 0, F.col("__t")), ignorenulls=True).over(wb))
-        .withColumn("__vp", F.last(F.col("__v"), ignorenulls=True).over(wb))
-        .withColumn("__tn", F.first(F.when(F.col("__grid") == 0, F.col("__t")), ignorenulls=True).over(wf))
-        .withColumn("__vn", F.first(F.col("__v"), ignorenulls=True).over(wf))
-        .filter(
-            (F.col("__grid") == 1)
-            & F.col("__tp").isNotNull()
-            & ((F.col("__tp") == F.col("__t")) | F.col("__tn").isNotNull())
+        p.select(
+            "__k",
+            "__t",
+            "__v",
+            "__tn",
+            "__vn",
+            h_lo.alias("__hlo"),
+            h_hi.alias("__hhi"),
         )
+        .filter(F.col("__hlo") <= F.col("__hhi"))
+        .select(
+            "__k",
+            "__t",
+            "__v",
+            "__tn",
+            "__vn",
+            F.explode(F.sequence(F.col("__hlo"), F.col("__hhi"))).alias("__h"),
+        )
+        .withColumn("__g", (F.col("__h") * F.lit(step)).cast("long"))
     )
-    if max_gap_ns is not None:
-        c = c.filter(
-            (F.col("__tp") == F.col("__t"))
-            | (F.col("__tn") - F.col("__tp") <= F.lit(int(max_gap_ns)))
-        )
-    ratio = (F.col("__t") - F.col("__tp")).cast("double") / (
-        F.col("__tn") - F.col("__tp")
+    ratio = (F.col("__g") - F.col("__t")).cast("double") / (
+        F.col("__tn") - F.col("__t")
     ).cast("double")
-    interp = F.when(F.col("__tp") == F.col("__t"), F.col("__vp")).otherwise(
-        F.col("__vp") + (F.col("__vn") - F.col("__vp")) * ratio
+    interp = F.when(F.col("__g") == F.col("__t"), F.col("__v")).otherwise(
+        F.col("__v") + (F.col("__vn") - F.col("__v")) * ratio
     )
     return c.select(
         F.col("__k").alias(key_col),
-        F.col("__t").alias("grid_t"),
+        F.col("__g").alias("grid_t"),
         interp.alias("value_interp"),
     )

@@ -640,8 +640,16 @@ def _recall_table(exact: DataFrame, approx: DataFrame) -> DataFrame:
     for the denominator), recomputing the |Q|·|C| crossJoin + window; a
     left join against the (unique-keyed) approx pairs with a match
     marker folds both counts into a single aggregate."""
+    # dropDuplicates guards the left join's fan-out invariant: a
+    # duplicate-emitting approx table would otherwise multiply exact rows
+    # and silently inflate BOTH n_exact and n_hits (r10 ADVICE).  Both
+    # current callers emit unique (q_id, n_id) already, so this is a
+    # no-op aggregate over the (tiny) approx side — negligible next to
+    # the exact crossJoin it feeds.
     marked = exact.select("q_id", "n_id").join(
-        approx.select("q_id", "n_id").withColumn("__m", F.lit(1)),
+        approx.select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("__m", F.lit(1)),
         ["q_id", "n_id"],
         "left",
     )

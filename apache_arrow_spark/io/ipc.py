@@ -67,8 +67,25 @@ def write_ipc(
     DictionaryBatch messages before the RecordBatches — including deltas as
     new values appear across batches — exactly the reference's wire
     behavior (format/Message.fbs isDelta; ipc/writer.cc DictionaryMemo).
+
+    ``num_shards`` repartitions to that many output shards; ``shard_cols``
+    (only meaningful together with ``num_shards``) hash-partitions by the
+    named columns instead of the keyless round-robin, which skips the
+    ``sortBeforeRepartition`` local sort of every row.  Caveat: the shard
+    key must be high-cardinality and unskewed — a low-cardinality or
+    skewed key yields fewer non-empty shards than requested (worst case
+    one), reintroducing the serialized write/read ``num_shards`` exists to
+    avoid.  Passing ``shard_cols`` without ``num_shards`` is a usage bug
+    and warns.
     """
     assert format in ("stream", "file")
+    if shard_cols and not num_shards:
+        import warnings
+
+        warnings.warn(
+            "write_ipc: shard_cols is ignored unless num_shards is set",
+            stacklevel=2,
+        )
     if num_shards:
         # shard-count control: a degenerate upstream partitioning (e.g. a
         # single-row-group parquet file locally) would otherwise serialize

@@ -76,7 +76,10 @@ def asof_join(
         unioned = unioned.repartition(
             compute_parallelism(left.sparkSession), F.col("__k")
         )
-    except Exception:
+    except (ImportError, AttributeError):
+        # only the expected Spark Connect gap (no sparkContext on the
+        # session) falls back to the AQE-coalesced plan; any other error
+        # here is a real bug and must surface (r10 ADVICE)
         pass
 
     # right rows sort before left rows at equal time -> inclusive (<=) match

@@ -38,7 +38,10 @@ def scd2_intervals(
         changes = changes.repartition(
             compute_parallelism(changes.sparkSession), F.col(key_col)
         )
-    except Exception:
+    except (ImportError, AttributeError):
+        # only the expected Spark Connect gap (no sparkContext on the
+        # session) falls back to the AQE-coalesced plan; any other error
+        # here is a real bug and must surface (r10 ADVICE)
         pass
     from_col = F.col(order_cols[0])
     to_col = F.lead(order_cols[0]).over(w)

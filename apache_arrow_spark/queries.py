@@ -9089,6 +9089,16 @@ def q248_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .repartition(n_part, "user_id")
     )
+    # NOTE (r11 audit): deriving e_users from the e_cnt aggregate and
+    # swapping the o-side to aggregate-then-anti were both tried and
+    # produce a NODE-IDENTICAL physical plan (plans/r11/q248_*):
+    # Catalyst collapses distinct-over-agg-keys back to distinct-over-
+    # scan, and PushDownLeftSemiAntiJoin pushes the anti join below the
+    # count aggregate either way; the two e_users broadcast subtrees are
+    # canonically identical, so runtime stage reuse already computes the
+    # set once.  The true single-scan form would have to shuffle every
+    # raw order row through one exchange (~2x the query's total shuffle
+    # bytes) — the wrong trade at scale.
     e_users = e.select("user_id").distinct()
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),

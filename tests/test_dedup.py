@@ -379,3 +379,26 @@ def test_remove_duplicated_spans_fully_covered_doc(spark):
     out = {r["doc_id"]: r for r in remove_duplicated_spans(df, w=8).collect()}
     assert out[1]["cleaned_text"] == "" and out[1]["n_removed"] == 8
     assert out[2]["cleaned_text"] == ""
+
+
+def test_observed_changed_bounded_wait_returns_none_without_action(spark):
+    """The fixpoint's Observation read must be BOUNDED: an observation
+    whose action never completes (stand-in for a dropped listener event)
+    returns None within the timeout instead of blocking forever, which is
+    what routes connected_components to its explicit-count fallback."""
+    import time
+
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    from apache_arrow_spark.functions.dedup import _observed_changed
+
+    obs = Observation()
+    df = spark.range(10).observe(obs, F.count(F.lit(1)).alias("changed"))
+    # deliberately NO action on df: the promise never completes
+    t0 = time.monotonic()
+    assert _observed_changed(obs, timeout_s=0.5) is None
+    assert time.monotonic() - t0 < 5.0
+    # after the action runs, the same observation resolves to the metric
+    df.write.format("noop").mode("overwrite").save()
+    assert _observed_changed(obs, timeout_s=10.0) == 10

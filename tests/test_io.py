@@ -572,3 +572,19 @@ def test_read_row_groups_distributed(spark, tmp_path):
     assert proj.columns == ["v"] and proj.count() == 30
     # empty selection reads nothing
     assert read_row_groups(spark, path, []).count() == 0
+
+
+def test_write_ipc_warns_shard_cols_without_num_shards(spark, tmp_path):
+    """shard_cols is only meaningful with num_shards; passing it alone is
+    a usage bug that must warn instead of being silently ignored."""
+    import warnings
+
+    from apache_arrow_spark.io.ipc import read_ipc, write_ipc
+
+    df = spark.range(8).withColumnRenamed("id", "k")
+    path = str(tmp_path / "ipc_warn")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        write_ipc(df, path, shard_cols=("k",))
+    assert any("shard_cols is ignored" in str(w.message) for w in caught)
+    assert read_ipc(spark, path).count() == 8

@@ -143,3 +143,17 @@ def test_token_entropy_degenerate_and_uniform(spark):
     # uniform over 4 tokens: ln 4 nats (within quantization)
     assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
     assert out[2]["n_tokens"] == 4
+
+
+def test_naive_bayes_confusion_empty_train_raises(spark):
+    """train_frac=0 leaves the rollup with zero rows; the failure must be
+    an explicit ValueError, not a bare StopIteration (r10 ADVICE)."""
+    import pytest
+
+    from apache_arrow_spark.functions.lm import naive_bayes_confusion
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e f", "y")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="training split is empty"):
+        naive_bayes_confusion(df, train_frac=0.0)

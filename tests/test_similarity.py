@@ -355,3 +355,21 @@ def test_embedding_covariance_matches_numpy(spark):
             cov = G[i, j] / n - (s[i] / n) * (s[j] / n)
             assert got[(i, j)] == (n, int(np.floor(cov)))
     assert len(got) == 10
+
+
+def test_recall_table_dedups_duplicate_approx_pairs(spark):
+    """A duplicate-emitting approx table must not fan out the exact rows:
+    n_exact stays the true per-query count and n_hits counts each matched
+    pair once (r10 ADVICE hardening)."""
+    from apache_arrow_spark.functions.similarity import _recall_table
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "q_id long, n_id long"
+    )
+    approx_dup = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (2, 99)], "q_id long, n_id long"
+    )
+    rows = {r["q_id"]: r for r in _recall_table(exact, approx_dup).collect()}
+    assert rows[1]["n_exact"] == 2 and rows[1]["n_hits"] == 1
+    assert rows[2]["n_exact"] == 1 and rows[2]["n_hits"] == 0
+    assert rows[1]["recall_micro"] == 500000
