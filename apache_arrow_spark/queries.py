@@ -14521,22 +14521,15 @@ def q294_plasma_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order rotation.  The driver's correctness artifact grades the
-# first 50 registered queries.  Round-10 window (per the r9 verdict's #1):
-# the 47 remaining r4-era grades — q145-q158, q161-q163, q165-q194 (the
-# r8/r9 re-graded rows q159/q160/q164 are excluded) — padded to 50 with
-# the head of the r5 block (q195-q197), which is where the steady-state
-# one-block-per-round cycle picks up next.  After this rotation no query's
-# latest driver grade predates round 5 and the large-rotation phase of the
-# freshness cycle is complete.  Everything deferred carries a green driver
-# grade on its current shape and stays covered by pytest +
-# tools/check_oracle.py + tools/two_scale_sweep.py.
+# first 50 registered queries.  Round-11 window (the steady-state
+# one-block-per-round cycle, r10 verdict #8): the next 50-query block
+# q198-q247 — the r5-era grades that follow the r10 window (q145-q197).
+# After this rotation no query's latest driver grade predates round 6.
+# Everything deferred carries a green driver grade on its current shape
+# and stays covered by pytest + tools/check_oracle.py +
+# tools/two_scale_sweep.py.
 # --------------------------------------------------------------------------
-_WINDOW = (
-    [f"q{i}" for i in range(145, 159)]
-    + ["q161", "q162", "q163"]
-    + [f"q{i}" for i in range(165, 195)]
-    + ["q195", "q196", "q197"]
-)
+_WINDOW = [f"q{i}" for i in range(198, 248)]
 
 
 def _qnum(name: str) -> int:
