@@ -385,7 +385,12 @@ def minhash_near_duplicates(
         .select("id", "sh", F.size("sh").alias("ls"))
         .persist()
     )
-    sh_df.count()  # eager: consumed by both sides of the verify join
+    # eager: consumed by both sides of the verify join.  (r11 A/B: folding
+    # this materialization into the verify job measured control-corrected
+    # NEUTRAL warm — 2.75 s eager vs 2.67 s folded with a 1.2x-drifting
+    # control — and risks concurrent-stage cache materialization stalls,
+    # so the eager count stays.)
+    sh_df.count()
     pairs = (
         cand_join.join(
             sh_df.select(

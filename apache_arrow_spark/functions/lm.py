@@ -214,33 +214,81 @@ def naive_bayes_confusion(
     test = cells.filter(~F.col("is_train")).select(
         "id", F.col("label").alias("actual"), "term", "tf"
     )
-    scored = (
-        test.crossJoin(
-            F.broadcast(labels_df.select("label", "prior_q", "default_q"))
+    # r11 (guide §2.3 — shuffle fewer bytes): the label set is KNOWN on
+    # the driver (the stats collect above), so for the practical label
+    # cardinality the model pivots to one row per TERM with a score
+    # column per label, and the per-document scoring becomes ONE
+    # broadcast join + ONE map-side-combinable aggregate of |labels|
+    # integer sums keyed on the document — the old shape crossJoined
+    # every test cell with every label (|labels| x the cell shuffle) and
+    # needed a second per-(id,label) shuffle before the argmax.  Scores
+    # are the identical int64 sums (tf * coalesce(lpq_label,
+    # default_label), plus prior), and the argmax keeps the exact
+    # min(struct(-score, label)) tie rule via least() over the label
+    # structs.  An unboundedly wide label set would make the pivoted row
+    # silly-wide, so the fan-out shape is kept as the fallback.
+    wide_ok = 1 < len(lab_rows) <= 64 and all(r[0] is not None for r in lab_rows)
+    if wide_ok:
+        lab_sorted = sorted(lab_rows, key=lambda r: r[0])
+        model_wide = model.groupBy("term").agg(
+            *[
+                F.max(F.when(F.col("label") == lab, F.col("lpq"))).alias(f"__lp_{i}")
+                for i, (lab, _, _, _) in enumerate(lab_sorted)
+            ]
         )
-        .join(F.broadcast(model), ["term", "label"], "left")
-        .groupBy("id", "actual", "label", "prior_q")
-        .agg(
-            F.sum(
-                F.col("tf") * F.coalesce(F.col("lpq"), F.col("default_q"))
-            ).alias("s")
+        sums = (
+            test.join(F.broadcast(model_wide), "term", "left")
+            .groupBy("id", "actual")
+            .agg(
+                *[
+                    F.sum(
+                        F.col("tf")
+                        * F.coalesce(F.col(f"__lp_{i}"), F.lit(int(dq)))
+                    ).alias(f"__s_{i}")
+                    for i, (_, _, dq, _) in enumerate(lab_sorted)
+                ]
+            )
         )
-        .select(
+        pred = sums.select(
             "id",
             "actual",
-            "label",
-            (F.col("prior_q") + F.col("s")).alias("score"),
+            F.least(
+                *[
+                    F.struct(
+                        (-(F.lit(int(pq)) + F.col(f"__s_{i}"))).alias("ns"),
+                        F.lit(lab).alias("label"),
+                    )
+                    for i, (lab, pq, _, _) in enumerate(lab_sorted)
+                ]
+            )["label"].alias("predicted"),
         )
-    )
-    # argmax without a sort-window: min(struct(-score, label)) picks the
-    # max score with ties to the lexicographically FIRST label, and is a
-    # partial-aggregatable (map-side combinable) expression — at scale
-    # this drops the per-id Sort the row_number window would add
-    pred = (
-        scored.groupBy("id", "actual")
-        .agg(F.min(F.struct((-F.col("score")).alias("ns"), "label")).alias("__top"))
-        .select("id", "actual", F.col("__top.label").alias("predicted"))
-    )
+    else:
+        scored = (
+            test.crossJoin(
+                F.broadcast(labels_df.select("label", "prior_q", "default_q"))
+            )
+            .join(F.broadcast(model), ["term", "label"], "left")
+            .groupBy("id", "actual", "label", "prior_q")
+            .agg(
+                F.sum(
+                    F.col("tf") * F.coalesce(F.col("lpq"), F.col("default_q"))
+                ).alias("s")
+            )
+            .select(
+                "id",
+                "actual",
+                "label",
+                (F.col("prior_q") + F.col("s")).alias("score"),
+            )
+        )
+        # argmax without a sort-window: min(struct(-score, label)) picks
+        # the max score with ties to the lexicographically FIRST label,
+        # and is a partial-aggregatable (map-side combinable) expression
+        pred = (
+            scored.groupBy("id", "actual")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), "label")).alias("__top"))
+            .select("id", "actual", F.col("__top.label").alias("predicted"))
+        )
     out = pred.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
     # dedup.py convention: materialize the tiny (labels x labels) result,
     # then release the corpus-sized cell cache

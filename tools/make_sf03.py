@@ -67,9 +67,9 @@ def main() -> None:
             f" lang, source, n_chars FROM base"
         )
     con.execute(
-        f"COPY (WITH base AS (SELECT * FROM {docs}) "
+        f"COPY (SELECT * FROM (WITH base AS (SELECT * FROM {docs}) "
         + " UNION ALL ".join(copies)
-        + f") TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        + f") ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET)"
     )
 
     li = f"read_parquet('{SRC}/lineitem.parquet')"
@@ -84,8 +84,16 @@ def main() -> None:
         f" FROM {li}"
         for c in range(3)
     ]
+    # ORDER BY restores the source's orderkey-clustered layout: duckdb
+    # executes the UNION ALL in parallel and would otherwise interleave
+    # rows arbitrarily, which scatters an order's line items across row
+    # groups / scan splits and collapses Spark's map-side partial-agg
+    # efficiency (measured on q22: 147 k partial records at sf0.1 vs
+    # 1.2 M at an unordered sf0.3 for 450 k orders — a 7.7x bytes-ratio
+    # artifact of the FIXTURE, not of the engine).
     con.execute(
-        f"COPY ({' UNION ALL '.join(li_copies)})"
+        f"COPY (SELECT * FROM ({' UNION ALL '.join(li_copies)})"
+        " ORDER BY l_orderkey, l_linenumber)"
         f" TO '{out}/lineitem.parquet' (FORMAT PARQUET)"
     )
     o_cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM {o}").fetchall()]
@@ -95,10 +103,39 @@ def main() -> None:
         for c in range(3)
     ]
     con.execute(
-        f"COPY ({' UNION ALL '.join(o_copies)})"
+        f"COPY (SELECT * FROM ({' UNION ALL '.join(o_copies)})"
+        " ORDER BY o_orderkey)"
         f" TO '{out}/orders.parquet' (FORMAT PARQUET)"
     )
-    for t in ("documents", "lineitem", "orders"):
+    # r11: events for the per-key time-series queries (q263 grid
+    # interpolation) — three copies with user_id/event_id offsets: 3x the
+    # keys, each key's series verbatim, so per-key window work scales
+    # linearly and the grid span per key is unchanged (the isomorphism the
+    # alpha claim needs).
+    ev = f"read_parquet('{SRC}/events.parquet')"
+    n_users = con.sql(f"SELECT max(user_id) + 1 FROM {ev}").fetchone()[0]
+    n_ev = con.sql(f"SELECT max(event_id) + 1 FROM {ev}").fetchone()[0]
+    ev_copies = [
+        f"SELECT event_id + {c * n_ev} AS event_id, ts,"
+        f" user_id + {c * n_users} AS user_id, event_type, value, props"
+        f" FROM {ev}"
+        for c in range(3)
+    ]
+    con.execute(
+        f"COPY (SELECT * FROM ({' UNION ALL '.join(ev_copies)})"
+        " ORDER BY event_id)"
+        f" TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+    # dimension tables copy VERBATIM (the same customers/regions serve 3x
+    # the facts — the design note at the top: keys must not split into
+    # disjoint replicas)
+    import shutil
+
+    for t in ("customer", "nation", "region", "supplier", "part", "embeddings"):
+        srcp = f"{SRC}/{t}.parquet"
+        if os.path.exists(srcp):
+            shutil.copyfile(srcp, f"{out}/{t}.parquet")
+    for t in ("documents", "lineitem", "orders", "events"):
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
     con.close()
