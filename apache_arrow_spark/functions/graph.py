@@ -202,20 +202,63 @@ def bfs_khop(
     dist = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "node long, dist int"
     ).localCheckpoint()
+    # the found-set's cardinality rides each round's checkpoint job as an
+    # observed metric (the connected-components fixpoint discipline) so
+    # the NEXT hop's visited-set anti-join can broadcast a measured-small
+    # found set instead of re-shuffling + sorting it every round — the
+    # checkpointed LogicalRDD carries no size statistics, so without the
+    # hint the anti join is a sort-merge that re-exchanges the whole
+    # accumulated distance table per hop.  Bounded read with a shuffle
+    # fallback: an unresolved metric (dropped listener event) just means
+    # no hint, never a wrong plan.
     frontier = dist
+    n_dist = len(seeds)
     for hop in range(1, int(max_hops) + 1):
         nxt = frontier.join(und, frontier["node"] == und["a"]).select(
             F.col("b").alias("node")
         )
+        anti_side = (
+            F.broadcast(dist)
+            if n_dist is not None and n_dist <= 1 << 20
+            else dist
+        )
         new_nodes = (
             nxt.distinct()
-            .join(dist, "node", "left_anti")
+            .join(anti_side, "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
         )
-        merged = dist.unionByName(new_nodes).localCheckpoint()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = (
+            dist.unionByName(new_nodes)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
         # next frontier: nodes whose best distance IS this hop (newly found)
         frontier = merged.filter(F.col("dist") == hop)
         free_local_checkpoint(dist)
         dist = merged
+        n_dist = _observed_count(obs)
     und.unpersist()
     return dist
+
+
+def _observed_count(obs, timeout_s: float = 5.0):
+    """Bounded read of a row-count Observation (metric ``n``): polls the
+    JVM promise up to ``timeout_s`` and returns None when the metric never
+    arrives (dropped listener event) — the caller then simply skips the
+    broadcast hint, which is always safe."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while _time.monotonic() < deadline:
+            row_opt = obs._jo.getRowOrEmpty()
+            if row_opt.isDefined():
+                r = row_opt.get()
+                return int(r.getLong(r.fieldIndex("n")))
+            _time.sleep(0.05)
+    except Exception:
+        return None
+    return None
